@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet tables (see TESTDATA.md).
+  *
+  * One parquet file per table under each scale-factor dir. All queries in
+  * this library read through here so that a future move to a partitioned
+  * 100 TB layout (directory-per-table, many files, partition columns) only
+  * touches this object.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimensions that should be broadcast in joins at any scale. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
+    // type for. Read it as raw nanos and truncate to microseconds —
+    // exactly what DuckDB (µs-precision timestamps) does, so the oracle
+    // compare sees identical instants.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql users/tests). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
