@@ -1,0 +1,233 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The time-series dataset engine (SURVEY.md §2.4 J1, §2.5 A1, §2.3 P2-P5).
+  *
+  * Re-expresses the reference's fetch→resample→align→filter pipeline
+  * (gordo-core `TimeSeriesDataset`; config surface at
+  * `tests/gordo/workflow/test_config_elements.py:137-162`) as declarative
+  * Spark over a long-format frame `(seriesKey..., ts, value)`.
+  *
+  * Semantics decisions (each mirrors pandas/gordo behavior; SURVEY §7.4):
+  *   - resample buckets are left-labeled, left-closed (pandas default):
+  *     bucket = floor(epoch_seconds / width) * width;
+  *   - `interpolation_limit` is a TIME bound ("48H"), not a row count: a
+  *     gap is filled only if the bridged distance is within the limit
+  *     (ffill: distance to the previous observation; linear: distance
+  *     between the two anchors);
+  *   - `row_filter_buffer_size` drops the N rows on EACH side of a
+  *     filtered-out row within the same series (inferred from
+  *     `tests/gordo/workflow/test_config_elements.py:156`).
+  *
+  * Scale notes: every operator partitions by the series key(s) and sorts
+  * only within partitions (windows over `partitionBy(keys).orderBy(bucket)`)
+  * — no global sorts. Per-series state is bounded (months × 144 rows/day at
+  * the default 10-minute resolution), so a 1000-executor cluster processing
+  * millions of series parallelizes on the key hash with no skew hot-spot;
+  * grid densification joins shuffle on (key, bucket), the same partitioning
+  * the windows need, so Exchange reuse keeps it to one shuffle.
+  */
+object TimeSeries {
+
+  /** pandas frequency string → seconds (e.g. "10T"→600, "48H"→172800;
+    * ref: `gordo/machine/validators.py:59-77` validates these). */
+  def parseResolutionSeconds(freq: String): Long = {
+    val m = raw"^\s*(\d*)\s*([A-Za-z]+)\s*$$".r
+      .findFirstMatchIn(freq)
+      .getOrElse(throw new IllegalArgumentException(s"bad frequency: $freq"))
+    val n = if (m.group(1).isEmpty) 1L else m.group(1).toLong
+    val unit = m.group(2) match {
+      case "S" | "s" | "sec"                    => 1L
+      case "T" | "min" | "Min"                  => 60L
+      case "H" | "h" | "hour"                   => 3600L
+      case "D" | "d" | "day"                    => 86400L
+      case "W" | "w"                            => 604800L
+      case u => throw new IllegalArgumentException(s"unsupported frequency unit: $u")
+    }
+    n * unit
+  }
+
+  /** Left-closed, left-labeled resample bucket as epoch seconds (pandas
+    * default labeling). */
+  def bucketCol(ts: Column, widthSec: Long): Column =
+    (floor(unix_timestamp(ts) / widthSec) * widthSec).cast("long")
+
+  /** Resample: per (keys, bucket) aggregate of `value` (SURVEY A1;
+    * default "mean", ref `test_config_elements.py:139`). Output columns:
+    * keys..., `bucket_ts` (epoch secs), `value`. */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, widthSec: Long,
+               method: String = "mean"): DataFrame = {
+    val b = bucketCol(col(tsCol), widthSec).as("bucket_ts")
+    val agg: Column = method match {
+      case "mean"   => avg(col(valueCol))
+      case "sum"    => sum(col(valueCol))
+      case "min"    => min(col(valueCol))
+      case "max"    => max(col(valueCol))
+      case "median" => percentile(col(valueCol), lit(0.5))
+      case "count"  => count(col(valueCol)).cast("double")
+      case "first"  => min_by(col(valueCol), col(tsCol))
+      case "last"   => max_by(col(valueCol), col(tsCol))
+      case m => throw new IllegalArgumentException(s"unsupported aggregation: $m")
+    }
+    df.groupBy((keys.map(col) :+ b): _*)
+      .agg(agg.as(valueCol))
+  }
+
+  /** Densify: expand each series to its full regular grid, leaving nulls
+    * at missing buckets. Grid bounds are per-series [min, max] bucket.
+    * sequence+explode keeps generation distributed (one row per series
+    * fans out to its grid; no driver loop). */
+  def fullGrid(resampled: DataFrame, keys: Seq[String],
+               widthSec: Long, valueCol: String = "value"): DataFrame = {
+    val grid = resampled
+      .groupBy(keys.map(col): _*)
+      .agg(min($"bucket_ts").as("b0"), max($"bucket_ts").as("b1"))
+      .select((keys.map(col) :+
+        explode(sequence($"b0", $"b1", lit(widthSec))).as("bucket_ts")): _*)
+    grid.join(resampled, keys :+ "bucket_ts", "left")
+  }
+
+  /** Forward-fill nulls, but only across gaps ≤ `limitSec` from the last
+    * observation (interpolation_method="ffill" + interpolation_limit). */
+  def ffill(df: DataFrame, keys: Seq[String], limitSec: Long,
+            valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy($"bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lastV = last(col(valueCol), ignoreNulls = true).over(w)
+    val lastB = last(when(col(valueCol).isNotNull, $"bucket_ts"),
+      ignoreNulls = true).over(w)
+    df.withColumn(valueCol,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when($"bucket_ts" - lastB <= limitSec, lastV))
+  }
+
+  /** Linear interpolation between the nearest non-null anchors, filled
+    * only when the bridged anchor distance ≤ `limitSec`
+    * (interpolation_method="linear_interpolation", the gordo default). */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], limitSec: Long,
+                        valueCol: String = "value"): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*).orderBy($"bucket_ts")
+    val before = part.rowsBetween(Window.unboundedPreceding, -1)
+    val after = part.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val prevV = last(v, ignoreNulls = true).over(before)
+    val prevB = last(when(v.isNotNull, $"bucket_ts"), ignoreNulls = true).over(before)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextB = first(when(v.isNotNull, $"bucket_ts"), ignoreNulls = true).over(after)
+    val frac = ($"bucket_ts" - prevB).cast("double") / (nextB - prevB).cast("double")
+    df.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevB.isNotNull && nextB.isNotNull && (nextB - prevB) <= limitSec,
+          prevV + (nextV - prevV) * frac))
+  }
+
+  /** Pivot a long resampled frame to wide (one column per series key) —
+    * the J1 alignment join expressed as a single shuffle+pivot. Inner-join
+    * semantics (only buckets where every tag has data) are obtained by
+    * dropping rows with any null afterwards; callers wanting gap-fill run
+    * ffill/interpolate per series first. */
+  def pivotWide(resampled: DataFrame, keyCol: String, tags: Seq[String],
+                valueCol: String = "value"): DataFrame =
+    resampled.groupBy($"bucket_ts")
+      .pivot(keyCol, tags)
+      .agg(first(col(valueCol)))
+      .orderBy($"bucket_ts")
+
+  /** Translate a pandas-query-style row_filter ("`tag` > 1 & ~(`x` == 2)")
+    * to a Spark SQL predicate (ref: row_filter key,
+    * `gordo/reporters/mlflow.py:222-224`). Backticked identifiers pass
+    * through (Spark understands them). */
+  def translateRowFilter(pandasPredicate: String): String =
+    pandasPredicate
+      .replaceAll("&&", " AND ").replaceAll("\\|\\|", " OR ")
+      .replaceAll("&", " AND ").replaceAll("\\|", " OR ")
+      .replaceAll("~", " NOT ").replaceAll("==", " = ")
+
+  /** row_filter + row_filter_buffer_size (SURVEY P2/P3): drop rows failing
+    * the predicate AND the `buffer` rows on each side within a series. */
+  def rowFilterWithBuffer(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                          predicate: Column, buffer: Int): DataFrame = {
+    if (buffer <= 0) df.filter(predicate)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-buffer, buffer)
+      df.withColumn("__bad", when(predicate, 0).otherwise(1))
+        .withColumn("__drop", max($"__bad").over(w))
+        .filter($"__drop" === 0)
+        .drop("__bad", "__drop")
+    }
+  }
+
+  /** known_filter_periods (SURVEY P4): drop rows inside any [start, end]
+    * closed interval. Compiles to an OR-chain literal predicate that
+    * pushes down to the scan. */
+  def dropKnownPeriods(df: DataFrame, tsCol: String,
+                       periods: Seq[(String, String)]): DataFrame =
+    if (periods.isEmpty) df
+    else {
+      val inAny = periods.map { case (s, e) =>
+        col(tsCol) >= lit(s).cast("timestamp") && col(tsCol) <= lit(e).cast("timestamp")
+      }.reduce(_ || _)
+      df.filter(!inAny)
+    }
+
+  /** filter_periods method="iqr" (SURVEY P5, [inferred] semantics): per
+    * series compute [q1 − n·IQR, q3 + n·IQR] fences with exact linear-
+    * interpolated quantiles, drop rows outside. Two-phase agg+broadcast
+    * join: the fence table has one row per series, so the join is a
+    * broadcast at any scale. */
+  def filterPeriodsIqr(df: DataFrame, keys: Seq[String], valueCol: String,
+                       nIqr: Double): DataFrame = {
+    val v = col(valueCol)
+    val fences = df.groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3"))
+      .withColumn("__lo", $"__q1" - ($"__q3" - $"__q1") * nIqr)
+      .withColumn("__hi", $"__q3" + ($"__q3" - $"__q1") * nIqr)
+      .select((keys.map(col) :+ $"__lo" :+ $"__hi"): _*)
+    df.join(broadcast(fences), keys)
+      .filter(v >= $"__lo" && v <= $"__hi")
+      .drop("__lo", "__hi")
+  }
+
+  /** filter_periods method="median" (SURVEY P5, [inferred] semantics):
+    * residual vs a centered rolling median; drop rows whose |residual|
+    * exceeds n · IQR(residuals) for the series. */
+  def filterPeriodsMedian(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                          valueCol: String, window: Int, nIqr: Double): DataFrame = {
+    val half = window / 2
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*).rowsBetween(-half, half)
+    val withResid = df
+      .withColumn("__med", percentile(col(valueCol), lit(0.5)).over(w))
+      .withColumn("__resid", col(valueCol) - $"__med")
+    val fences = withResid.groupBy(keys.map(col): _*)
+      .agg((percentile($"__resid", lit(0.75)) - percentile($"__resid", lit(0.25)))
+        .as("__riqr"))
+    withResid.join(broadcast(fences), keys)
+      .filter(abs($"__resid") <= $"__riqr" * nIqr)
+      .drop("__med", "__resid", "__riqr")
+  }
+
+  /** n_samples_threshold (ref: `gordo/cli/cli.py:26-39`, exit code 80). */
+  class InsufficientDataError(msg: String) extends RuntimeException(msg)
+
+  def requireMinSamples(df: DataFrame, n: Long): DataFrame = {
+    if (n > 0) {
+      val c = df.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+      if (c < n) throw new InsufficientDataError(s"got $c rows < threshold $n")
+    }
+    df
+  }
+
+  /** Minimal `$"col"` interpolator so library code (which has no
+    * SparkSession for spark.implicits) stays readable. */
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
