@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Materializes every query FULLY — `queryExecution.toRdd.count()` forces
+  * each physical operator including final sorts and projections, which a
+  * plain `df.count()` would let Catalyst prune away. Failures are surfaced
+  * in the JSON (`errors` map) instead of silently recording a time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

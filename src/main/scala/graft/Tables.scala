@@ -19,18 +19,25 @@ object Tables {
   /** Small dimensions that should be broadcast in joins at any scale. */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
+    * type for. Read it as raw nanos and truncate to microseconds —
+    * exactly what DuckDB (µs-precision timestamps) does, so the oracle
+    * compare sees identical instants. The legacy conf is set once per
+    * session (idempotent; guarded so concurrent query threads don't race
+    * on conf mutation), and the Long→timestamp rewrite applies only to
+    * `events` — any future table with an epoch-seconds Long `ts` column
+    * must opt in explicitly.
+    */
+  private val nanosConfSet = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
-    // type for. Read it as raw nanos and truncate to microseconds —
-    // exactly what DuckDB (µs-precision timestamps) does, so the oracle
-    // compare sees identical instants.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (nanosConfSet.add(System.identityHashCode(spark).toString))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (d, f) if f.name == "ts" && f.dataType == LongType =>
-        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case (d, _) => d
-    }
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 
   /** Register every table as a temp view (for spark.sql users/tests). */

@@ -139,13 +139,35 @@ object TimeSeries {
 
   /** Translate a pandas-query-style row_filter ("`tag` > 1 & ~(`x` == 2)")
     * to a Spark SQL predicate (ref: row_filter key,
-    * `gordo/reporters/mlflow.py:222-224`). Backticked identifiers pass
-    * through (Spark understands them). */
-  def translateRowFilter(pandasPredicate: String): String =
-    pandasPredicate
-      .replaceAll("&&", " AND ").replaceAll("\\|\\|", " OR ")
-      .replaceAll("&", " AND ").replaceAll("\\|", " OR ")
-      .replaceAll("~", " NOT ").replaceAll("==", " = ")
+    * `gordo/reporters/mlflow.py:222-224`). Backticked identifiers and
+    * quoted string literals pass through untouched — gordo tag names are
+    * free-form (`GRA-YE  -23-0751X.PV`) and literals may contain `&|~=`,
+    * so substitution happens only in the code regions between them. */
+  def translateRowFilter(pandasPredicate: String): String = {
+    val out = new StringBuilder
+    val s = pandasPredicate
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          val end = s.indexOf(q, i + 1)
+          val stop = if (end < 0) s.length - 1 else end
+          out.append(s.substring(i, stop + 1))
+          i = stop + 1
+        case '&' =>
+          out.append(" AND ")
+          i += (if (i + 1 < s.length && s.charAt(i + 1) == '&') 2 else 1)
+        case '|' =>
+          out.append(" OR ")
+          i += (if (i + 1 < s.length && s.charAt(i + 1) == '|') 2 else 1)
+        case '~' => out.append(" NOT "); i += 1
+        case '=' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
+          out.append(" = "); i += 2
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** row_filter + row_filter_buffer_size (SURVEY P2/P3): drop rows failing
     * the predicate AND the `buffer` rows on each side within a series. */
@@ -200,9 +222,13 @@ object TimeSeries {
     * exceeds n · IQR(residuals) for the series. */
   def filterPeriodsMedian(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                           valueCol: String, window: Int, nIqr: Double): DataFrame = {
+    // Exactly `window` rows, centered like pandas rolling(window,
+    // center=True): for even windows pandas puts the extra row BEFORE the
+    // label, i.e. frame = [-(window/2), window - window/2 - 1].
     val half = window / 2
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderCols.map(col): _*).rowsBetween(-half, half)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-half, window - half - 1)
     val withResid = df
       .withColumn("__med", percentile(col(valueCol), lit(0.5)).over(w))
       .withColumn("__resid", col(valueCol) - $"__med")
