@@ -77,17 +77,38 @@ object TimeSeries {
       .agg(agg.as(valueCol))
   }
 
+  /** Buckets per generated array chunk in [[fullGrid]]: bounds the size of
+    * any single `sequence` array so a multi-year 1-minute series (~1.6M
+    * buckets) never materializes as one giant array row. */
+  val GridChunk = 4096L
+
   /** Densify: expand each series to its full regular grid, leaving nulls
-    * at missing buckets. Grid bounds are per-series [min, max] bucket.
-    * sequence+explode keeps generation distributed (one row per series
-    * fans out to its grid; no driver loop). */
+    * at missing buckets. Grid bounds are per-series [min, max] bucket by
+    * default, or the supplied shared [b0, b1] (getData uses the global
+    * range so all tags align on one grid).
+    *
+    * Generation is a two-level sequence+explode: the outer sequence emits
+    * chunk starts (≤ total/4096 elements), the inner one ≤ 4096 buckets
+    * per chunk — distributed fan-out with bounded array sizes, no driver
+    * loop, no single-row OOM. */
   def fullGrid(resampled: DataFrame, keys: Seq[String],
-               widthSec: Long, valueCol: String = "value"): DataFrame = {
-    val grid = resampled
-      .groupBy(keys.map(col): _*)
-      .agg(min($"bucket_ts").as("b0"), max($"bucket_ts").as("b1"))
+               widthSec: Long, valueCol: String = "value",
+               bounds: Option[(Long, Long)] = None): DataFrame = {
+    val chunkW = widthSec * GridChunk
+    val boundsDf = bounds match {
+      case Some((b0, b1)) =>
+        resampled.select(keys.map(col): _*).distinct()
+          .withColumn("b0", lit(b0)).withColumn("b1", lit(b1))
+      case None =>
+        resampled.groupBy(keys.map(col): _*)
+          .agg(min($"bucket_ts").as("b0"), max($"bucket_ts").as("b1"))
+    }
+    val grid = boundsDf
+      .select((keys.map(col) :+ $"b1" :+
+        explode(sequence($"b0", $"b1", lit(chunkW))).as("c0")): _*)
       .select((keys.map(col) :+
-        explode(sequence($"b0", $"b1", lit(widthSec))).as("bucket_ts")): _*)
+        explode(sequence($"c0", least($"c0" + (chunkW - widthSec), $"b1"),
+          lit(widthSec))).as("bucket_ts")): _*)
     grid.join(resampled, keys :+ "bucket_ts", "left")
   }
 
@@ -238,6 +259,75 @@ object TimeSeries {
     withResid.join(broadcast(fences), keys)
       .filter(abs($"__resid") <= $"__riqr" * nIqr)
       .drop("__med", "__resid", "__riqr")
+  }
+
+  /** Dataset-block config (SURVEY §1.3; complete surface asserted at
+    * `tests/gordo/workflow/test_config_elements.py:137-162`). Tags here
+    * are values of `keyCol` in the long input frame. */
+  case class DatasetConfig(
+      tags: Seq[String],
+      resolution: String = "10T",
+      aggregationMethod: String = "mean",
+      trainStart: Option[String] = None,
+      trainEnd: Option[String] = None,
+      rowFilter: String = "",
+      rowFilterBufferSize: Int = 0,
+      knownFilterPeriods: Seq[(String, String)] = Nil,
+      interpolationMethod: String = "linear_interpolation",
+      interpolationLimit: String = "48H",
+      nSamplesThreshold: Long = 0)
+
+  /** S1/J1 composed: long `(key, ts, value)` frame → aligned wide frame
+    * `(bucket_ts, tag1, ..., tagN)` — the operation every gordo query
+    * starts with (`gordo/builder/build_model.py:208-215` call site;
+    * external gordo-core impl, semantics [inferred] from the config
+    * surface). Pipeline: time-range filter → known_filter_periods →
+    * resample per tag → shared-grid densify → interpolate (time-bounded
+    * limit) → pivot wide → inner-join semantics (drop any-null rows) →
+    * row_filter (+buffer) → n_samples_threshold.
+    *
+    * Scale: one shuffle on (key, bucket) for resample; grid + window
+    * interpolation reuse that partitioning; the pivot shuffles on bucket
+    * alone — fine because tag count (columns) is bounded while bucket
+    * count (rows) is what grows with data. */
+  def getData(long: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, cfg: DatasetConfig): DataFrame = {
+    val widthSec = parseResolutionSeconds(cfg.resolution)
+    val limitSec = parseResolutionSeconds(cfg.interpolationLimit)
+    var df = long.filter(col(keyCol).isin(cfg.tags: _*))
+    cfg.trainStart.foreach(s => df = df.filter(col(tsCol) >= lit(s).cast("timestamp")))
+    cfg.trainEnd.foreach(e => df = df.filter(col(tsCol) < lit(e).cast("timestamp")))
+    df = dropKnownPeriods(df, tsCol, cfg.knownFilterPeriods)
+    val resampled = resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
+      cfg.aggregationMethod)
+    // Shared grid: global [min, max] bucket so every tag lands on the
+    // same row set (one tiny agg collected to the driver — two longs).
+    val Array(b0, b1) = resampled
+      .agg(min($"bucket_ts"), max($"bucket_ts")).head() match {
+        case r if r.isNullAt(0) => return spark_emptyWide(resampled, cfg)
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val gridded = fullGrid(resampled, Seq(keyCol), widthSec, valueCol,
+      bounds = Some((b0, b1)))
+    val interp = cfg.interpolationMethod match {
+      case "ffill"                           => ffill(gridded, Seq(keyCol), limitSec, valueCol)
+      case "linear_interpolation" | "linear" => interpolateLinear(gridded, Seq(keyCol), limitSec, valueCol)
+      case m => throw new IllegalArgumentException(s"unsupported interpolation: $m")
+    }
+    var wide = pivotWide(interp, keyCol, cfg.tags, valueCol)
+      .na.drop(cols = cfg.tags)
+    if (cfg.rowFilter.nonEmpty)
+      wide = rowFilterWithBuffer(wide, keys = Nil, orderCols = Seq("bucket_ts"),
+        predicate = expr(translateRowFilter(cfg.rowFilter)),
+        buffer = cfg.rowFilterBufferSize)
+    requireMinSamples(wide, cfg.nSamplesThreshold)
+  }
+
+  private def spark_emptyWide(resampled: DataFrame, cfg: DatasetConfig): DataFrame = {
+    val base = resampled.sparkSession.emptyDataFrame
+      .withColumn("bucket_ts", lit(0L))
+    cfg.tags.foldLeft(base)((d, t) => d.withColumn(t, lit(null).cast("double")))
+      .limit(0)
   }
 
   /** n_samples_threshold (ref: `gordo/cli/cli.py:26-39`, exit code 80). */

@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.data.TimeSeries
+import graft.data.TimeSeries.DatasetConfig
+
+/** Oracle-checked coverage for the time-series dataset engine
+  * (SURVEY §2 S1/J1/A1/P2–P5): every public `TimeSeries` function wired
+  * into a query whose answer DuckDB recomputes independently.
+  *
+  * All queries run over the `events` table (30 days, 5 event_type series,
+  * ~2k irregular points each at sf0.01) treating `event_type` as the
+  * sensor-tag key — the same long→wide shape gordo's dataset assembly
+  * works on. Oracle parity conventions follow RelationalQueries.scala:
+  * epoch-second BIGINT buckets, round(x,4) on aggregated doubles, total
+  * ORDER BY.
+  */
+object TimeSeriesQueries {
+
+  private val H = 3600L
+
+  /** Bit-identical 4-decimal rounding for oracle parity: `floor(x*1e4 +
+    * 0.5)/1e4` computed in IEEE doubles gives the same bits in Spark and
+    * DuckDB, unlike `round(x, 4)` — Spark rounds the shortest decimal
+    * repr (HALF_UP on "22.04875") while DuckDB rounds the binary value
+    * (22.048749999…) and the two disagree on exact-half boundaries, which
+    * linear interpolation produces systematically (frac=¼ over
+    * terminating-decimal anchors). SQL twin: `floor(x*10000 + 0.5)/10000`. */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** A1: resample to 1h buckets, mean per (tag, bucket) — pandas
+    * `resample("1H").mean()` left-closed/left-labeled semantics
+    * (ref: default aggregation `tests/gordo/workflow/test_config_elements.py:139`). */
+  def resampleMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.resample(ev, Seq("event_type"), "ts", "value", H, "mean")
+      .select($"event_type", $"bucket_ts", r4($"value").as("value"))
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
+  /** J1 densify + ffill-with-limit: 10-min grid over the `click` series,
+    * forward-fill only across gaps ≤ 30 min (interpolation_limit as a
+    * TIME bound, SURVEY §7.4 hard part). */
+  def gridFfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").filter($"event_type" === "click")
+    val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 600L)
+    val g = TimeSeries.fullGrid(r, Seq("event_type"), 600L)
+    TimeSeries.ffill(g, Seq("event_type"), limitSec = 1800L)
+      .select($"bucket_ts", r4($"value").as("value"))
+      .orderBy($"bucket_ts")
+  }
+
+  /** J1 linear interpolation with time-bounded anchor distance (the gordo
+    * default `interpolation_method=linear_interpolation`, limit 1h). */
+  def gridInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").filter($"event_type" === "purchase")
+    val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 600L)
+    val g = TimeSeries.fullGrid(r, Seq("event_type"), 600L)
+    TimeSeries.interpolateLinear(g, Seq("event_type"), limitSec = 3600L)
+      .select($"bucket_ts", r4($"value").as("value"))
+      .orderBy($"bucket_ts")
+  }
+
+  /** P2+P3: row_filter predicate plus buffer — drop failing rows AND the 2
+    * neighbors on each side within the series (ref surface:
+    * `tests/gordo/workflow/test_config_elements.py:155-156`). */
+  def rowFilterBuffer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.rowFilterWithBuffer(ev, Seq("event_type"), Seq("ts", "event_id"),
+      predicate = $"value" < 150.0, buffer = 2)
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** P4: known_filter_periods — explicit closed intervals dropped via an
+    * OR-chain literal predicate (pushes to the scan). */
+  def knownPeriods(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.dropKnownPeriods(ev, "ts", Seq(
+      ("2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+      ("2024-01-20 12:00:00", "2024-01-22 06:30:00")))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), r4(avg($"value")).as("avg_value"))
+      .orderBy($"event_type")
+  }
+
+  /** P5 (iqr): per-series quantile fences [q1−1.5·IQR, q3+1.5·IQR], exact
+    * linear-interpolated percentiles (ref config:
+    * `tests/gordo/workflow/test_config_elements.py:104-109`). */
+  def filterIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.filterPeriodsIqr(ev, Seq("event_type"), "value", nIqr = 1.5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), r4(avg($"value")).as("avg_value"))
+      .orderBy($"event_type")
+  }
+
+  /** P5 (median): residual vs centered rolling(72) median, fenced at
+    * 2·IQR of the residuals per series. */
+  def filterMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.filterPeriodsMedian(ev, Seq("event_type"), Seq("ts", "event_id"),
+      "value", window = 72, nIqr = 2.0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), r4(avg($"value")).as("avg_value"))
+      .orderBy($"event_type")
+  }
+
+  /** J1 pivot: daily resample pivoted wide — one column per tag, the
+    * alignment join expressed as a single shuffle+pivot. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 86400L)
+    TimeSeries.pivotWide(r, "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+      .select($"bucket_ts",
+        r4($"click").as("click"), r4($"error").as("error"),
+        r4($"purchase").as("purchase"), r4($"signup").as("signup"),
+        r4($"view").as("view"))
+      .orderBy($"bucket_ts")
+  }
+
+  /** S1 composed getData: the full fetch→resample→densify→interpolate→
+    * pivot→inner-join pipeline over two tags at 1h resolution, linear
+    * interpolation limited to 6h — the operation every gordo build starts
+    * with (`gordo/builder/build_model.py:208-215`). */
+  def getDataComposed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.getData(ev, "event_type", "ts", "value", DatasetConfig(
+      tags = Seq("click", "view"),
+      resolution = "1H",
+      interpolationLimit = "6H",
+      trainStart = Some("2024-01-02 00:00:00"),
+      trainEnd = Some("2024-01-28 00:00:00")))
+      .select($"bucket_ts",
+        r4($"click").as("click"), r4($"view").as("view"))
+      .orderBy($"bucket_ts")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_resample_mean" -> (resampleMean _),
+    "q14_grid_ffill" -> (gridFfill _),
+    "q15_grid_interpolate" -> (gridInterpolate _),
+    "q16_rowfilter_buffer" -> (rowFilterBuffer _),
+    "q17_known_periods" -> (knownPeriods _),
+    "q18_filter_iqr" -> (filterIqr _),
+    "q19_filter_median" -> (filterMedian _),
+    "q20_pivot_daily" -> (pivotDaily _),
+    "q21_getdata_composed" -> (getDataComposed _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_resample_mean" ->
+      """SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        | floor((avg(value))*10000 + 0.5)/10000 AS value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+    "q14_grid_ffill" ->
+      """WITH r AS (
+        |  SELECT (epoch_us(ts)//1000000//600)*600 AS bucket_ts, avg(value) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT unnest(generate_series(b0, b1, 600)) AS bucket_ts FROM bounds),
+        |g AS (SELECT grid.bucket_ts, r.value FROM grid LEFT JOIN r USING (bucket_ts)),
+        |f AS (SELECT bucket_ts, value,
+        |   last_value(value IGNORE NULLS) OVER wb AS lastv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS lastb
+        | FROM g
+        | WINDOW wb AS (ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket_ts,
+        | floor((CASE WHEN value IS NOT NULL THEN value
+        |            WHEN bucket_ts - lastb <= 1800 THEN lastv END)*10000 + 0.5)/10000 AS value
+        |FROM f ORDER BY bucket_ts""".stripMargin,
+    "q15_grid_interpolate" ->
+      """WITH r AS (
+        |  SELECT (epoch_us(ts)//1000000//600)*600 AS bucket_ts, avg(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT unnest(generate_series(b0, b1, 600)) AS bucket_ts FROM bounds),
+        |g AS (SELECT grid.bucket_ts, r.value FROM grid LEFT JOIN r USING (bucket_ts)),
+        |f AS (SELECT bucket_ts, value,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        | FROM g
+        | WINDOW wb AS (ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        wa AS (ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT bucket_ts,
+        | floor((CASE WHEN value IS NOT NULL THEN value
+        |            WHEN prevb IS NOT NULL AND nextb IS NOT NULL
+        |                 AND nextb - prevb <= 3600
+        |            THEN prevv + (nextv - prevv)
+        |                 * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |            END)*10000 + 0.5)/10000 AS value
+        |FROM f ORDER BY bucket_ts""".stripMargin,
+    "q16_rowfilter_buffer" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |    max(CASE WHEN value < 150.0 THEN 0 ELSE 1 END) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS bad
+        |  FROM events)
+        |WHERE bad = 0
+        |ORDER BY event_id""".stripMargin,
+    "q17_known_periods" ->
+      """SELECT event_type, count(*) AS n, floor((avg(value))*10000 + 0.5)/10000 AS avg_value
+        |FROM events
+        |WHERE NOT ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-08 00:00:00')
+        |        OR (ts >= TIMESTAMP '2024-01-20 12:00:00' AND ts <= TIMESTAMP '2024-01-22 06:30:00'))
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q18_filter_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, floor((avg(e.value))*10000 + 0.5)/10000 AS avg_value
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value >= q1 - (q3 - q1) * 1.5 AND e.value <= q3 + (q3 - q1) * 1.5
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q19_filter_median" ->
+      """WITH m AS (
+        |  SELECT event_type, value,
+        |    median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 36 PRECEDING AND 35 FOLLOWING) AS med
+        |  FROM events),
+        |r AS (SELECT event_type, value, value - med AS resid FROM m),
+        |f AS (SELECT event_type,
+        |        quantile_cont(resid, 0.75) - quantile_cont(resid, 0.25) AS riqr
+        |      FROM r GROUP BY 1)
+        |SELECT r.event_type, count(*) AS n, floor((avg(r.value))*10000 + 0.5)/10000 AS avg_value
+        |FROM r JOIN f USING (event_type)
+        |WHERE abs(resid) <= riqr * 2.0
+        |GROUP BY r.event_type
+        |ORDER BY r.event_type""".stripMargin,
+    "q20_pivot_daily" ->
+      """WITH r AS (
+        |  SELECT event_type, (epoch_us(ts)//1000000//86400)*86400 AS bucket_ts,
+        |         avg(value) AS value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket_ts,
+        | floor((max(CASE WHEN event_type = 'click' THEN value END))*10000 + 0.5)/10000 AS click,
+        | floor((max(CASE WHEN event_type = 'error' THEN value END))*10000 + 0.5)/10000 AS error,
+        | floor((max(CASE WHEN event_type = 'purchase' THEN value END))*10000 + 0.5)/10000 AS purchase,
+        | floor((max(CASE WHEN event_type = 'signup' THEN value END))*10000 + 0.5)/10000 AS signup,
+        | floor((max(CASE WHEN event_type = 'view' THEN value END))*10000 + 0.5)/10000 AS view
+        |FROM r GROUP BY bucket_ts
+        |ORDER BY bucket_ts""".stripMargin,
+    "q21_getdata_composed" ->
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-28 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        |WHERE click IS NOT NULL AND view IS NOT NULL
+        |ORDER BY bucket_ts""".stripMargin,
+  )
+}
