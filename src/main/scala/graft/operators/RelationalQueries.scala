@@ -116,47 +116,92 @@ object RelationalQueries {
       .orderBy($"c_mktsegment")
   }
 
-  /** Top-k per group via row_number (SURVEY §2.7: trailing-N selection is
-    * the same reverse-row_number pattern, `gordo/builder/build_model.py:448-471`). */
+  /** Top-k per group, two-phase (SURVEY §2.7: trailing-N selection is the
+    * same reverse-row_number pattern, `gordo/builder/build_model.py:448-471`).
+    *
+    * o_orderpriority has cardinality 5, so a single
+    * `Window.partitionBy(priority)` would funnel ~20% of the table into
+    * each of five tasks at scale. Instead: phase 1 ranks within
+    * (priority, salt) — 5×64 partitions spread across the cluster, each
+    * sorting ~1/320 of the rows — keeping only 3 rows per salt bucket;
+    * phase 2 re-ranks the ≤ 5×64×3 survivors. The global top-3 per
+    * priority is always contained in the union of per-salt top-3s, so the
+    * result is identical to the one-window plan. At larger cluster sizes
+    * raise the salt bucket count to ~2× the executor-core count. */
   def topOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
+    val saltBuckets = 64
+    val w1 = Window.partitionBy($"o_orderpriority", $"salt")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val w2 = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
     Tables(spark, dir, "orders")
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("salt", pmod(hash($"o_orderkey"), lit(saltBuckets)))
+      .withColumn("r1", row_number().over(w1))
+      .filter($"r1" <= 3)
+      .withColumn("rnk", row_number().over(w2))
       .filter($"rnk" <= 3)
       .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderpriority", $"rnk")
   }
 
-  /** Rolling min/avg over a 6-row frame per event_type (SURVEY W1/W3;
-    * ref: `gordo/machine/model/anomaly/diff.py:229,305`). Frame order is
-    * made total with the unique event_id tiebreak. */
+  /** Rolling min/avg over a 6-row frame per series (SURVEY W1/W3;
+    * ref: `gordo/machine/model/anomaly/diff.py:229,305`). The window
+    * partitions by the composite series key (event_type, user_id) — the
+    * gordo shape where the key is the machine/tag: unbounded cardinality,
+    * bounded rows per series, so per-partition sorts stay flat as data
+    * grows. Frame order is made total with the unique event_id tiebreak. */
   def rollingStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type")
+    val w = Window.partitionBy($"event_type", $"user_id")
       .orderBy($"ts", $"event_id").rowsBetween(-5, 0)
     Tables(spark, dir, "events")
-      .select($"event_id", $"event_type", $"value",
+      .select($"event_id", $"event_type", $"user_id", $"value",
         min($"value").over(w).as("rmin6"),
         round(avg($"value").over(w), 4).as("ravg6"))
       .orderBy($"event_id")
   }
 
-  /** Anomaly threshold = rolling(6).min() then global max, per series
-    * (SURVEY A5; ref: `gordo/machine/model/anomaly/diff.py:226-264`).
+  /** Anomaly threshold = rolling(6).min() then max, per series (SURVEY
+    * A5; ref: `gordo/machine/model/anomaly/diff.py:226-264`). Series key
+    * is the composite (event_type, user_id) — high cardinality, bounded
+    * per-series rows, the partitioning that survives a 100× scale-up.
     * pandas' rolling(6) yields NaN for the first 5 rows and max() skips
     * them — mirrored here by requiring a full frame (rn >= 6). */
   def rollingMinMaxThreshold(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ord = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val ord = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts", $"event_id")
     Tables(spark, dir, "events")
-      .select($"event_type", $"ts", $"event_id", $"value")
+      .select($"event_type", $"user_id", $"ts", $"event_id", $"value")
       .withColumn("rmin6", min($"value").over(ord.rowsBetween(-5, 0)))
       .withColumn("rn", row_number().over(ord))
       .filter($"rn" >= 6)
-      .groupBy($"event_type")
+      .groupBy($"event_type", $"user_id")
       .agg(max($"rmin6").as("threshold"))
+      .orderBy($"event_type", $"user_id")
+  }
+
+  /** A6 smoothed threshold at the reference's real width: resample each
+    * series to 10-min buckets (bounding per-series rows exactly like
+    * gordo's months × 144/day), then rolling(144).min() → max — the
+    * smoothed-threshold window of `gordo/machine/model/anomaly/diff.py:
+    * 239-254` with its default window=144. The pre-aggregation is what
+    * makes the per-series sort safe at scale: series length grows with
+    * calendar time, not with event volume. */
+  def smoothThreshold144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = (floor(unix_timestamp($"ts") / 600L) * 600L).cast("long")
+    val resampled = Tables(spark, dir, "events")
+      .groupBy($"event_type", bucket.as("bucket_ts"))
+      .agg(avg($"value").as("value"))
+    val ord = Window.partitionBy($"event_type").orderBy($"bucket_ts")
+    resampled
+      .withColumn("rmin", min($"value").over(ord.rowsBetween(-143, 0)))
+      .withColumn("rn", row_number().over(ord))
+      .filter($"rn" >= 144)
+      .groupBy($"event_type")
+      .agg((floor(max($"rmin") * 10000 + 0.5) / 10000).as("threshold"))
       .orderBy($"event_type")
   }
 
@@ -210,6 +255,7 @@ object RelationalQueries {
     "q10_percentiles_by_type" -> (percentilesByType _),
     "q11_except_users" -> (clickersNotPurchasers _),
     "q12_intersect_users" -> (signupAndPurchase _),
+    "q22_smooth_threshold_144" -> (smoothThreshold144 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -271,22 +317,37 @@ object RelationalQueries {
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
     "q08_rolling_stats" ->
-      """SELECT event_id, event_type, value,
+      """SELECT event_id, event_type, user_id, value,
         |  min(value) OVER w AS rmin6,
         |  round(avg(value) OVER w, 4) AS ravg6
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q09_rolling_min_max_threshold" ->
-      """SELECT event_type, max(rmin6) AS threshold FROM (
-        |  SELECT event_type,
+      """SELECT event_type, user_id, max(rmin6) AS threshold FROM (
+        |  SELECT event_type, user_id,
         |    min(value) OVER w AS rmin6,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |    row_number() OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS rn
         |  FROM events
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |WHERE rn >= 6
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    "q22_smooth_threshold_144" ->
+      """WITH r AS (
+        |  SELECT event_type, (epoch_us(ts)//1000000//600)*600 AS bucket_ts,
+        |         avg(value) AS value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, floor(max(rmin)*10000 + 0.5)/10000 AS threshold FROM (
+        |  SELECT event_type,
+        |    min(value) OVER w AS rmin,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+        |               ROWS BETWEEN 143 PRECEDING AND CURRENT ROW))
+        |WHERE rn >= 144
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q10_percentiles_by_type" ->

@@ -45,8 +45,9 @@ class RelationalQueriesSpec extends AnyFunSuite {
 
   test("threshold equals max of full-frame rolling mins (pandas NaN-skip semantics)") {
     val t = RelationalQueries.rollingMinMaxThreshold(spark, sf).collect()
-    assert(t.length == 5) // five event types
-    t.foreach(r => assert(!r.isNullAt(1)))
+    // one row per (event_type, user_id) series with >= 6 events
+    assert(t.length > 5)
+    t.foreach(r => assert(!r.isNullAt(2)))
   }
 
   test("top-k emits exactly k rows per group") {
