@@ -1,0 +1,64 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column scalers with sklearn semantics (SURVEY A3/F3; ref: scaler use in
+  * `gordo/machine/model/anomaly/diff.py:173,350-358`).
+  *
+  * Fit is ONE distributed aggregation pass collecting a single tiny row of
+  * per-column stats to the driver; transform/inverse are pure column
+  * arithmetic (no shuffle, stays inside whole-stage codegen). The fitted
+  * stats are plain data — serializable into model metadata (K1).
+  */
+object Scalers {
+
+  /** Per-column (center, scale): minmax → (min, max−min),
+    * robust → (median, q3−q1). Zero ranges fall back to scale 1 exactly
+    * like sklearn's `_handle_zeros_in_scale`. */
+  case class FittedScaler(kind: String, stats: Map[String, (Double, Double)]) {
+    private def scaleOf(c: String): Double = {
+      val s = stats(c)._2
+      if (s == 0.0) 1.0 else s
+    }
+    def transformCol(c: String): Column =
+      (col(c) - lit(stats(c)._1)) / lit(scaleOf(c))
+    def inverseCol(c: String): Column =
+      col(c) * lit(scaleOf(c)) + lit(stats(c)._1)
+
+    /** Replace each of `cols` with its scaled value. */
+    def transform(df: DataFrame, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, transformCol(c)))
+    def inverse(df: DataFrame, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, inverseCol(c)))
+  }
+
+  /** sklearn MinMaxScaler (default feature_range (0,1)):
+    * scaled = (x − min) / (max − min). */
+  def fitMinMax(df: DataFrame, cols: Seq[String]): FittedScaler = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    FittedScaler("minmax", cols.map { c =>
+      val lo = row.getAs[Double](s"__min_$c")
+      val hi = row.getAs[Double](s"__max_$c")
+      c -> (lo, hi - lo)
+    }.toMap)
+  }
+
+  /** sklearn RobustScaler (defaults: with_centering, with_scaling,
+    * quantile_range (25, 75)): scaled = (x − median) / (q3 − q1), exact
+    * linear-interpolated quantiles. */
+  def fitRobust(df: DataFrame, cols: Seq[String]): FittedScaler = {
+    val aggs = cols.flatMap(c => Seq(
+      percentile(col(c), lit(0.5)).as(s"__med_$c"),
+      percentile(col(c), lit(0.25)).as(s"__q1_$c"),
+      percentile(col(c), lit(0.75)).as(s"__q3_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    FittedScaler("robust", cols.map { c =>
+      val med = row.getAs[Double](s"__med_$c")
+      val iqr = row.getAs[Double](s"__q3_$c") - row.getAs[Double](s"__q1_$c")
+      c -> (med, iqr)
+    }.toMap)
+  }
+}
