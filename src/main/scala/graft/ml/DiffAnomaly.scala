@@ -1,0 +1,298 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.Scalers.FittedScaler
+
+/** `DiffBasedAnomalyDetector` re-expressed Spark-first (SURVEY M11, the
+  * reference centerpiece; ref: `gordo/machine/model/anomaly/diff.py:21-458`).
+  *
+  * The detector wraps any [[Reconstructor]] (the autoencoder stand-in),
+  * fits a scaler on the target purely for error calculation, computes
+  * per-fold anomaly thresholds from TimeSeriesSplit cross-validation
+  * (rolling(6).min().max() of validation errors, final = last fold,
+  * `diff.py:226-264`), and produces the full anomaly frame
+  * (`diff.py:310-458`): model-input/output, tag/total anomaly scaled and
+  * unscaled, smooth variants, confidences.
+  *
+  * MultiIndex columns flatten to `"group.tag"` names (SURVEY §1.5).
+  *
+  * All per-row derivations are ONE `select` over the same row (the
+  * reference's index joins J2 collapse to column arithmetic — no physical
+  * join). Rolling windows order by the time bucket, unpartitioned by
+  * design: a detector instance operates on ONE machine's series of
+  * bounded length (months × 144/day); a 1000-machine build parallelizes
+  * across machines.
+  */
+object DiffAnomaly {
+
+  /** The base-estimator surface: fit on a wide train frame, return
+    * per-tag prediction expressions evaluable on any frame with the same
+    * columns. Implementations must be deterministic (SURVEY §7.4: no NN
+    * nondeterminism in correctness gates). */
+  trait Reconstructor {
+    def fit(train: DataFrame, tags: Seq[String]): Fitted
+  }
+
+  trait Fitted {
+    /** Column expression reconstructing `tag` from the current row. */
+    def predictCol(tag: String): Column
+    /** Serializable parameters for model persistence (K1). */
+    def params: Map[String, Double]
+  }
+
+  /** Per-tag least-squares linear trend on time: ŷ = a + b·(t − epoch0).
+    * Deterministic, one aggregation pass, SQL-expressible — the
+    * correctness-gate reconstruction model (SURVEY §7.3(c)). */
+  class TrendReconstructor(orderCol: String, epoch0: Long) extends Reconstructor {
+    private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
+    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+      val aggs = tags.flatMap(t => Seq(
+        regr_slope(col(t), x).as(s"b_$t"), regr_intercept(col(t), x).as(s"a_$t")))
+      val row = train.agg(aggs.head, aggs.tail: _*).head()
+      val ab = tags.map(t =>
+        t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
+      new Fitted {
+        def predictCol(tag: String): Column =
+          lit(ab(tag)._1) + lit(ab(tag)._2) * x
+        def params: Map[String, Double] =
+          ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
+      }
+    }
+  }
+
+  /** Multivariate ridge reconstruction: each tag predicted from the OTHER
+    * tags (self excluded, so reconstruction is non-trivial — the linear
+    * analog of a bottlenecked autoencoder). Normal equations
+    * (XᵀX + λI)w = XᵀY over the (m+1)×(m+1) Gram matrix (intercept +
+    * tags) computed in ONE distributed aggregation pass (m = tag count,
+    * bounded) and solved per target on the driver by Gaussian elimination
+    * — the Spark shape for "fit collects the modest per-machine matrix"
+    * (SURVEY §3.1). */
+  class RidgeReconstructor(lambda: Double = 1e-8) extends Reconstructor {
+    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+      val m = tags.size
+      // feature vector = (1, tags...): Gram is (m+1)x(m+1)
+      val feats = lit(1.0) +: tags.map(col(_).cast("double"))
+      val aggs = for {
+        i <- 0 to m; j <- i to m
+      } yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
+      val row = train.agg(aggs.head, aggs.tail: _*).head()
+      def gram(i: Int, j: Int): Double =
+        row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}")
+      // weights per target over features (1, tags != target)
+      val weights: Map[String, Seq[(Int, Double)]] = tags.map { t =>
+        val ti = tags.indexOf(t) + 1
+        val fIdx = (0 to m).filterNot(_ == ti)
+        val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
+          gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
+        }
+        val b = fIdx.map(gram(_, ti)).toArray
+        t -> fIdx.zip(solve(a, b))
+      }.toMap
+      new Fitted {
+        def predictCol(tag: String): Column =
+          weights(tag).map { case (fi, wi) => feats(fi) * lit(wi) }.reduce(_ + _)
+        def params: Map[String, Double] = weights.flatMap { case (t, w) =>
+          w.map { case (fi, v) => s"w_${t}_$fi" -> v }
+        }
+      }
+    }
+    /** In-place Gaussian elimination with partial pivoting. */
+    private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val n = b.length
+      for (p <- 0 until n) {
+        var maxR = p
+        for (r <- p + 1 until n) if (math.abs(a(r)(p)) > math.abs(a(maxR)(p))) maxR = r
+        val tmp = a(p); a(p) = a(maxR); a(maxR) = tmp
+        val tb = b(p); b(p) = b(maxR); b(maxR) = tb
+        for (r <- p + 1 until n) {
+          val f = a(r)(p) / a(p)(p)
+          for (c <- p until n) a(r)(c) -= f * a(p)(c)
+          b(r) -= f * b(p)
+        }
+      }
+      val x = new Array[Double](n)
+      for (r <- n - 1 to 0 by -1) {
+        var s = b(r)
+        for (c <- r + 1 until n) s -= a(r)(c) * x(c)
+        x(r) = s / a(r)(r)
+      }
+      x
+    }
+  }
+
+  /** CV-derived thresholds (`diff.py:226-264`): final values are the LAST
+    * fold's; per-fold values kept for metadata (A8-style). */
+  case class Thresholds(
+      featureThresholds: Map[String, Double],
+      aggregateThreshold: Double,
+      smoothFeatureThresholds: Option[Map[String, Double]],
+      smoothAggregateThreshold: Option[Double],
+      perFoldAggregate: Map[String, Double])
+
+  case class FittedDetector(
+      model: Fitted,
+      scaler: FittedScaler,
+      thresholds: Thresholds,
+      tags: Seq[String],
+      orderCol: String,
+      window: Option[Int],
+      smoothingMethod: String)
+
+  /** Fit + cross_validate (`diff.py:166-264`): per expanding-window fold,
+    * fit the base model and scaler on train, score the test span, take
+    * rolling(6).min().max() of the scaled MSE (aggregate) and per-tag
+    * absolute error (feature) — with pandas NaN-prefix semantics (first 5
+    * rolling values are NaN; max skips them → only full frames count).
+    * Then refit model+scaler on the full series. */
+  def fit(wide: DataFrame, tags: Seq[String], orderCol: String,
+          base: Reconstructor, scalerKind: String = "minmax",
+          nSplits: Int = 3, window: Option[Int] = None,
+          smoothingMethod: String = "smm"): FittedDetector = {
+    val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol))).cache()
+    try {
+      val n = indexed.count()
+      val folds = CrossValidate.timeSeriesSplit(n, nSplits)
+      var lastFeat: Map[String, Double] = Map.empty
+      var lastAgg = Double.NaN
+      var lastSmoothFeat: Option[Map[String, Double]] = None
+      var lastSmoothAgg: Option[Double] = None
+      val perFoldAgg = scala.collection.mutable.LinkedHashMap[String, Double]()
+      folds.foreach { f =>
+        val train = CrossValidate.trainFold(indexed, f)
+        val test = CrossValidate.testFold(indexed, f)
+        val m = base.fit(train, tags)
+        val sc = fitScaler(scalerKind, train, tags)
+        val scored = test.select(
+          (col("__row") +:
+            scaledMseCol(m, sc, tags).as("__mse") +:
+            tags.map(t => abs(col(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+        val (feat, agg) = rollMinMax(scored, tags, 6)
+        perFoldAgg(s"fold-${f.index}") = agg
+        lastFeat = feat; lastAgg = agg
+        window.foreach { w =>
+          val (sf, sa) = rollMinMax(scored, tags, w)
+          lastSmoothFeat = Some(sf); lastSmoothAgg = Some(sa)
+        }
+      }
+      val finalModel = base.fit(indexed, tags)
+      val finalScaler = fitScaler(scalerKind, indexed, tags)
+      FittedDetector(finalModel, finalScaler,
+        Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
+          perFoldAgg.toMap),
+        tags, orderCol, window, smoothingMethod)
+    } finally indexed.unpersist()
+  }
+
+  private def fitScaler(kind: String, df: DataFrame, tags: Seq[String]): FittedScaler =
+    kind match {
+      case "minmax" => Scalers.fitMinMax(df, tags)
+      case "robust" => Scalers.fitRobust(df, tags)
+      case k => throw new IllegalArgumentException(s"unknown scaler: $k")
+    }
+
+  /** Scaled MSE per timestep (`diff.py:268-293`): mean over tags of
+    * (scaled ŷ − scaled y)². */
+  private def scaledMseCol(m: Fitted, sc: FittedScaler, tags: Seq[String]): Column =
+    tags.map { t =>
+      val scale = { val s = sc.stats(t)._2; if (s == 0.0) 1.0 else s }
+      val d = (m.predictCol(t) - col(t)) / lit(scale)
+      d * d
+    }.reduce(_ + _) / lit(tags.size.toDouble)
+
+  /** rolling(width).min() then max, NaN-prefix-skipping: per-tag map and
+    * the aggregate threshold in one pass over the scored fold. */
+  private def rollMinMax(scored: DataFrame, tags: Seq[String],
+                         width: Int): (Map[String, Double], Double) = {
+    val w = Window.orderBy(col("__row"))
+    val frame = w.rowsBetween(-(width - 1), 0)
+    val rolled = scored
+      .withColumn("__rn", row_number().over(w))
+      .select(
+        (col("__rn") +:
+          min(col("__mse")).over(frame).as("__rmin_mse") +:
+          tags.map(t => min(col(s"__mae_$t")).over(frame).as(s"__rmin_$t"))): _*)
+      .filter(col("__rn") >= width)
+    val row = rolled.agg(
+      max(col("__rmin_mse")).as("__agg"),
+      tags.map(t => max(col(s"__rmin_$t")).as(s"__f_$t")): _*).head()
+    (tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap,
+      row.getAs[Double]("__agg"))
+  }
+
+  /** The anomaly frame (`diff.py:310-458` + `model/utils.py:102-133`):
+    * start/end interval stamps plus the full derived column set, all in
+    * one row-local select. `resolutionSec` gives the `end` offset (F4). */
+  def anomaly(fd: FittedDetector, wide: DataFrame,
+              resolutionSec: Long): DataFrame = {
+    val tags = fd.tags
+    val m = fd.model
+    val sc = fd.scaler
+    def scaled(c: Column, t: String): Column = {
+      val (ctr, s0) = sc.stats(t); val s = if (s0 == 0.0) 1.0 else s0
+      (c - lit(ctr)) / lit(s)
+    }
+    val base = wide.select(
+      (col(fd.orderCol).as("start") +:
+        (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
+        tags.map(t => col(t).as(s"model-input.$t"))) ++
+        tags.map(t => m.predictCol(t).as(s"model-output.$t")): _*)
+    def in(t: String) = col(s"`model-input.$t`")
+    def out(t: String) = col(s"`model-output.$t`")
+    val withScores = base
+      .withColumns(tags.map(t =>
+        s"tag-anomaly-scaled.$t" -> abs(scaled(out(t), t) - scaled(in(t), t))).toMap)
+      .withColumns(tags.map(t =>
+        s"tag-anomaly-unscaled.$t" -> abs(out(t) - in(t))).toMap)
+    val totalOf: (String => Column) => Column = f =>
+      tags.map(t => f(t) * f(t)).reduce(_ + _) / lit(tags.size.toDouble)
+    val withTotals = withScores
+      .withColumn("total-anomaly-scaled",
+        totalOf(t => col(s"`tag-anomaly-scaled.$t`")))
+      .withColumn("total-anomaly-unscaled",
+        totalOf(t => col(s"`tag-anomaly-unscaled.$t`")))
+    val smoothed = fd.window match {
+      case None => withTotals
+      case Some(width) => addSmooth(withTotals, fd, width)
+    }
+    // numpy division semantics for zero thresholds (x/0 → inf, 0/0 → nan):
+    // ANSI-mode Divide would error, so a zero threshold becomes ×inf.
+    val th = fd.thresholds
+    def overThreshold(c: Column, t: Double): Column =
+      if (t == 0.0) c * lit(Double.PositiveInfinity) else c / lit(t)
+    smoothed
+      .withColumns(tags.map(t => s"anomaly-confidence.$t" ->
+        overThreshold(col(s"`tag-anomaly-unscaled.$t`"),
+          th.featureThresholds(t))).toMap)
+      .withColumn("total-anomaly-confidence",
+        overThreshold(col("`total-anomaly-scaled`"), th.aggregateThreshold))
+  }
+
+  /** smooth-* columns (`diff.py:388-417`): rolling smm/sma over the tag
+    * and total anomaly columns with pandas NaN-prefix (null until a full
+    * window); ewma uses the W4 kernel semantics via an expression-level
+    * equivalent over the bounded window. */
+  private def addSmooth(df: DataFrame, fd: FittedDetector, width: Int): DataFrame = {
+    val w = Window.orderBy(col("start"))
+    val frame = w.rowsBetween(-(width - 1), 0)
+    val rn = row_number().over(w)
+    def smooth(c: Column): Column = {
+      val s = fd.smoothingMethod match {
+        case "smm" => percentile(c, lit(0.5)).over(frame)
+        case "sma" => avg(c).over(frame)
+        case m => throw new IllegalArgumentException(
+          s"unsupported smoothing for expression path: $m (use Ewma.ewma)")
+      }
+      when(rn >= width, s)
+    }
+    val tagCols = fd.tags.flatMap(t => Seq(
+      s"smooth-tag-anomaly-scaled.$t" -> smooth(col(s"`tag-anomaly-scaled.$t`")),
+      s"smooth-tag-anomaly-unscaled.$t" -> smooth(col(s"`tag-anomaly-unscaled.$t`"))))
+    df.withColumns((tagCols ++ Seq(
+      "smooth-total-anomaly-scaled" -> smooth(col("`total-anomaly-scaled`")),
+      "smooth-total-anomaly-unscaled" -> smooth(col("`total-anomaly-unscaled`")))).toMap)
+  }
+}

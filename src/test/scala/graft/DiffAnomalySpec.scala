@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.DiffAnomaly
+import graft.ml.DiffAnomaly.{RidgeReconstructor, TrendReconstructor}
+
+class DiffAnomalySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 40-bucket 2-tag series: x ramps, y = 2x + noise-free offset. */
+  private def wide = (0 until 40)
+    .map(i => (i * 600L, 10.0 + i, 25.0 + 2.0 * i))
+    .toDF("bucket_ts", "tx", "ty")
+
+  test("TrendReconstructor recovers an exact linear trend") {
+    val m = new TrendReconstructor("bucket_ts", 0L).fit(wide, Seq("tx", "ty"))
+    val resid = wide.select(
+      max(abs(m.predictCol("tx") - $"tx")).as("rx"),
+      max(abs(m.predictCol("ty") - $"ty")).as("ry")).head()
+    assert(resid.getDouble(0) < 1e-9 && resid.getDouble(1) < 1e-9)
+  }
+
+  test("RidgeReconstructor predicts each tag from the others exactly on linear data") {
+    // ty = 2*tx + 5 exactly: cross-tag regression must recover it
+    val m = new RidgeReconstructor(lambda = 1e-10).fit(wide, Seq("tx", "ty"))
+    val resid = wide.select(
+      max(abs(m.predictCol("ty") - $"ty")).as("r")).head().getDouble(0)
+    assert(resid < 1e-6)
+    // and the weights must not include the target itself
+    assert(!m.params.keys.exists(_ == "w_ty_2"))
+  }
+
+  test("fit produces last-fold thresholds and a full anomaly frame") {
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new TrendReconstructor("bucket_ts", 0L), nSplits = 3)
+    assert(fitted.thresholds.featureThresholds.keySet == Set("tx", "ty"))
+    assert(fitted.thresholds.perFoldAggregate.size == 3)
+    val frame = DiffAnomaly.anomaly(fitted, wide, resolutionSec = 600L)
+    val cols = frame.columns.toSet
+    for (g <- Seq("model-input", "model-output", "tag-anomaly-scaled",
+        "tag-anomaly-unscaled", "anomaly-confidence"); t <- Seq("tx", "ty"))
+      assert(cols.contains(s"$g.$t"), s"missing $g.$t")
+    assert(cols.contains("total-anomaly-scaled") &&
+      cols.contains("total-anomaly-unscaled") &&
+      cols.contains("total-anomaly-confidence"))
+    assert(frame.count() == 40)
+    // exact linear data → residuals ~0 → anomalies ~0
+    val worst = frame.agg(max($"`total-anomaly-unscaled`")).head().getDouble(0)
+    assert(worst < 1e-9)
+  }
+
+  test("smooth columns appear with window and are null for the NaN prefix") {
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new TrendReconstructor("bucket_ts", 0L), nSplits = 3,
+      window = Some(6), smoothingMethod = "sma")
+    val frame = DiffAnomaly.anomaly(fitted, wide, resolutionSec = 600L)
+    assert(frame.columns.contains("smooth-total-anomaly-scaled"))
+    // pandas rolling(6): first 5 rows NaN
+    assert(frame.filter($"`smooth-total-anomaly-scaled`".isNull).count() == 5)
+    assert(fitted.thresholds.smoothAggregateThreshold.isDefined)
+  }
+}
