@@ -1,0 +1,200 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import graft.data.TimeSeries
+
+/** The YAML "query language" (SURVEY §1.3): machine configs with
+  * globals-overlay semantics.
+  *
+  * Mirrors `gordo/machine/machine.py:77-149` + `gordo/machine/loader.py:
+  * 38-52`: YAML-in-YAML string fields are re-parsed; `model` comes from
+  * the machine else globals; `runtime`/`evaluation` are globals patched BY
+  * the machine; `dataset` is the machine patched BY globals (the
+  * reference's asymmetry, kept deliberately); `evaluation` defaults to
+  * `cv_mode: full_build`. patch_dict adds/replaces paths, never removes
+  * (`gordo/workflow/workflow_generator/helpers.py:16-45`).
+  */
+object Config {
+
+  /** Fields whose string values are YAML-in-YAML
+    * (`gordo/machine/constants.py` MACHINE_YAML_FIELDS). */
+  private val yamlFields =
+    Set("model", "dataset", "evaluation", "metadata", "runtime")
+
+  class ConfigException(msg: String) extends RuntimeException(msg)
+
+  // ---- YAML parsing (snakeyaml, on Spark's classpath) ----
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toList
+    case other => other
+  }
+
+  def parseYaml(s: String): Map[String, Any] =
+    toScala(new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](s))
+      .asInstanceOf[Map[String, Any]]
+
+  // ---- patch_dict ----
+
+  /** Deep merge: every path in `patch` is added or replaces the value in
+    * `original`; nothing is removed. Nested maps merge recursively;
+    * anything else (lists included) replaces wholesale. */
+  def patchDict(original: Map[String, Any], patch: Map[String, Any]): Map[String, Any] =
+    patch.foldLeft(original) { case (acc, (k, pv)) =>
+      (acc.get(k), pv) match {
+        case (Some(ov: Map[_, _]), pm: Map[_, _]) =>
+          acc + (k -> patchDict(ov.asInstanceOf[Map[String, Any]],
+            pm.asInstanceOf[Map[String, Any]]))
+        case _ => acc + (k -> pv)
+      }
+    }
+
+  // ---- machine assembly ----
+
+  case class MachineSpec(
+      name: String,
+      projectName: String,
+      dataset: Map[String, Any],
+      model: Map[String, Any],
+      evaluation: Map[String, Any],
+      runtime: Map[String, Any],
+      metadata: Map[String, Any])
+
+  private def section(cfg: Map[String, Any], key: String): Map[String, Any] =
+    cfg.get(key) match {
+      case None | Some(null)     => Map.empty
+      case Some(m: Map[_, _])    => m.asInstanceOf[Map[String, Any]]
+      case Some(s: String)       => parseYaml(s) // YAML-in-YAML
+      case Some(other) =>
+        throw new ConfigException(s"$key must be a mapping, got: $other")
+    }
+
+  /** `Machine.from_config` (`machine.py:77-149`). */
+  def machineFromConfig(config: Map[String, Any],
+                        projectName: Option[String] = None,
+                        globals: Map[String, Any] = Map.empty): MachineSpec = {
+    val g = yamlFields.foldLeft(globals)((m, f) =>
+      if (m.contains(f)) m + (f -> section(m, f)) else m)
+    val name = config.getOrElse("name",
+      throw new ConfigException("machine has no name")).toString
+    val model = {
+      val m = section(config, "model")
+      val merged = if (m.nonEmpty) m else section(g, "model")
+      if (merged.isEmpty) throw new ConfigException("model is empty")
+      merged
+    }
+    val project = projectName
+      .orElse(config.get("project_name").map(_.toString))
+      .getOrElse(throw new ConfigException("project_name is empty"))
+    val runtime = patchDict(section(g, "runtime"), section(config, "runtime"))
+    // NB reference asymmetry: globals PATCH the machine's dataset
+    val dataset = patchDict(section(config, "dataset"), section(g, "dataset"))
+    val evaluation = patchDict(section(g, "evaluation"), {
+      val e = section(config, "evaluation")
+      if (e.isEmpty) Map[String, Any]("cv_mode" -> "full_build") else e
+    })
+    val metadata = Map[String, Any](
+      "global-metadata" -> section(g, "metadata"),
+      "machine-metadata" -> section(config, "metadata"))
+    val spec = MachineSpec(name, project, dataset, model, evaluation,
+      runtime, metadata)
+    validate(spec)
+    spec
+  }
+
+  /** Default globals (subset of `NormalizedConfig.DEFAULT_CONFIG_GLOBALS`,
+    * `gordo/workflow/config_elements/normalized_config.py:66-107` — the
+    * k8s resource blocks are out of engine scope). */
+  val defaultGlobals: Map[String, Any] = Map(
+    "evaluation" -> Map(
+      "cv_mode" -> "full_build",
+      "scoring_scaler" -> "sklearn.preprocessing.MinMaxScaler",
+      "metrics" -> List(
+        "explained_variance_score", "r2_score",
+        "mean_squared_error", "mean_absolute_error")))
+
+  /** Dataset-block defaults asserted at
+    * `tests/gordo/workflow/test_config_elements.py:137-162`. */
+  val datasetDefaults: Map[String, Any] = Map(
+    "aggregation_methods" -> "mean",
+    "resolution" -> "10T",
+    "row_filter" -> "",
+    "row_filter_buffer_size" -> 0,
+    "known_filter_periods" -> null,
+    "interpolation_method" -> "linear_interpolation",
+    "interpolation_limit" -> "48H",
+    "n_samples_threshold" -> 0)
+
+  // ---- validation (gordo/machine/validators.py) ----
+
+  private val k8sName = "^[a-z0-9]([-a-z0-9]*[a-z0-9])?$".r
+
+  def validate(m: MachineSpec): Unit = {
+    // names must be K8s-DNS-safe and <= 63 chars (`validators.py:253-283`)
+    for (n <- Seq(m.name, m.projectName)) {
+      if (n.length > 63)
+        throw new ConfigException(s"name too long (>63): $n")
+      if (k8sName.findFirstIn(n).isEmpty)
+        throw new ConfigException(s"name is not k8s-DNS-safe: $n")
+    }
+    // train dates: tz-aware ISO, start < end (`validators.py:232-251`)
+    val ds = m.dataset
+    (ds.get("train_start_date"), ds.get("train_end_date")) match {
+      case (Some(s), Some(e)) =>
+        val (si, ei) = (parseTzAware(s), parseTzAware(e))
+        if (!si.isBefore(ei))
+          throw new ConfigException(s"train_start_date $s >= train_end_date $e")
+      case _ => ()
+    }
+    ds.get("resolution").foreach(r =>
+      TimeSeries.parseResolutionSeconds(r.toString)) // throws if bad
+  }
+
+  /** F5: ISO datetime parse, tz required (`gordo/server/utils.py:198-205`). */
+  def parseTzAware(v: Any): java.time.OffsetDateTime = v match {
+    case d: java.util.Date => // snakeyaml parses ISO timestamps natively
+      d.toInstant.atOffset(java.time.ZoneOffset.UTC)
+    case s =>
+      try java.time.OffsetDateTime.parse(s.toString)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new ConfigException(s"datetime must be tz-aware ISO: $s")
+      }
+  }
+
+  /** Bridge the merged dataset block onto the engine's DatasetConfig
+    * (tags come from `tag_list`; `tags` is the RandomDataset alias). */
+  def datasetConfig(m: MachineSpec): TimeSeries.DatasetConfig = {
+    val ds = patchDict(datasetDefaults, m.dataset)
+    def str(k: String): Option[String] =
+      ds.get(k).filter(_ != null).map(_.toString)
+    val tags = ds.get("tag_list").orElse(ds.get("tags")) match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _ => throw new ConfigException("dataset needs tag_list")
+    }
+    val periods = ds.get("known_filter_periods") match {
+      case Some(l: List[_]) => l.map {
+        case p: List[_] => (p.head.toString, p(1).toString)
+        case p => throw new ConfigException(s"bad filter period: $p")
+      }
+      case _ => Nil
+    }
+    TimeSeries.DatasetConfig(
+      tags = tags,
+      resolution = str("resolution").getOrElse("10T"),
+      aggregationMethod = str("aggregation_methods").getOrElse("mean"),
+      trainStart = str("train_start_date"),
+      trainEnd = str("train_end_date"),
+      rowFilter = str("row_filter").getOrElse(""),
+      rowFilterBufferSize = ds.getOrElse("row_filter_buffer_size", 0)
+        .toString.toInt,
+      knownFilterPeriods = periods,
+      interpolationMethod = str("interpolation_method")
+        .getOrElse("linear_interpolation"),
+      interpolationLimit = str("interpolation_limit").getOrElse("48H"),
+      nSamplesThreshold = ds.getOrElse("n_samples_threshold", 0).toString.toLong)
+  }
+}

@@ -1,0 +1,188 @@
+package graft.config
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml.{DiffAnomaly, InfImputer, Scalers}
+
+/** The pipeline compiler (SURVEY M1/M2/M8; ref: `from_definition`
+  * `gordo/serializer/from_definition.py:23-373`, inverse
+  * `into_definition.py:12-190`).
+  *
+  * A model definition is a recursive `{class.path: kwargs}` tree. Unlike
+  * the reference (arbitrary Python import + reflection), this compiler
+  * resolves against an explicit ALLOWLIST of supported class paths,
+  * mapping sklearn/keras names onto the engine's deterministic Spark
+  * implementations (SURVEY §7.3: reflection is deliberately out).
+  *
+  * `intoDefinition` re-emits the canonical fully-defaulted tree — the
+  * config-freeze round-trip of `gordo/cli/cli.py:140-145`.
+  */
+object ModelRegistry {
+
+  sealed trait Stage
+  case class Scaler(kind: String) extends Stage
+  case class Imputer(strategy: String, delta: Double) extends Stage
+  case class Multiply(factor: Double) extends Stage
+  /** Reconstruction model; `kind` is the factory name (M8/M9 analog). */
+  case class Reconstruction(impl: String, kind: String) extends Stage
+  case class PipelineOf(steps: List[Stage]) extends Stage
+  case class UnionOf(branches: List[Stage]) extends Stage
+  case class Detector(base: Stage, scaler: Scaler, window: Option[Int],
+                      smoothingMethod: Option[String], shuffle: Boolean) extends Stage
+  case class CvSplit(method: String, nSplits: Int) extends Stage
+
+  class CompileException(msg: String) extends RuntimeException(msg)
+
+  private def kwargs(v: Any): Map[String, Any] = v match {
+    case null              => Map.empty
+    case m: Map[_, _]      => m.asInstanceOf[Map[String, Any]]
+    case other             => throw new CompileException(s"expected kwargs map, got $other")
+  }
+
+  /** Compile one definition node: a bare class-path string or a
+    * single-entry `{class.path: kwargs}` map. */
+  def compile(definition: Any): Stage = definition match {
+    case s: String => compileClass(s, Map.empty)
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      if (mm.size != 1)
+        throw new CompileException(s"definition node must have one class key: ${mm.keys}")
+      val (cls, kw) = mm.head
+      compileClass(cls, kwargs(kw))
+    case other => throw new CompileException(s"bad definition node: $other")
+  }
+
+  private def num(v: Any): Double = v.toString.toDouble
+
+  private def compileClass(cls: String, kw: Map[String, Any]): Stage = cls match {
+    case "sklearn.pipeline.Pipeline" =>
+      val steps = kw.getOrElse("steps",
+        throw new CompileException("Pipeline needs steps")) match {
+        case l: List[_] => l.map(compile)
+        case other => throw new CompileException(s"steps must be a list: $other")
+      }
+      PipelineOf(steps.toList)
+    case "sklearn.pipeline.FeatureUnion" =>
+      val branches = kw.getOrElse("transformer_list", kw.getOrElse("steps",
+        throw new CompileException("FeatureUnion needs transformer_list"))) match {
+        case l: List[_] => l.map(compile)
+        case other => throw new CompileException(s"transformer_list must be a list: $other")
+      }
+      UnionOf(branches.toList)
+    case "sklearn.preprocessing.MinMaxScaler" => Scaler("minmax")
+    case "sklearn.preprocessing.RobustScaler" => Scaler("robust")
+    case "sklearn.preprocessing.FunctionTransformer" =>
+      kw.get("func").map(_.toString) match {
+        case Some(f) if f.endsWith("multiply_by") =>
+          Multiply(num(kwargs(kw.getOrElse("kw_args", Map.empty))
+            .getOrElse("factor", 1.0)))
+        case f => throw new CompileException(s"unsupported FunctionTransformer func: $f")
+      }
+    case "gordo.machine.model.transformers.imputer.InfImputer" =>
+      Imputer(kw.getOrElse("strategy", "minmax").toString,
+        num(kw.getOrElse("delta", 2.0)))
+    case "gordo.machine.model.models.KerasAutoEncoder" =>
+      Reconstruction("ridge", kw.getOrElse("kind", "feedforward_hourglass").toString)
+    case "gordo.machine.model.models.KerasLSTMAutoEncoder" |
+         "gordo.machine.model.models.KerasLSTMForecast" =>
+      Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString)
+    case "sklearn.linear_model.LinearRegression" =>
+      Reconstruction("ridge", "linear")
+    case "sklearn.model_selection.TimeSeriesSplit" =>
+      CvSplit("timeseries", kw.getOrElse("n_splits", 3).toString.toInt)
+    case "sklearn.model_selection.KFold" =>
+      CvSplit("kfold", kw.getOrElse("n_splits", 5).toString.toInt)
+    case "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector" =>
+      val base = kw.get("base_estimator").map(compile)
+        .getOrElse(Reconstruction("ridge", "feedforward_hourglass"))
+      val scaler = kw.get("scaler").map(compile) match {
+        case Some(s: Scaler) => s
+        case None => Scaler("minmax")
+        case Some(other) => throw new CompileException(s"scaler must be a Scaler: $other")
+      }
+      Detector(base, scaler,
+        kw.get("window").filter(_ != null).map(_.toString.toInt),
+        kw.get("smoothing_method").filter(_ != null).map(_.toString),
+        kw.get("shuffle").exists(_.toString.toBoolean))
+    case other => throw new CompileException(s"unsupported class path: $other")
+  }
+
+  /** M2: inverse compile with defaults materialized. */
+  def intoDefinition(stage: Stage): Any = stage match {
+    case PipelineOf(steps) =>
+      Map("sklearn.pipeline.Pipeline" -> Map("steps" -> steps.map(intoDefinition)))
+    case UnionOf(branches) =>
+      Map("sklearn.pipeline.FeatureUnion" ->
+        Map("transformer_list" -> branches.map(intoDefinition)))
+    case Scaler("minmax") => "sklearn.preprocessing.MinMaxScaler"
+    case Scaler(kind) => "sklearn.preprocessing.RobustScaler"
+    case Imputer(strategy, delta) =>
+      Map("gordo.machine.model.transformers.imputer.InfImputer" ->
+        Map("strategy" -> strategy, "delta" -> delta))
+    case Multiply(factor) =>
+      Map("sklearn.preprocessing.FunctionTransformer" -> Map(
+        "func" -> "gordo.machine.model.transformer_funcs.general.multiply_by",
+        "kw_args" -> Map("factor" -> factor)))
+    case Reconstruction(_, kind) =>
+      Map("gordo.machine.model.models.KerasAutoEncoder" -> Map("kind" -> kind))
+    case CvSplit("timeseries", n) =>
+      Map("sklearn.model_selection.TimeSeriesSplit" -> Map("n_splits" -> n))
+    case CvSplit(_, n) =>
+      Map("sklearn.model_selection.KFold" -> Map("n_splits" -> n))
+    case Detector(base, scaler, window, smoothing, shuffle) =>
+      Map("gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector" -> (Map(
+        "base_estimator" -> intoDefinition(base),
+        "scaler" -> intoDefinition(scaler),
+        "shuffle" -> shuffle) ++
+        window.map("window" -> _).toMap ++
+        smoothing.map("smoothing_method" -> _).toMap))
+  }
+
+  /** Fit+transform the PREPROCESSING stages of a pipeline over a wide
+    * frame (P6/P7/A3 composition; FeatureUnion §2.8 = branch outputs
+    * selected over the same rows). Returns the transformed frame. The
+    * final Reconstruction/Detector stage is handled by the builder. */
+  def fitTransform(df: DataFrame, tags: Seq[String], stage: Stage): DataFrame =
+    stage match {
+      case PipelineOf(steps) =>
+        steps.foldLeft(df)((d, s) => fitTransform(d, tags, s))
+      case Scaler(kind) =>
+        val s = if (kind == "minmax") Scalers.fitMinMax(df, tags)
+                else Scalers.fitRobust(df, tags)
+        s.transform(df, tags)
+      case Imputer(strategy, delta) =>
+        InfImputer.fit(df, tags, strategy, delta).transform(df, tags)
+      case Multiply(factor) =>
+        tags.foldLeft(df)((d, t) => d.withColumn(t, col(t) * lit(factor)))
+      case UnionOf(branches) =>
+        // column-wise composition over the SAME rows (no join): branch i
+        // gets its own copy of the tag columns (suffix __b{i}) and its
+        // chain transforms those in place
+        branches.zipWithIndex.foldLeft(df) { case (acc, (b, i)) =>
+          val branchCols = tags.map(t => s"${t}__b$i")
+          val withCopies = tags.zip(branchCols).foldLeft(acc) {
+            case (a, (t, bc)) => a.withColumn(bc, col(s"`$t`"))
+          }
+          fitTransform(withCopies, branchCols, b)
+        }
+      case _: Reconstruction | _: Detector | _: CvSplit => df
+    }
+
+  /** Extract the anomaly-detector spec from a compiled tree (the final
+    * estimator of a Pipeline, or the node itself). */
+  def detectorOf(stage: Stage): Option[Detector] = stage match {
+    case d: Detector => Some(d)
+    case PipelineOf(steps) => steps.reverseIterator.flatMap(detectorOf).nextOption()
+    case _ => None
+  }
+
+  /** Build the engine Reconstructor for a compiled Reconstruction node. */
+  def reconstructorOf(stage: Stage, orderCol: String, epoch0: Long): DiffAnomaly.Reconstructor =
+    stage match {
+      case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
+      case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
+      case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
+      case other => throw new CompileException(s"no reconstructor in $other")
+    }
+}
