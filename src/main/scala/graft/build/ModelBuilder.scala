@@ -1,0 +1,119 @@
+package graft.build
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{Config, ModelRegistry}
+import graft.data.TimeSeries
+import graft.ml.DiffAnomaly
+
+/** Build orchestration (SURVEY M15/§3.1; ref: `gordo/builder/
+  * build_model.py:48-339`): config → cache probe → dataset assembly →
+  * model compile → CV (thresholds + fold scores) → final fit → metadata →
+  * save + registry.
+  *
+  * One builder call trains ONE machine; a project of N machines runs N
+  * builds as parallel driver threads sharing the SparkSession (scheduler
+  * pools) — the Spark shape of the reference's parallel builder pods.
+  */
+object ModelBuilder {
+
+  case class BuildResult(
+      spec: Config.MachineSpec,
+      fitted: DiffAnomaly.FittedDetector,
+      metadata: Map[String, Any],
+      modelDir: String,
+      fromCache: Boolean)
+
+  /** Build a machine from its config over a long `(key, ts, value)` frame.
+    *
+    * @param long        source frame (any provider: parquet scan, stream)
+    * @param outputDir   model directory destination
+    * @param registryDir optional cache registry (F9 keyed)
+    */
+  def build(machineConfig: Map[String, Any],
+            globals: Map[String, Any],
+            long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+            outputDir: String,
+            registryDir: Option[String] = None,
+            projectName: Option[String] = None): BuildResult = {
+    val spec = Config.machineFromConfig(machineConfig, projectName, globals)
+    val key = Persistence.cacheKey(spec)
+
+    // cache probe (`build_model.py:104-190`): hit short-circuits the build
+    registryDir.flatMap(Persistence.checkCache(_, key)).foreach { dir =>
+      return BuildResult(spec, Persistence.load(dir),
+        Persistence.loadMetadata(dir), dir, fromCache = true)
+    }
+
+    val dsCfg = Config.datasetConfig(spec)
+    val t0 = System.nanoTime()
+    val wide = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
+    val querySec = (System.nanoTime() - t0) / 1e9
+
+    val compiled = ModelRegistry.compile(spec.model)
+    val detector = ModelRegistry.detectorOf(compiled).getOrElse(
+      ModelRegistry.Detector(
+        ModelRegistry.Reconstruction("ridge", "feedforward_hourglass"),
+        ModelRegistry.Scaler("minmax"), None, None, shuffle = false))
+    val epoch0 = dsCfg.trainStart
+      .map(s => Config.parseTzAware(s).toEpochSecond).getOrElse(0L)
+    val base = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
+    val nSplits = spec.evaluation.get("cv") match {
+      case Some(cv: Map[_, _]) =>
+        ModelRegistry.compile(cv.asInstanceOf[Map[String, Any]]) match {
+          case ModelRegistry.CvSplit(_, n) => n
+          case _ => 3
+        }
+      case _ => 3
+    }
+
+    val t1 = System.nanoTime()
+    val fitted = DiffAnomaly.fit(wide, dsCfg.tags, "bucket_ts", base,
+      scalerKind = detector.scaler.kind, nSplits = nSplits,
+      window = detector.window,
+      smoothingMethod = detector.smoothingMethod.getOrElse("smm"))
+    val trainSec = (System.nanoTime() - t1) / 1e9
+
+    // model offset (J3, `build_model.py:448-471`): expression models are
+    // row-aligned, so input length == output length
+    val offset = 0
+
+    val implName = detector.base match {
+      case ModelRegistry.Reconstruction(impl, _) => impl
+      case _ => "ridge"
+    }
+    val metadata = Map[String, Any](
+      "name" -> spec.name,
+      "project_name" -> spec.projectName,
+      "cache_key" -> key,
+      "user_defined" -> spec.metadata,
+      "dataset" -> (Config.patchDict(Config.datasetDefaults, spec.dataset) +
+        ("query_duration_sec" -> querySec)),
+      "model" -> Map(
+        "definition" -> ModelRegistry.intoDefinition(compiled),
+        "model_offset" -> offset,
+        "model_training_duration_sec" -> trainSec,
+        "feature-thresholds" -> fitted.thresholds.featureThresholds,
+        "aggregate-threshold" -> fitted.thresholds.aggregateThreshold,
+        "aggregate-thresholds-per-fold" -> fitted.thresholds.perFoldAggregate))
+
+    Persistence.save(outputDir, Persistence.stateOf(fitted, implName, epoch0),
+      metadata)
+    registryDir.foreach(Persistence.registerModel(_, key, outputDir))
+    BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
+  }
+
+  /** §3.3 batch scoring entry: load a model dir and produce the anomaly
+    * frame for an input wide frame (the serve-path equivalent of
+    * `POST /anomaly/prediction`). */
+  def score(modelDir: String, wide: DataFrame, resolutionSec: Long,
+            allColumns: Boolean = false): DataFrame = {
+    val fd = Persistence.load(modelDir)
+    val frame = DiffAnomaly.anomaly(fd, wide, resolutionSec)
+    // P8: drop smooth-* groups unless all_columns
+    // (`gordo/server/blueprints/anomaly.py:56-62`)
+    if (allColumns) frame
+    else frame.drop(frame.columns.filter(_.startsWith("smooth-")): _*)
+  }
+}

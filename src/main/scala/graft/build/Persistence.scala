@@ -1,0 +1,181 @@
+package graft.build
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.config.Config
+import graft.ml.DiffAnomaly
+import graft.ml.DiffAnomaly.{Fitted, FittedDetector, Thresholds}
+import graft.ml.Scalers.FittedScaler
+
+/** Model persistence (SURVEY K1/M3/S5/F9; ref: `gordo/serializer/
+  * serializer.py:150-196`, cache key `gordo/builder/build_model.py:571-631`).
+  *
+  * A model directory holds `model.json` (all fitted state: reconstruction
+  * weights, scaler stats, thresholds — everything is plain numbers, no
+  * opaque pickles), `metadata.json`, and `info.json` (checksum), the same
+  * layout contract as the reference's model dir.
+  */
+object Persistence {
+
+  // ---- minimal canonical JSON (sorted keys, ASCII) ----
+
+  def toJson(v: Any): String = v match {
+    case null => "null"
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, vv) => s"${quote(k)}:${toJson(vv)}" }
+        .mkString("{", ",", "}")
+    case s: Seq[_]    => s.map(toJson).mkString("[", ",", "]")
+    case s: String    => quote(s)
+    case b: Boolean   => b.toString
+    case d: Double    =>
+      if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "Infinity"
+      else if (d.isNegInfinity) "-Infinity"
+      else d.toString
+    case n: Number    => n.toString
+    case other        => quote(other.toString)
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** F9: sha3-512 hex of the canonical JSON of the build-relevant config
+    * (`build_model.py:571-631`) — 128 hex chars. */
+  def cacheKey(spec: Config.MachineSpec): String = {
+    val json = toJson(Map(
+      "name" -> spec.name,
+      "model_config" -> spec.model,
+      "data_config" -> spec.dataset,
+      "evaluation_config" -> spec.evaluation))
+    MessageDigest.getInstance("SHA3-512")
+      .digest(json.getBytes("US-ASCII"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  // ---- dump / load ----
+
+  case class ModelState(
+      impl: String, epoch0: Long, orderCol: String, tags: Seq[String],
+      modelParams: Map[String, Double], scalerKind: String,
+      scalerStats: Map[String, (Double, Double)], thresholds: Thresholds,
+      window: Option[Int], smoothingMethod: String)
+
+  def stateOf(fd: FittedDetector, impl: String, epoch0: Long): ModelState =
+    ModelState(impl, epoch0, fd.orderCol, fd.tags, fd.model.params,
+      fd.scaler.kind, fd.scaler.stats, fd.thresholds, fd.window,
+      fd.smoothingMethod)
+
+  def save(dir: String, state: ModelState,
+           metadata: Map[String, Any] = Map.empty): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val modelJson = toJson(Map(
+      "impl" -> state.impl,
+      "epoch0" -> state.epoch0,
+      "orderCol" -> state.orderCol,
+      "tags" -> state.tags,
+      "modelParams" -> state.modelParams,
+      "scalerKind" -> state.scalerKind,
+      "scalerStats" -> state.scalerStats.map { case (k, (a, b)) => k -> List(a, b) },
+      "featureThresholds" -> state.thresholds.featureThresholds,
+      "aggregateThreshold" -> state.thresholds.aggregateThreshold,
+      "smoothFeatureThresholds" -> state.thresholds.smoothFeatureThresholds.getOrElse(null),
+      "smoothAggregateThreshold" -> state.thresholds.smoothAggregateThreshold
+        .map(_.asInstanceOf[Any]).getOrElse(null),
+      "perFoldAggregate" -> state.thresholds.perFoldAggregate,
+      "window" -> state.window.map(_.asInstanceOf[Any]).getOrElse(null),
+      "smoothingMethod" -> state.smoothingMethod))
+    Files.writeString(p.resolve("model.json"), modelJson)
+    Files.writeString(p.resolve("metadata.json"), toJson(metadata))
+    Files.writeString(p.resolve("info.json"),
+      toJson(Map("checksum" -> sha256(modelJson))))
+  }
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  def loadMetadata(dir: String): Map[String, Any] =
+    Config.parseYaml(Files.readString(Paths.get(dir, "metadata.json")))
+
+  /** Rebuild a scoring-ready FittedDetector from a model dir (S5). JSON
+    * is a YAML subset, so the config parser reads it. */
+  def load(dir: String): FittedDetector = {
+    val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
+    def dbl(v: Any): Double = v.toString.toDouble
+    val tags = m("tags").asInstanceOf[List[Any]].map(_.toString)
+    val params = m("modelParams").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> dbl(v) }
+    val orderCol = m("orderCol").toString
+    val epoch0 = m("epoch0").toString.toLong
+    val stats = m("scalerStats").asInstanceOf[Map[String, Any]].map {
+      case (k, l: List[_]) => k -> (dbl(l.head), dbl(l(1)))
+      case (k, v) => throw new IllegalStateException(s"bad scaler stats $k: $v")
+    }
+    val th = Thresholds(
+      m("featureThresholds").asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> dbl(v) },
+      dbl(m("aggregateThreshold")),
+      Option(m.getOrElse("smoothFeatureThresholds", null))
+        .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> dbl(v) }),
+      Option(m.getOrElse("smoothAggregateThreshold", null)).map(dbl),
+      m.getOrElse("perFoldAggregate", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> dbl(v) })
+    val fitted = rebuildFitted(m("impl").toString, params, tags, orderCol, epoch0)
+    FittedDetector(fitted, FittedScaler(m("scalerKind").toString, stats), th,
+      tags, orderCol,
+      Option(m.getOrElse("window", null)).map(_.toString.toInt),
+      m.getOrElse("smoothingMethod", "smm").toString)
+  }
+
+  /** Reconstruct the prediction expressions from saved weights. */
+  private def rebuildFitted(impl: String, p: Map[String, Double],
+                            tags: Seq[String], orderCol: String,
+                            epoch0: Long): Fitted = impl match {
+    case "trend" => new Fitted {
+      private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
+      def predictCol(tag: String): Column =
+        lit(p(s"a_$tag")) + lit(p(s"b_$tag")) * x
+      def params: Map[String, Double] = p
+    }
+    case "ridge" => new Fitted {
+      private val feats: Seq[Column] = lit(1.0) +: tags.map(col(_).cast("double"))
+      def predictCol(tag: String): Column =
+        feats.indices
+          .flatMap(fi => p.get(s"w_${tag}_$fi").map(w => feats(fi) * lit(w)))
+          .reduce(_ + _)
+      def params: Map[String, Double] = p
+    }
+    case other => throw new IllegalStateException(s"unknown model impl: $other")
+  }
+
+  // ---- disk registry (ref: gordo/util/disk_registry.py:18-117) ----
+
+  /** Record cache_key → model dir; `checkCache` probes it
+    * (`build_model.py:634-668`). */
+  def registerModel(registryDir: String, key: String, modelDir: String): Unit = {
+    Files.createDirectories(Paths.get(registryDir))
+    Files.writeString(Paths.get(registryDir, key), modelDir)
+  }
+
+  def checkCache(registryDir: String, key: String): Option[String] = {
+    val f = Paths.get(registryDir, key)
+    if (Files.exists(f)) {
+      val dir = Files.readString(f).trim
+      if (Files.exists(Paths.get(dir, "model.json"))) Some(dir) else None
+    } else None
+  }
+}

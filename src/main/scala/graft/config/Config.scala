@@ -171,6 +171,10 @@ object Config {
     val ds = patchDict(datasetDefaults, m.dataset)
     def str(k: String): Option[String] =
       ds.get(k).filter(_ != null).map(_.toString)
+    // snakeyaml parses ISO timestamps to java.util.Date, whose toString is
+    // not Spark-castable — normalize dates back to ISO-instant strings
+    def isoStr(k: String): Option[String] =
+      ds.get(k).filter(_ != null).map(v => parseTzAware(v).toInstant.toString)
     val tags = ds.get("tag_list").orElse(ds.get("tags")) match {
       case Some(l: List[_]) => l.map(_.toString)
       case _ => throw new ConfigException("dataset needs tag_list")
@@ -186,8 +190,8 @@ object Config {
       tags = tags,
       resolution = str("resolution").getOrElse("10T"),
       aggregationMethod = str("aggregation_methods").getOrElse("mean"),
-      trainStart = str("train_start_date"),
-      trainEnd = str("train_end_date"),
+      trainStart = isoStr("train_start_date"),
+      trainEnd = isoStr("train_end_date"),
       rowFilter = str("row_filter").getOrElse(""),
       rowFilterBufferSize = ds.getOrElse("row_filter_buffer_size", 0)
         .toString.toInt,

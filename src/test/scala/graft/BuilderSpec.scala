@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{ModelBuilder, Persistence}
+import graft.config.Config
+
+/** End-to-end build: YAML machine config → dataset assembly → CV fit →
+  * save → load → score, plus cache-key semantics (the `local_build`
+  * pattern of `gordo/builder/local_build.py:14-70`). */
+class BuilderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Two-tag long frame: 200 x 10-min points per tag from 2024-01-01. */
+  private def longFrame = {
+    val t0 = 1704067200L
+    val rows = for {
+      tag <- Seq("tag-a", "tag-b"); i <- 0 until 200
+    } yield (tag, t0 + i * 600L,
+      if (tag == "tag-a") 10.0 + i * 0.1 else 30.0 + i * 0.2)
+    rows.toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+  }
+
+  private val machineYaml =
+    """
+      |name: builder-test-machine
+      |dataset:
+      |  tag_list: [tag-a, tag-b]
+      |  resolution: 10T
+      |  train_start_date: 2024-01-01T00:00:00Z
+      |  train_end_date: 2024-01-03T00:00:00Z
+      |model:
+      |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+      |    base_estimator:
+      |      gordo.machine.model.models.KerasAutoEncoder:
+      |        kind: feedforward_hourglass
+      |evaluation:
+      |  cv:
+      |    sklearn.model_selection.TimeSeriesSplit:
+      |      n_splits: 3
+      |""".stripMargin
+
+  test("build -> save -> load -> score round-trips exactly") {
+    val tmp = Files.createTempDirectory("graft-build").toString
+    val res = ModelBuilder.build(
+      Config.parseYaml(machineYaml), globals = Config.defaultGlobals,
+      long = longFrame, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", registryDir = Some(s"$tmp/registry"),
+      projectName = Some("test-project"))
+    assert(!res.fromCache)
+    assert(res.metadata("cache_key").toString.length == 128)
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/model/model.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/model/info.json")))
+
+    // loaded model scores identically to the in-memory one
+    val wide = graft.data.TimeSeries.getData(longFrame, "tag", "ts", "value",
+      Config.datasetConfig(Config.machineFromConfig(
+        Config.parseYaml(machineYaml), Some("test-project"),
+        Config.defaultGlobals)))
+    val inMem = graft.ml.DiffAnomaly.anomaly(res.fitted, wide, 600L)
+    val scored = ModelBuilder.score(s"$tmp/model", wide, 600L)
+    assert(scored.count() == wide.count())
+    val a = inMem.orderBy($"start").select($"`total-anomaly-scaled`")
+      .as[Double].collect()
+    val b = scored.orderBy($"start").select($"`total-anomaly-scaled`")
+      .as[Double].collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+
+    // second build hits the cache
+    val res2 = ModelBuilder.build(
+      Config.parseYaml(machineYaml), Config.defaultGlobals,
+      longFrame, "tag", "ts", "value",
+      outputDir = s"$tmp/model2", registryDir = Some(s"$tmp/registry"),
+      projectName = Some("test-project"))
+    assert(res2.fromCache)
+    assert(res2.modelDir == s"$tmp/model")
+  }
+
+  test("cache key is stable and config-sensitive") {
+    val spec = Config.machineFromConfig(Config.parseYaml(machineYaml),
+      Some("p"), Config.defaultGlobals)
+    val k1 = Persistence.cacheKey(spec)
+    val k2 = Persistence.cacheKey(spec)
+    assert(k1 == k2 && k1.length == 128)
+    val spec2 = spec.copy(dataset = spec.dataset + ("resolution" -> "1H"))
+    assert(Persistence.cacheKey(spec2) != k1)
+  }
+
+  test("score drops smooth columns unless allColumns (P8)") {
+    val tmp = Files.createTempDirectory("graft-smooth").toString
+    val yamlSmooth = machineYaml.replace("kind: feedforward_hourglass",
+      "kind: feedforward_hourglass\n    window: 12\n    smoothing_method: sma")
+    val res = ModelBuilder.build(
+      Config.parseYaml(yamlSmooth), Config.defaultGlobals,
+      longFrame, "tag", "ts", "value", outputDir = s"$tmp/model",
+      projectName = Some("test-project"))
+    val wide = graft.data.TimeSeries.getData(longFrame, "tag", "ts", "value",
+      Config.datasetConfig(res.spec))
+    val noSmooth = ModelBuilder.score(s"$tmp/model", wide, 600L)
+    assert(!noSmooth.columns.exists(_.startsWith("smooth-")))
+    val all = ModelBuilder.score(s"$tmp/model", wide, 600L, allColumns = true)
+    assert(all.columns.exists(_.startsWith("smooth-")))
+  }
+}
