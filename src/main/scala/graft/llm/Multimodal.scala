@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode/feature-extract
+  * runs as a per-partition batch kernel.
+  *
+  * The decode step itself is STUBBED with a deterministic fake (this
+  * container has no image/audio codecs — see the builder brief); the
+  * Spark-side contract is real: schema, batch shape, partition-local
+  * execution, and the feature-struct output a downstream trainer would
+  * consume. Swapping `decodeStub` for a JNI/codec call changes no
+  * plumbing.
+  *
+  * Scale: payload bytes never shuffle — features are derived in place on
+  * the scan partitions; only the (small) feature struct flows downstream.
+  * Partition sizing is governed by `spark.sql.files.maxPartitionBytes`
+  * against the blob column size.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("histogram", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** Wrap any table with a binary payload column into the media schema
+    * (here: text bytes stand in for image bytes). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+              mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(lit(mime).as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** Deterministic stand-in for a real decoder: byte count, additive
+    * checksum, 16-bin byte histogram. A real implementation would hand
+    * `content` to a codec here — same signature, same batch shape. */
+  def decodeStub(content: Array[Byte]): (Long, Long, Array[Long]) = {
+    var checksum = 0L
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < content.length) {
+      val b = content(i) & 0xff
+      checksum = (checksum * 31 + b) & 0xffffffffL
+      hist(b >> 4) += 1
+      i += 1
+    }
+    (content.length.toLong, checksum, hist)
+  }
+
+  /** Feature extraction as a partition-local batch kernel (the Scala
+    * analog of `mapInPandas`: one iterator of rows per partition, decode
+    * amortized across the batch, no shuffle). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val schema = media.schema.add("features", featureSchema)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val (n, sum, hist) = decodeStub(bytes)
+        Row.fromSeq(r.toSeq :+ Row(n, sum, hist.toSeq))
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale design: the baseline broadcast-joins a SMALL query set against
+  * the corpus (cost |Q|·N row pairs — never the N² all-pairs crossJoin);
+  * the LSH path buckets the corpus once (O(N) signatures, shuffle on the
+  * bucket key) and candidates are same-bucket rows only. Dot products are
+  * `aggregate` higher-order folds in index order — codegen-friendly, and
+  * bit-portable to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Left-fold dot product in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row (queries must be small —
+    * they are broadcast). Excludes self-matches by id. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(embCol).as("qe")))
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("ce"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim d): an LCG step mapped to [−1, 1). Pure integer arithmetic —
+    * identical in any engine. */
+  def hyperplane(j: Int, d: Column): Column =
+    (((d + lit(64L * j)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .cast("double") / lit(1073741824.0) - lit(1.0)
+
+  /** Sign-bucket key from `planes` random hyperplanes: the classic
+    * random-projection LSH for cosine similarity. */
+  def lshBucket(emb: Column, planes: Int): Column =
+    concat_ws("", (0 until planes).map { j =>
+      val d = aggregate(
+        transform(emb, (x, i) => x.cast("double") * hyperplane(j, i.cast("long"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Bucketed approximate top-k: candidates are same-bucket rows only —
+    * the plan contains one shuffle on the bucket key and NO crossJoin.
+    * Recall trades off with `planes` (more planes → smaller buckets). */
+  def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
+              planes: Int, k: Int): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    val pairs = a.join(b,
+      col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        cosine(col("a.e"), col("b.e")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language-ID heuristic, document fingerprints. All pure
+  * column expressions (codegen'd, shuffle-free) — the per-document cost
+  * is O(bytes) and the operators scale linearly with a parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), " "))
+
+  /** BPE-ish subword count: word-piece segments + digit runs + punct
+    * marks, the usual pre-tokenizer regex shape. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean token length (chars per token). */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(trim(text), lit(" "), lit(""))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      length(text).cast("double")
+
+  /** Ratio of tokens that are in the given stopword set. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(text), " ")
+    size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") /
+      size(toks).cast("double")
+    // NB: array_intersect dedups; use filter for multiset semantics
+  }
+
+  /** Multiset stopword ratio (counts repeats — the quality-score form). */
+  def stopwordRatioMultiset(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(text), " ")
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0, 1]: length saturation × type-token
+    * diversity × (1 − punctuation excess). Deterministic arithmetic so
+    * the oracle can recompute it. */
+  def qualityScore(text: Column): Column = {
+    val toks = split(trim(text), " ")
+    val lenSat = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(10.0), lit(0.0))
+    lenSat * diversity * punctPenalty
+  }
+
+  /** Language-marker dictionaries for the stopword-voting language ID
+    * (tiny, heuristic — the n-gram-frequency approach). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Predicted language: argmax of marker-token hits with deterministic
+    * lexicographic tiebreak ('unknown' when nothing matches). */
+  def langId(text: Column): Column = {
+    val toks = split(trim(text), " ")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Oracle-checked coverage for the LLM-data-pipeline operators over the
+  * `documents` and `embeddings` tables: text statistics, quality scores,
+  * language ID, fingerprints, MinHash+LSH near-dup detection (banded,
+  * verified — no all-pairs crossJoin), exact ANN baseline, LSH bucketing
+  * invariant, and the multimodal feature plumbing.
+  *
+  * The banding/bucketing hashes are md5/LCG arithmetic precisely so the
+  * DuckDB oracle can replicate every candidate decision bit-for-bit —
+  * the oracle checks the LSH logic itself, not just the final scores.
+  */
+object LlmQueries {
+
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Text statistics per (lang, source) partition of the corpus. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"),
+        r4(avg($"n_chars")).as("avg_chars"),
+        r4(avg(TextAnalysis.tokenCount($"text"))).as("avg_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Per-document token counts and the composite quality score. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.subwordCount($"text").as("n_subwords"),
+        r4(TextAnalysis.qualityScore($"text")).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: marker-token voting, confusion counts vs the
+    * labeled lang column. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"lang", TextAnalysis.langId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Exact-dup and order-insensitive content fingerprints per document. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        TextDedup.exactKey($"text").as("exact_key"),
+        TextDedup.contentFingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Banded MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.3
+    * (k=12 signature, 6 bands × 2 rows; word 3-gram shingles). */
+  def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val cands = TextDedup.candidatePairs(docs, "doc_id", "text",
+      ngram = 3, k = 12, bands = 6)
+    TextDedup.verifiedPairs(docs, "doc_id", "text", cands,
+      ngram = 3, threshold = 0.3)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Exact cosine top-5 for the first 10 query vectors — the brute-force
+    * ANN baseline (broadcast queries, no N² crossJoin). */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+      "embedding", k = 5)
+      .select($"qid", $"rank", $"cid", r4($"cos").as("cos"))
+      .orderBy($"qid", $"rank")
+  }
+
+  /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,
+    * occupancy and id-checksum per bucket — verifies the scale-path
+    * bucketing arithmetic itself. */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .select($"vec_id", Similarity.lshBucket($"embedding", planes = 8).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"vec_id").as("sum_ids"))
+      .orderBy($"bucket")
+  }
+
+  /** Multimodal plumbing: documents as binary media, stub-decoded
+    * features (byte count oracle-checked; checksum/histogram covered by
+    * ScalaTest against the kernel). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.asMedia(Tables(spark, dir, "documents"),
+      "doc_id", "text", "text/plain")
+    Multimodal.extractFeatures(media)
+      .select($"media_id", $"features.n_bytes".as("n_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> (textStats _),
+    "q31_quality_scores" -> (qualityScores _),
+    "q32_langid_confusion" -> (langIdConfusion _),
+    "q33_fingerprints" -> (fingerprints _),
+    "q34_minhash_dup_pairs" -> (minhashDupPairs _),
+    "q35_ann_topk" -> (annTopK _),
+    "q36_ann_lsh_buckets" -> (annLshBuckets _),
+    "q37_multimodal_features" -> (multimodalFeatures _),
+  )
+
+  // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
+
+  private val langMarkerSql = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    .map { case (lang, markers) =>
+      val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"struct_pack(hits := len(list_filter(tk, x -> list_contains($list, x))), lang := '$lang')"
+    }.mkString(",\n        ")
+
+  /** 12 md5 minhash mins over the shingle list `sh`. */
+  private val minhashSql = (0 until 12)
+    .map(i => s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min')")
+    .mkString("[", ",\n          ", "]")
+
+  /** 6 band keys of 2 signature rows each. */
+  private val bandSql = (0 until 6)
+    .map(b => s"'$b' || '#' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
+    .mkString("[", ",\n          ", "]")
+
+  /** 8 hyperplane sign bits (LCG arithmetic identical to
+    * Similarity.hyperplane; DuckDB lambda index is 1-based → i-1). */
+  private val bucketSql = (0 until 8).map { j =>
+    s"""CASE WHEN list_reduce(list_transform(embedding, (x, i) ->
+       |      CAST(x AS DOUBLE) * (CAST(((i - 1 + ${64 * j}) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
+       |      (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" ||\n    ")
+
+  private val dotSql =
+    """list_reduce(list_transform(list_zip(qe, ce),
+      | p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)), (a, b) -> a + b)""".stripMargin
+
+  private def normSql(col: String) =
+    s"sqrt(list_reduce(list_transform($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT lang, source, count(*) AS n,
+        | floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,
+        | floor(avg(len(str_split(trim(text), ' ')))*10000 + 0.5)/10000 AS avg_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "q31_quality_scores" ->
+      """SELECT doc_id,
+        | len(str_split(trim(text), ' ')) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+        | floor((least(length(text)/500.0, 1.0)
+        |   * (CAST(len(list_distinct(str_split(trim(text), ' '))) AS DOUBLE)
+        |      / len(str_split(trim(text), ' ')))
+        |   * greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |                     / length(text)) * 10.0, 0.0))*10000 + 0.5)/10000 AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q32_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, str_split(trim(text), ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |   list_aggregate([$langMarkerSql], 'max') AS best
+        | FROM t)
+        |SELECT lang,
+        |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'unknown' END AS predicted,
+        |  count(*) AS n
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY lang, predicted""".stripMargin,
+    "q33_fingerprints" ->
+      """SELECT doc_id, md5(text) AS exact_key,
+        | md5(array_to_string(list_sort(list_distinct(str_split(trim(text), ' '))), ' ')) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q34_minhash_dup_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |sig AS (SELECT doc_id, sh, $minhashSql AS sig FROM sh),
+        |bandrows AS (SELECT doc_id, unnest($bandSql) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+        |inter AS (SELECT c.id_a, c.id_b, any_value(x.n) AS na, any_value(y.n) AS nb,
+        |    count(*) AS c
+        |  FROM cand c
+        |  JOIN shx x ON x.doc_id = c.id_a
+        |  JOIN shx y ON y.doc_id = c.id_b AND y.s = x.s
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b,
+        |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
+        |FROM inter
+        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q35_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |scored AS (SELECT qid, cid,
+        |    ($dotSql) / (${normSql("qe")} * ${normSql("ce")}) AS cos
+        |  FROM q JOIN c ON qid != cid),
+        |ranked AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, floor(cos*10000 + 0.5)/10000 AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q36_ann_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n, sum(vec_id) AS sum_ids FROM (
+        |  SELECT vec_id,
+        |    $bucketSql AS bucket
+        |  FROM embeddings)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "q37_multimodal_features" ->
+      """SELECT doc_id AS media_id, strlen(text) AS n_bytes
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash banding finds the planted near-dups without a crossJoin") {
+    val docs = Tables(spark, sf, "documents")
+    val cands = TextDedup.candidatePairs(docs, "doc_id", "text")
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LSH candidate plan must not contain a cross join:\n$plan")
+    val verified = TextDedup.verifiedPairs(docs, "doc_id", "text", cands)
+    val pairs = verified.collect()
+    assert(pairs.nonEmpty, "expected planted near-dup pairs in documents")
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.3))
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words about spark catalyst tungsten plans")
+    ).toDF("id", "text").withColumn("sh", TextDedup.simhash($"text"))
+    val m = df.select($"id", $"sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(near < far, s"near=$near should be < far=$far")
+    val viaCol = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select(TextDedup.hamming($"a.sh", $"b.sh").as("h")).as[Long].collect()
+    assert(viaCol.forall(h => h >= 0 && h <= 64))
+  }
+
+  test("langId picks marker languages and falls back to unknown") {
+    val df = Seq(
+      "der hund und die katze ist von hier",
+      "the cat of the house and a dog",
+      "xyzzy plugh quux").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("de", "en", "unknown"))
+  }
+
+  test("quality score is in [0,1] and penalizes repetition") {
+    val df = Seq(
+      ("rep", (1 to 100).map(_ => "spam").mkString(" ")),
+      ("div", (1 to 100).map(i => s"word$i").mkString(" "))).toDF("id", "text")
+    val m = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("div") > m("rep"))
+  }
+
+  test("brute top-k is exact and bucketed LSH candidates agree with it where buckets match") {
+    val emb = Tables(spark, sf, "embeddings")
+    val topk = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5), "vec_id",
+      "embedding", k = 3).collect()
+    assert(topk.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 3))
+    // LSH pairs are a subset of all pairs with correct cosines
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", planes = 4, k = 3)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(lsh.count() > 0)
+  }
+
+  test("multimodal feature kernel matches the reference implementation") {
+    val media = Multimodal.asMedia(
+      Seq((7L, "abc")).toDF("id", "payload"), "id", "payload", "text/plain")
+    val row = Multimodal.extractFeatures(media)
+      .select($"features.n_bytes", $"features.checksum", $"features.histogram")
+      .head()
+    assert(row.getLong(0) == 3L)
+    val expChecksum = (((('a'.toLong * 31) + 'b') * 31) + 'c') & 0xffffffffL
+    assert(row.getLong(1) == expChecksum)
+    val hist = row.getSeq[Long](2)
+    assert(hist.length == 16 && hist(6) == 3L) // 'a'..'c' = 0x61..0x63
+    // nulls decode to empty payloads, not failures
+    val withNull = Multimodal.extractFeatures(Multimodal.asMedia(
+      Seq((8L, null.asInstanceOf[String])).toDF("id", "payload"),
+      "id", "payload", "text/plain"))
+    assert(withNull.select($"features.n_bytes").head().getLong(0) == 0L)
+  }
+
+  test("every LLM query key has a matching oracle") {
+    import graft.operators.LlmQueries
+    assert(LlmQueries.oracleSql.keySet == LlmQueries.queries.keySet)
+  }
+}
