@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.DiffAnomaly
+import graft.streaming.StreamingScoring
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def wideBatch = {
+    import spark.implicits._
+    (0 until 40).map(i => (i * 600L, 10.0 + i, 25.0 + 2.0 * i))
+      .toDF("bucket_ts", "tx", "ty")
+  }
+
+  test("streaming resample emits the same buckets as the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val q = StreamingScoring
+      .resampleStream(stream, "tag", "ts", "value", 600L)
+      .writeStream.format("memory").queryName("resampled")
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 0L, 1.0), ("a", 100L, 3.0), ("a", 650L, 5.0),
+        ("b", 0L, 7.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT tag, bucket_ts, value FROM resampled ORDER BY tag, bucket_ts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq(("a", 0L, 2.0), ("a", 600L, 5.0), ("b", 0L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming scoring matches the batch anomaly frame row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fitted = DiffAnomaly.fit(wideBatch, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3)
+    val batch = DiffAnomaly.anomaly(fitted.copy(window = None), wideBatch, 600L)
+
+    val input = MemoryStream[(Long, Double, Double)]
+    val stream = input.toDF().toDF("bucket_ts", "tx", "ty")
+    val q = StreamingScoring.scoreStream(fitted, stream, 600L)
+      .writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 40).map(i => (i * 600L, 10.0 + i, 25.0 + 2.0 * i)): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM scored ORDER BY start").collect()
+      val exp = batch.orderBy($"start").collect()
+      assert(got.length == exp.length)
+      got.zip(exp).foreach { case (g, e) => assert(g == e) }
+    } finally q.stop()
+  }
+}
