@@ -38,10 +38,14 @@ object TextDedup {
 
   /** MinHash signature: k permutations simulated as min over shingles of
     * md5(i + "|" + shingle) (lexicographic min of hex strings — a
-    * uniform order, portable across engines). */
+    * uniform order, portable across engines). Built as ONE nested
+    * transform so the (expensive) shingle argument appears once in the
+    * expression tree — an `array(...)` of k independent mins would
+    * re-evaluate it k times after projection collapse. */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s).cast("binary"))))): _*)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(sh,
+        s => md5(concat(i.cast("string"), lit("|"), s).cast("binary")))))
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one key. Docs sharing ANY band key are candidate
@@ -52,15 +56,31 @@ object TextDedup {
         md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))
           .cast("binary")))): _*)
 
-  /** Banded-LSH candidate pairs (id ordering a < b, distinct): explode
-    * band keys, self-join per bucket. The join shuffles on the band key —
-    * high cardinality, tiny buckets. */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     ngram: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
+  /** Per-doc shingle frame `(id, sh)`. Callers running BOTH candidate
+    * generation and verification should `.persist()` this — shingling is
+    * the expensive derivation and Catalyst's projection collapse would
+    * otherwise recompute it at every use site. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String,
+                   ngram: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+
+  /** Banded-LSH candidate pairs (id ordering a < b, distinct) from a
+    * shingle frame: explode band keys, self-join per bucket. The join
+    * shuffles on the band key — high cardinality, tiny buckets.
+    *
+    * The signature projection is materialized (localCheckpoint-free
+    * persist) before the band-key fan-out: without the barrier, collapse
+    * would inline the full k-permutation MinHash into each of the
+    * `bands` key expressions — a bands× blow-up that also pushes the
+    * expression past codegen limits into interpreted evaluation
+    * (observed 80× slower at sf0.1). */
+  def candidatePairs(shDf: DataFrame, k: Int = 12, bands: Int = 6): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh = shingles(col(textCol), ngram)
-    val keyed = df.select(col(idCol).as("id"),
-      explode(bandKeys(minhashSignature(sh, k), bands, k / bands)).as("band"))
+    val sigDf = shDf.select(col("id"),
+      minhashSignature(col("sh"), k).as("sig"))
+      .persist()
+    val keyed = sigDf.select(col("id"),
+      explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -71,12 +91,9 @@ object TextDedup {
   /** Exact Jaccard verification of candidate pairs: explode each side's
     * distinct shingles, count intersections grouped by pair, divide by
     * |A| + |B| − |A∩B|. Only candidates pay this cost. */
-  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
-                    candidates: DataFrame, ngram: Int = 3,
+  def verifiedPairs(shDf: DataFrame, candidates: DataFrame,
                     threshold: Double = 0.3): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), ngram).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+    val withSh = shDf.withColumn("n_sh", size(col("sh")))
     val exploded = withSh.select(col("id"), col("n_sh"),
       explode(col("sh")).as("s"))
     val inter = candidates

@@ -69,10 +69,12 @@ object LlmQueries {
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val cands = TextDedup.candidatePairs(docs, "doc_id", "text",
-      ngram = 3, k = 12, bands = 6)
-    TextDedup.verifiedPairs(docs, "doc_id", "text", cands,
-      ngram = 3, threshold = 0.3)
+    // shingling is shared by candidate generation AND verification —
+    // persist so it's derived once per document
+    val shDf = TextDedup.withShingles(docs, "doc_id", "text", ngram = 3)
+      .persist()
+    val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
+    TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }

@@ -12,11 +12,12 @@ class LlmSpec extends AnyFunSuite {
 
   test("minhash banding finds the planted near-dups without a crossJoin") {
     val docs = Tables(spark, sf, "documents")
-    val cands = TextDedup.candidatePairs(docs, "doc_id", "text")
+    val shDf = TextDedup.withShingles(docs, "doc_id", "text").persist()
+    val cands = TextDedup.candidatePairs(shDf)
     val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"LSH candidate plan must not contain a cross join:\n$plan")
-    val verified = TextDedup.verifiedPairs(docs, "doc_id", "text", cands)
+    val verified = TextDedup.verifiedPairs(shDf, cands)
     val pairs = verified.collect()
     assert(pairs.nonEmpty, "expected planted near-dup pairs in documents")
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.3))
