@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnomalyQueries, LlmQueries, MlQueries, RelationalQueries, TimeSeriesQueries}
+import graft.operators.{AnomalyQueries, LlmQueries, MlQueries, RelationalQueries, SequenceQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TimeSeriesQueries.queries ++
-      MlQueries.queries ++ AnomalyQueries.queries ++ LlmQueries.queries
+      MlQueries.queries ++ AnomalyQueries.queries ++ LlmQueries.queries ++
+      SequenceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TimeSeriesQueries.oracleSql ++
-      MlQueries.oracleSql ++ AnomalyQueries.oracleSql ++ LlmQueries.oracleSql
+      MlQueries.oracleSql ++ AnomalyQueries.oracleSql ++ LlmQueries.oracleSql ++
+      SequenceQueries.oracleSql
 }

@@ -165,6 +165,46 @@ object Config {
       }
   }
 
+  /** F7: minimal template expansion — `{{ key }}` placeholders replaced
+    * from params (the jinja surface the CLI uses for model configs,
+    * `gordo/cli/cli.py:187-216`; full jinja is deliberately out). */
+  def expandTemplate(template: String, params: Map[String, String]): String =
+    raw"\{\{\s*([A-Za-z0-9_.-]+)\s*\}\}".r.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        params.getOrElse(m.group(1),
+          throw new ConfigException(s"undefined template var: ${m.group(1)}"))))
+
+  /** F8: tag normalization — trim and de-duplicate PRESERVING first-seen
+    * order (`gordo/utils.py:15-51`). */
+  def normalizeTags(tags: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    tags.foreach(t => seen += t.trim)
+    seen.toSeq
+  }
+
+  /** F10: resource-limit fixup — every limit is raised to at least its
+    * request (`gordo/machine/validators.py:160-230`). */
+  def fixupResources(resources: Map[String, Any]): Map[String, Any] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue)
+      case _ => None
+    }
+    val requests = resources.getOrElse("requests", Map.empty)
+      .asInstanceOf[Map[String, Any]]
+    val limits = resources.getOrElse("limits", Map.empty)
+      .asInstanceOf[Map[String, Any]]
+    val fixed = limits.map { case (k, lv) =>
+      (num(lv), requests.get(k).flatMap(num)) match {
+        case (Some(l), Some(r)) if l < r => k -> requests(k)
+        case _ => k -> lv
+      }
+    }
+    // limits must exist for every requested resource
+    val completed = requests.keys.filterNot(fixed.contains)
+      .map(k => k -> requests(k)).toMap ++ fixed
+    resources + ("limits" -> completed)
+  }
+
   /** Bridge the merged dataset block onto the engine's DatasetConfig
     * (tags come from `tag_list`; `tags` is the RandomDataset alias). */
   def datasetConfig(m: MachineSpec): TimeSeries.DatasetConfig = {

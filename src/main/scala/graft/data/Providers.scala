@@ -1,0 +1,56 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
+
+/** Data providers (SURVEY S2/S3/S4): sources producing the canonical
+  * long `(tag, ts, value)` frame the dataset engine consumes.
+  */
+object Providers {
+
+  /** S2: seeded deterministic synthetic series per tag (the
+    * `RandomDataProvider` analog — config surface
+    * `tests/gordo/workflow/test_config_elements.py:141-145`). Row count
+    * per tag is drawn deterministically from [minSize, maxSize]; values
+    * are hash-derived uniforms in [0, 1) — reproducible across runs and
+    * cluster layouts, generated distributed via `spark.range`. */
+  def random(spark: SparkSession, tags: Seq[String], seed: Long = 0L,
+             minSize: Int = 100, maxSize: Int = 300,
+             startEpoch: Long = 1704067200L, stepSec: Long = 600L): DataFrame = {
+    import spark.implicits._
+    tags.map { tag =>
+      val span = maxSize - minSize + 1
+      val n = minSize + math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(tag, seed.toInt), span)
+      spark.range(n).select(
+        lit(tag).as("tag"),
+        timestamp_seconds(lit(startEpoch) + $"id" * stepSec).as("ts"),
+        (pmod(xxhash64(lit(tag), $"id", lit(seed)), lit(1000000L))
+          .cast("double") / 1000000.0).as("value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** S3 (v1): file-backed provider over a parquet directory of long
+    * frames — the lake connector stand-in. Column mapping is explicit so
+    * arbitrary layouts adapt to the canonical frame. */
+  def parquet(spark: SparkSession, path: String, tagCol: String,
+              tsCol: String, valueCol: String): DataFrame =
+    spark.read.parquet(path).select(
+      col(tagCol).as("tag"), col(tsCol).as("ts"), col(valueCol).as("value"))
+
+  /** S4: request-body scan — a JSON document of `{tag: {iso_ts: value}}`
+    * (the reference's dict-of-dicts wire format,
+    * `gordo/server/utils.py:256-331`) parsed into the long frame, sorted
+    * by timestamp. */
+  def fromJsonBody(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    Seq(json).toDF("body")
+      .select(from_json($"body",
+        MapType(StringType, MapType(StringType, DoubleType))).as("m"))
+      .select(explode($"m").as(Seq("tag", "series")))
+      .select($"tag", explode($"series").as(Seq("ts_str", "value")))
+      .select($"tag", to_timestamp($"ts_str").as("ts"), $"value")
+      .orderBy($"ts", $"tag")
+  }
+}

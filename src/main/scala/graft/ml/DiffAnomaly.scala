@@ -187,6 +187,66 @@ object DiffAnomaly {
     } finally indexed.unpersist()
   }
 
+  /** M12 `DiffBasedKFCVAnomalyDetector` (`diff.py:461-635`): KFold CV,
+    * per-fold predictions scattered back onto the full time index, the
+    * validation metrics smoothed (default smm window 144), thresholds =
+    * `threshold_percentile` quantile of the smoothed series (NaN-prefix
+    * rows excluded, as pandas quantile skips NaN).
+    *
+    * Divergence note: the reference defaults to shuffle=True KFold;
+    * replicating numpy's permutation bit-for-bit is not portable, so
+    * folds here are contiguous (shuffle=False) — documented determinism
+    * over shuffle parity. */
+  def fitKfcv(wide: DataFrame, tags: Seq[String], orderCol: String,
+              base: Reconstructor, scalerKind: String = "minmax",
+              nSplits: Int = 5, window: Int = 144,
+              smoothingMethod: String = "smm",
+              thresholdPercentile: Double = 0.99): FittedDetector = {
+    val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol))).cache()
+    try {
+      val n = indexed.count()
+      val folds = CrossValidate.kFold(n, nSplits)
+      // per-fold: fit on the complement, score the fold's span; union =
+      // every row scored exactly once by the model that did NOT see it
+      val scattered = folds.map { f =>
+        val train = indexed.filter(
+          col("__row") < f.testStart || col("__row") >= f.testEnd)
+        val test = CrossValidate.testFold(indexed, f)
+        val m = base.fit(train, tags)
+        val sc = fitScaler(scalerKind, train, tags)
+        test.select(
+          (col("__row") +:
+            scaledMseCol(m, sc, tags).as("__mse") +:
+            tags.map(t => abs(col(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+      }.reduce(_ unionByName _)
+      val w = Window.orderBy(col("__row"))
+      val frame = w.rowsBetween(-(window - 1), 0)
+      val rn = row_number().over(w)
+      def smooth(c: Column): Column = {
+        val s = smoothingMethod match {
+          case "smm" => percentile(c, lit(0.5)).over(frame)
+          case "sma" => avg(c).over(frame)
+          case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
+        }
+        when(rn >= window, s)
+      }
+      val smoothed = scattered.select(
+        (smooth(col("__mse")).as("__sm_mse") +:
+          tags.map(t => smooth(col(s"__mae_$t")).as(s"__sm_$t"))): _*)
+      val row = smoothed.agg(
+        percentile(col("__sm_mse"), lit(thresholdPercentile)).as("__agg"),
+        tags.map(t => percentile(col(s"__sm_$t"), lit(thresholdPercentile))
+          .as(s"__f_$t")): _*).head()
+      val featureTh = tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
+      val aggTh = row.getAs[Double]("__agg")
+      val finalModel = base.fit(indexed, tags)
+      val finalScaler = fitScaler(scalerKind, indexed, tags)
+      FittedDetector(finalModel, finalScaler,
+        Thresholds(featureTh, aggTh, None, None, Map.empty),
+        tags, orderCol, Some(window), smoothingMethod)
+    } finally indexed.unpersist()
+  }
+
   private def fitScaler(kind: String, df: DataFrame, tags: Seq[String]): FittedScaler =
     kind match {
       case "minmax" => Scalers.fitMinMax(df, tags)
