@@ -14,9 +14,11 @@ import graft.operators.{AnomalyQueries, LlmQueries, MlQueries, RelationalQueries
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The centerpiece: the full DiffBasedAnomalyDetector slice —
+    * dataset assembly → CV thresholds → anomaly frame. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+    AnomalyQueries.anomalyFrame(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -115,7 +115,8 @@ object Persistence {
     * is a YAML subset, so the config parser reads it. */
   def load(dir: String): FittedDetector = {
     val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
-    def dbl(v: Any): Double = v.toString.toDouble
+    def dbl(v: Any): Double =
+      if (v == null) Double.NaN else v.toString.toDouble
     val tags = m("tags").asInstanceOf[List[Any]].map(_.toString)
     val params = m("modelParams").asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> dbl(v) }

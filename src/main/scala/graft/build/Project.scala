@@ -1,0 +1,81 @@
+package graft.build
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.DataFrame
+
+import graft.config.Config
+
+/** Project layer (SURVEY §3.2): a project config declares N machines +
+  * globals; "workflow generate" becomes emitting a build plan (JSON)
+  * instead of Argo k8s YAML, and the Argo DAG of builder pods becomes
+  * parallel driver threads sharing one SparkSession (fair-scheduler
+  * pools). The ≤30-machines-per-workflow split of
+  * `gordo/cli/workflow_generator.py:187-196` is kept as plan chunking.
+  */
+object Project {
+
+  case class ProjectSpec(projectName: String,
+                         globals: Map[String, Any],
+                         machines: Seq[Config.MachineSpec])
+
+  def parse(yaml: String, projectName: String): ProjectSpec = {
+    val root = Config.parseYaml(yaml)
+    val globals = root.getOrElse("globals", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]]
+    val machines = root.getOrElse("machines",
+      throw new Config.ConfigException("project has no machines")) match {
+      case l: List[_] => l.map(m => Config.machineFromConfig(
+        m.asInstanceOf[Map[String, Any]], Some(projectName), globals))
+      case other => throw new Config.ConfigException(s"machines must be a list: $other")
+    }
+    val dup = machines.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    if (dup.nonEmpty)
+      throw new Config.ConfigException(s"duplicate machine names: $dup")
+    ProjectSpec(projectName, globals, machines)
+  }
+
+  /** The build plan: machine list with cache keys, chunked into
+    * workflows of ≤ `maxPerWorkflow`. */
+  def plan(spec: ProjectSpec, maxPerWorkflow: Int = 30): String = {
+    val chunks = spec.machines.grouped(maxPerWorkflow).toSeq
+    Persistence.toJson(Map(
+      "project_name" -> spec.projectName,
+      "n_machines" -> spec.machines.size,
+      "workflows" -> chunks.zipWithIndex.map { case (ms, i) =>
+        Map("workflow" -> i,
+          "machines" -> ms.map(m => Map(
+            "name" -> m.name,
+            "cache_key" -> Persistence.cacheKey(m))))
+      }))
+  }
+
+  /** Build every machine of the project in parallel driver threads over
+    * a shared long frame. Spark schedules the concurrent jobs across the
+    * cluster; per-machine state (fit aggregations) is tiny. */
+  def buildAll(spec: ProjectSpec, long: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String, outputRoot: String,
+               registryDir: Option[String] = None,
+               parallelism: Int = 4): Seq[ModelBuilder.BuildResult] = {
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = spec.machines.map { m =>
+        Future {
+          ModelBuilder.build(
+            Map("name" -> m.name, "dataset" -> m.dataset, "model" -> m.model,
+              "evaluation" -> m.evaluation, "runtime" -> m.runtime),
+            globals = Map.empty, // already merged into the spec
+            long, keyCol, tsCol, valueCol,
+            outputDir = s"$outputRoot/${m.name}",
+            registryDir = registryDir,
+            projectName = Some(spec.projectName))
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+}

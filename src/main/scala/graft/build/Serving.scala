@@ -1,0 +1,61 @@
+package graft.build
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.ml.DiffAnomaly.FittedDetector
+
+/** Serving-side input handling (SURVEY P1/S5; ref: column verification
+  * `gordo/server/utils.py:208-253`, LRU model cache `:334-401`).
+  */
+object Serving {
+
+  class BadInputException(msg: String) extends RuntimeException(msg)
+
+  /** P1: align an input frame to the model's expected columns —
+    * positionally renamed when unlabeled-but-width-matched (the wire
+    * format drops names), else selected/reordered by name with extras
+    * dropped; wrong arity or missing columns are rejected. */
+  def verifyColumns(df: DataFrame, expected: Seq[String],
+                    orderCol: Option[String] = None): DataFrame = {
+    val keep = orderCol.toSeq
+    val present = df.columns.toSeq
+    val looksUnlabeled = present.filterNot(keep.contains)
+      .forall(c => c.startsWith("_c") || c.forall(_.isDigit))
+    val dataCols = present.filterNot(keep.contains)
+    if (looksUnlabeled) {
+      if (dataCols.size != expected.size)
+        throw new BadInputException(
+          s"unlabeled input has ${dataCols.size} columns, expected ${expected.size}")
+      val renamed = dataCols.zip(expected).foldLeft(df) {
+        case (d, (from, to)) => d.withColumnRenamed(from, to)
+      }
+      renamed.select((keep ++ expected).map(c => col(s"`$c`")): _*)
+    } else {
+      val missing = expected.filterNot(present.contains)
+      if (missing.nonEmpty)
+        throw new BadInputException(s"missing expected columns: $missing")
+      df.select((keep ++ expected).map(c => col(s"`$c`")): _*)
+    }
+  }
+
+  /** S5: bounded LRU cache of loaded models keyed by model dir (the
+    * reference caches 2 models per worker). Thread-safe for parallel
+    * scoring threads on one driver. */
+  class ModelCache(capacity: Int = 2) {
+    private val cache =
+      new java.util.LinkedHashMap[String, FittedDetector](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, FittedDetector]): Boolean =
+          size() > capacity
+      }
+    def get(dir: String): FittedDetector = cache.synchronized {
+      Option(cache.get(dir)).getOrElse {
+        val fd = Persistence.load(dir)
+        cache.put(dir, fd)
+        fd
+      }
+    }
+    def size: Int = cache.synchronized(cache.size())
+  }
+}

@@ -279,8 +279,12 @@ object DiffAnomaly {
     val row = rolled.agg(
       max(col("__rmin_mse")).as("__agg"),
       tags.map(t => max(col(s"__rmin_$t")).as(s"__f_$t")): _*).head()
-    (tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap,
-      row.getAs[Double]("__agg"))
+    // a fold shorter than the rolling width has no full frame: pandas
+    // rolling().min() is all-NaN and .max() of that is NaN — mirror it
+    def d(name: String): Double =
+      if (row.isNullAt(row.fieldIndex(name))) Double.NaN
+      else row.getAs[Double](name)
+    (tags.map(t => t -> d(s"__f_$t")).toMap, d("__agg"))
   }
 
   /** The anomaly frame (`diff.py:310-458` + `model/utils.py:102-133`):

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{ModelBuilder, Project, Reporters, Serving}
+
+class ProjectSpec2 extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def longFrame = {
+    val t0 = 1704067200L
+    val rows = for {
+      tag <- Seq("tag-a", "tag-b"); i <- 0 until 120
+    } yield (tag, t0 + i * 600L,
+      if (tag == "tag-a") 5.0 + i * 0.3 else 50.0 - i * 0.1)
+    rows.toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+  }
+
+  private val projectYaml =
+    """
+      |globals:
+      |  model:
+      |    gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+      |      base_estimator:
+      |        gordo.machine.model.models.KerasAutoEncoder:
+      |          kind: feedforward_hourglass
+      |machines:
+      |  - name: machine-one
+      |    dataset:
+      |      tag_list: [tag-a, tag-b]
+      |      resolution: 10T
+      |  - name: machine-two
+      |    dataset:
+      |      tag_list: [tag-a, tag-b]
+      |      resolution: 1H
+      |""".stripMargin
+
+  test("project parse + plan chunks machines with cache keys") {
+    val spec = Project.parse(projectYaml, "proj-x")
+    assert(spec.machines.map(_.name) == Seq("machine-one", "machine-two"))
+    // both machines got the globals model
+    assert(spec.machines.forall(_.model.keys.exists(_.contains("DiffBased"))))
+    val plan = Project.plan(spec, maxPerWorkflow = 1)
+    assert(plan.contains("\"n_machines\":2"))
+    assert(plan.contains("\"workflow\":1")) // chunked into two workflows
+    assert("\"cache_key\"".r.findAllIn(plan).size == 2)
+  }
+
+  test("buildAll trains every machine in parallel and registers them") {
+    val tmp = Files.createTempDirectory("graft-proj").toString
+    val spec = Project.parse(projectYaml, "proj-x")
+    val results = Project.buildAll(spec, longFrame, "tag", "ts", "value",
+      outputRoot = s"$tmp/models", registryDir = Some(s"$tmp/registry"),
+      parallelism = 2)
+    assert(results.size == 2 && results.forall(!_.fromCache))
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/models/machine-one/model.json")))
+    // fold scores landed in metadata with the reference stat keys
+    val scores = results.head.metadata("model").asInstanceOf[Map[String, Any]]("cross_validation")
+      .asInstanceOf[Map[String, Any]]("scores").asInstanceOf[Map[String, Any]]
+    assert(scores.contains("r2-score"))
+    val r2 = scores("r2-score").asInstanceOf[Map[String, Double]]
+    assert(r2.keySet.intersect(Set("fold-mean", "fold-std", "fold-1")).size == 3)
+  }
+
+  test("verifyColumns reorders labeled input and renames unlabeled input") {
+    val labeled = Seq((1.0, 2.0, 9L)).toDF("b", "a", "ts")
+    val out = Serving.verifyColumns(labeled, Seq("a", "b"), orderCol = Some("ts"))
+    assert(out.columns.toSeq == Seq("ts", "a", "b"))
+    assert(out.head().getDouble(1) == 2.0)
+    val unlabeled = Seq((3.0, 4.0)).toDF("_c0", "_c1")
+    val out2 = Serving.verifyColumns(unlabeled, Seq("a", "b"))
+    assert(out2.columns.toSeq == Seq("a", "b"))
+    intercept[Serving.BadInputException] {
+      Serving.verifyColumns(Seq((1.0, 2.0)).toDF("x", "y"), Seq("a", "b"))
+    }
+    intercept[Serving.BadInputException] {
+      Serving.verifyColumns(Seq(Tuple1(1.0)).toDF("_c0"), Seq("a", "b"))
+    }
+  }
+
+  test("model cache is LRU-bounded and serves loaded models") {
+    val tmp = Files.createTempDirectory("graft-cache").toString
+    val spec = Project.parse(projectYaml, "proj-x")
+    Project.buildAll(spec, longFrame, "tag", "ts", "value",
+      outputRoot = s"$tmp/models", parallelism = 1)
+    val cache = new Serving.ModelCache(capacity = 1)
+    val m1 = cache.get(s"$tmp/models/machine-one")
+    assert(cache.get(s"$tmp/models/machine-one") eq m1) // hit
+    cache.get(s"$tmp/models/machine-two")               // evicts machine-one
+    assert(cache.size == 1)
+  }
+
+  test("reporter upserts machine records keyed by name") {
+    val tmp = Files.createTempDirectory("graft-rep").toString
+    val rep = new Reporters.JsonDirReporter(tmp)
+    rep.report("m1", Map("model" -> "x"), Map("score" -> 1.0))
+    rep.report("m1", Map("model" -> "y"), Map("score" -> 2.0)) // upsert
+    val back = rep.read("m1")
+    assert(back("machine").asInstanceOf[Map[String, Any]]("model") == "y")
+  }
+}
