@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.config.Config
+import graft.data.TimeSeries
+import graft.ml.{CrossValidate, Ewma, Windows}
+
+/** ScalaCheck invariants from the SURVEY §5 test plan: alignment /
+  * resample row counts, no-null-after-interpolation-within-limit,
+  * threshold/fold monotonicity, config-merge algebra. */
+object InvariantProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(2, 60)
+    epochs <- Gen.listOfN(n, Gen.choose(0L, 86400L))
+    values <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield epochs.distinct.sorted.zip(values)
+
+  property("resample emits at most one row per bucket, labels multiples of width") =
+    forAll(seriesGen, Gen.choose(60L, 3600L)) { (rows, width) =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("epoch", "value")
+          .select(lit("s").as("tag"), timestamp_seconds($"epoch").as("ts"), $"value")
+        val r = TimeSeries.resample(df, Seq("tag"), "ts", "value", width).collect()
+        val buckets = r.map(_.getAs[Long]("bucket_ts"))
+        Prop(r.length <= rows.length) &&
+          Prop(buckets.distinct.length == buckets.length) &&
+          Prop(buckets.forall(b => math.floorMod(b, width) == 0))
+      }
+    }
+
+  property("grid + interpolation with a covering limit leaves no nulls") =
+    forAll(seriesGen) { rows =>
+      (rows.length >= 2) ==> {
+        val df = rows.toDF("epoch", "value")
+          .select(lit("s").as("tag"), timestamp_seconds($"epoch").as("ts"), $"value")
+        val r = TimeSeries.resample(df, Seq("tag"), "ts", "value", 600L)
+        val g = TimeSeries.fullGrid(r, Seq("tag"), 600L)
+        val f = TimeSeries.interpolateLinear(g, Seq("tag"), limitSec = 86400L * 2)
+        Prop(f.filter($"value".isNull).count() == 0)
+      }
+    }
+
+  property("interpolated values stay within the observed [min, max]") =
+    forAll(seriesGen) { rows =>
+      (rows.length >= 2) ==> {
+        val df = rows.toDF("epoch", "value")
+          .select(lit("s").as("tag"), timestamp_seconds($"epoch").as("ts"), $"value")
+        val r = TimeSeries.resample(df, Seq("tag"), "ts", "value", 600L)
+        val bounds = r.agg(min($"value"), max($"value")).head()
+        val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+        val g = TimeSeries.fullGrid(r, Seq("tag"), 600L)
+        val f = TimeSeries.interpolateLinear(g, Seq("tag"), limitSec = 86400L * 2)
+        Prop(f.filter($"value" < lo - 1e-9 || $"value" > hi + 1e-9).count() == 0)
+      }
+    }
+
+  property("ewma stays within the running value envelope") =
+    forAll(seriesGen) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("t", "v").select(lit("s").as("k"), $"t", $"v")
+        val e = Ewma.ewma(df, Seq("k"), "t", "v", span = 10.0)
+        val bad = e.agg(max(abs($"ewma"))).head().getDouble(0)
+        val cap = rows.map(r => math.abs(r._2)).max + 1e-9
+        Prop(bad <= cap)
+      }
+    }
+
+  property("TimeSeriesSplit folds are expanding, contiguous, and cover the tail") =
+    forAll(Gen.choose(8L, 10000L), Gen.choose(2, 7)) { (n, k) =>
+      (n / (k + 1) > 0) ==> {
+        val folds = CrossValidate.timeSeriesSplit(n, k)
+        Prop(folds.head.trainEnd > 0) &&
+          Prop(folds.sliding(2).forall {
+            case Seq(a, b) => b.testStart == a.testEnd && b.trainEnd == b.testStart
+            case _ => true
+          }) &&
+          Prop(folds.last.testEnd == n) &&
+          Prop(folds.map(_.nTest).distinct.size == 1)
+      }
+    }
+
+  property("kFold test spans tile [0, n) exactly") =
+    forAll(Gen.choose(5L, 10000L), Gen.choose(2, 7)) { (n, k) =>
+      (n >= k) ==> {
+        val folds = CrossValidate.kFold(n, k)
+        Prop(folds.head.testStart == 0L) &&
+          Prop(folds.last.testEnd == n) &&
+          Prop(folds.sliding(2).forall {
+            case Seq(a, b) => b.testStart == a.testEnd
+            case _ => true
+          }) &&
+          Prop(folds.map(_.nTest).sum == n)
+      }
+    }
+
+  property("patchDict is idempotent and key-union") = {
+    val leafGen = Gen.oneOf[Any](Gen.choose(0, 9), Gen.alphaStr.map(_.take(4)))
+    def mapGen(depth: Int): Gen[Map[String, Any]] =
+      Gen.mapOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+        if (depth == 0) leafGen
+        else Gen.frequency(3 -> leafGen, 1 -> mapGen(depth - 1))))
+    forAll(mapGen(2), mapGen(2)) { (a, b) =>
+      val ab = Config.patchDict(a, b)
+      Prop(Config.patchDict(ab, b) == ab) :| "re-patch is a no-op" &&
+        Prop(ab.keySet == a.keySet ++ b.keySet) :| "key union" &&
+        Prop(Config.patchDict(a, Map.empty) == a) :| "empty patch"
+    }
+  }
+
+  property("hourglass dims are within [1, n] and end at the smallest layer") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(1, 6), Gen.choose(1, 400)) {
+      (cf, layers, n) =>
+        val dims = Windows.hourglassDims(cf, layers, n)
+        val smallest = math.max(math.min(math.ceil(cf * n).toInt, n), 1)
+        Prop(dims.length == layers) &&
+          Prop(dims.forall(d => d >= 1 && d <= n)) &&
+          Prop(dims.last == smallest)
+    }
+}
