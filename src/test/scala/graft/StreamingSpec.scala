@@ -37,6 +37,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("forwarder lands stream batches in the parquet measurement dir") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fwd").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = graft.streaming.Forwarder.toParquet(
+      input.toDF().toDF("ts", "value"), s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData((1L, 1.5), (2L, 2.5))
+      q.processAllAvailable()
+      input.addData((3L, 3.5))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/out").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming scoring matches the batch anomaly frame row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
