@@ -37,11 +37,11 @@ object Ewma {
       .repartition(keys.map(col): _*)
       .sortWithinPartitions((keys :+ orderCol).map(col): _*)
     sorted.mapPartitions { it =>
-      var curKey: Seq[Any] = null
+      var curKey: List[Any] = null
       var num = 0.0
       var den = 0.0
       it.map { r =>
-        val k = keyIdx.toSeq.map(r.get)
+        val k = keyIdx.foldRight(List.empty[Any])((i, acc) => r.get(i) :: acc)
         if (k != curKey) { curKey = k; num = 0.0; den = 0.0 }
         num *= decay
         den *= decay
