@@ -160,6 +160,25 @@ object Persistence {
           .reduce(_ + _)
       def params: Map[String, Double] = p
     }
+    case "pca" => new Fitted {
+      private val mu = tags.map(t => p(s"mu_$t")).toArray
+      private val nComp = p.keys.collect {
+        case k if k.startsWith("pc_") => k.split("_")(1).toInt
+      }.foldLeft(-1)(math.max) + 1
+      private val comps = Array.tabulate(nComp, tags.size)((ci, d) => p(s"pc_${ci}_$d"))
+      def predictCol(tag: String): Column = {
+        val ti = tags.indexOf(tag)
+        val centered = tags.zipWithIndex.map { case (t, i) =>
+          col(t).cast("double") - lit(mu(i))
+        }
+        comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
+          val proj = centered.zip(comp)
+            .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+          acc + lit(comp(ti)) * proj
+        }
+      }
+      def params: Map[String, Double] = p
+    }
     case other => throw new IllegalStateException(s"unknown model impl: $other")
   }
 

@@ -89,6 +89,8 @@ object ModelRegistry {
       Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString)
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
+    case "sklearn.decomposition.PCA" =>
+      Reconstruction("pca", kw.getOrElse("n_components", 1).toString)
     case "sklearn.model_selection.TimeSeriesSplit" =>
       CvSplit("timeseries", kw.getOrElse("n_splits", 3).toString.toInt)
     case "sklearn.model_selection.KFold" =>
@@ -124,6 +126,8 @@ object ModelRegistry {
       Map("sklearn.preprocessing.FunctionTransformer" -> Map(
         "func" -> "gordo.machine.model.transformer_funcs.general.multiply_by",
         "kw_args" -> Map("factor" -> factor)))
+    case Reconstruction("pca", k) =>
+      Map("sklearn.decomposition.PCA" -> Map("n_components" -> k.toInt))
     case Reconstruction(_, kind) =>
       Map("gordo.machine.model.models.KerasAutoEncoder" -> Map("kind" -> kind))
     case CvSplit("timeseries", n) =>
@@ -181,6 +185,7 @@ object ModelRegistry {
   def reconstructorOf(stage: Stage, orderCol: String, epoch0: Long): DiffAnomaly.Reconstructor =
     stage match {
       case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
+      case Reconstruction("pca", k) => new DiffAnomaly.PcaReconstructor(k.toInt)
       case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
       case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
       case other => throw new CompileException(s"no reconstructor in $other")

@@ -57,6 +57,22 @@ object Similarity {
       when(d >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs are
+    * same-bucket rows only (id_a < id_b), verified by exact cosine ≥
+    * `threshold` — the embedding analog of MinHash near-dup dedup.
+    * Fewer planes → bigger buckets → higher recall at higher cost. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                      planes: Int, threshold: Double): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Bucketed approximate top-k: candidates are same-bucket rows only —
     * the plan contains one shuffle on the bucket key and NO crossJoin.
     * Recall trades off with `planes` (more planes → smaller buckets). */

@@ -124,6 +124,97 @@ object DiffAnomaly {
     }
   }
 
+  /** PCA reconstruction (the exact linear autoencoder): fit computes the
+    * tag covariance matrix in ONE distributed pass, eigen-decomposes it
+    * on the driver (cyclic Jacobi — m is the bounded tag count), keeps
+    * the top `nComponents` eigenvectors, and reconstructs each tag by
+    * projecting the centered row onto the retained subspace and back.
+    * Deterministic (eigenvector sign fixed by largest-magnitude entry),
+    * the authentic stand-in for the reference's feedforward autoencoder
+    * (SURVEY §7.3c: "default to linear/PCA reconstruction models"). */
+  class PcaReconstructor(nComponents: Int) extends Reconstructor {
+    require(nComponents >= 1, "n_components must be >= 1")
+    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+      val m = tags.size
+      val k = math.min(nComponents, m)
+      val means = tags.map(t => avg(col(t)).as(s"mu_$t"))
+      val covs = for { i <- 0 until m; j <- i until m }
+        yield covar_pop(col(tags(i)), col(tags(j))).as(s"c_${i}_$j")
+      val row = train.agg((means ++ covs).head, (means ++ covs).tail: _*).head()
+      val mu = tags.map(t => row.getAs[Double](s"mu_$t")).toArray
+      val cov = Array.tabulate(m, m) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        row.getAs[Double](s"c_${a}_$b")
+      }
+      val (vals, vecs) = jacobiEigen(cov)
+      // top-k by eigenvalue, sign-fixed for determinism
+      val order = vals.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+      val comps: Array[Array[Double]] = order.map { ci =>
+        val v = Array.tabulate(m)(r => vecs(r)(ci))
+        val lead = v.indices.maxBy(i => math.abs(v(i)))
+        if (v(lead) < 0) v.map(x => -x) else v
+      }.toArray
+      new Fitted {
+        def predictCol(tag: String): Column = {
+          val ti = tags.indexOf(tag)
+          val centered = tags.zipWithIndex.map { case (t, i) =>
+            col(t).cast("double") - lit(mu(i))
+          }
+          // x̂_ti = mu_ti + Σ_c comps(c)(ti) · (centered · comps(c))
+          comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
+            val proj = centered.zip(comp)
+              .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+            acc + lit(comp(ti)) * proj
+          }
+        }
+        def params: Map[String, Double] =
+          tags.zipWithIndex.map { case (t, i) => s"mu_$t" -> mu(i) }.toMap ++
+            comps.zipWithIndex.flatMap { case (c, ci) =>
+              c.zipWithIndex.map { case (w, d) => s"pc_${ci}_$d" -> w }.toSeq
+            }.toMap
+      }
+    }
+
+    /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+      * (eigenvalues, eigenvector columns). */
+    private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+      val n = a0.length
+      val a = a0.map(_.clone())
+      val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      var sweep = 0
+      while (sweep < 100 && offDiag(a) > 1e-14) {
+        for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until n) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+        sweep += 1
+      }
+      (Array.tabulate(n)(i => a(i)(i)), v)
+    }
+    private def offDiag(a: Array[Array[Double]]): Double = {
+      var s = 0.0
+      for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+      math.sqrt(s)
+    }
+  }
+
   /** CV-derived thresholds (`diff.py:226-264`): final values are the LAST
     * fold's; per-fold values kept for metadata (A8-style). */
   case class Thresholds(

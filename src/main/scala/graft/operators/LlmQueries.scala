@@ -114,7 +114,19 @@ object LlmQueries {
       .orderBy($"media_id")
   }
 
+  /** Embedding-cosine near-dup pairs: 4-plane LSH buckets (high recall,
+    * bigger buckets) verified by exact cosine ≥ 0.4 — the embedding
+    * analog of MinHash dedup; still no crossJoin. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
+      "vec_id", "embedding", planes = 4, threshold = 0.4)
+      .select($"id_a", $"id_b", r4($"cos").as("cos"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_embedding_neardup" -> (embeddingNearDups _),
     "q30_text_stats" -> (textStats _),
     "q31_quality_scores" -> (qualityScores _),
     "q32_langid_confusion" -> (langIdConfusion _),
@@ -143,22 +155,40 @@ object LlmQueries {
     .map(b => s"'$b' || '#' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
     .mkString("[", ",\n          ", "]")
 
-  /** 8 hyperplane sign bits (LCG arithmetic identical to
+  /** Hyperplane sign bits (LCG arithmetic identical to
     * Similarity.hyperplane; DuckDB lambda index is 1-based → i-1). */
-  private val bucketSql = (0 until 8).map { j =>
+  private def bucketSqlFor(planes: Int): String = (0 until planes).map { j =>
     s"""CASE WHEN list_reduce(list_transform(embedding, (x, i) ->
        |      CAST(x AS DOUBLE) * (CAST(((i - 1 + ${64 * j}) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
        |      (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
   }.mkString(" ||\n    ")
 
-  private val dotSql =
-    """list_reduce(list_transform(list_zip(qe, ce),
+  private val bucketSql = bucketSqlFor(8)
+
+  private def dotOf(x: String, y: String): String =
+    s"""list_reduce(list_transform(list_zip($x, $y),
       | p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)), (a, b) -> a + b)""".stripMargin
+
+  private val dotSql = dotOf("qe", "ce")
 
   private def normSql(col: String) =
     s"sqrt(list_reduce(list_transform($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
 
   val oracleSql: Map[String, String] = Map(
+    "q42_embedding_neardup" ->
+      s"""WITH k AS (SELECT vec_id,
+        |    embedding AS e,
+        |    ${bucketSqlFor(4)} AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${dotOf("a.e", "b.e")} AS dot_ab,
+        |    ${dotOf("a.e", "a.e")} AS dot_aa,
+        |    ${dotOf("b.e", "b.e")} AS dot_bb
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, floor((dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)))*10000 + 0.5)/10000 AS cos
+        |FROM p
+        |WHERE dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, source, count(*) AS n,
         | floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,

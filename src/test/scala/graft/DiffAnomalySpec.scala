@@ -33,6 +33,37 @@ class DiffAnomalySpec extends AnyFunSuite {
     assert(!m.params.keys.exists(_ == "w_ty_2"))
   }
 
+  test("PCA(1) reconstructs collinear data exactly and round-trips through persistence") {
+    // (tx, ty) lie exactly on a line → one principal component captures all
+    val m = new DiffAnomaly.PcaReconstructor(1).fit(wide, Seq("tx", "ty"))
+    val resid = wide.select(
+      max(abs(m.predictCol("tx") - $"tx")).as("rx"),
+      max(abs(m.predictCol("ty") - $"ty")).as("ry")).head()
+    assert(resid.getDouble(0) < 1e-9 && resid.getDouble(1) < 1e-9)
+    // persistence round-trip via ModelBuilder state
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.PcaReconstructor(1), nSplits = 3)
+    graft.build.Persistence.save(tmp,
+      graft.build.Persistence.stateOf(fitted, "pca", 0L))
+    val loaded = graft.build.Persistence.load(tmp)
+    val a = DiffAnomaly.anomaly(fitted, wide, 600L)
+      .agg(sum($"`model-output.tx`")).head().getDouble(0)
+    val b = DiffAnomaly.anomaly(loaded, wide, 600L)
+      .agg(sum($"`model-output.tx`")).head().getDouble(0)
+    assert(a == b)
+  }
+
+  test("PCA with fewer components than needed leaves residuals") {
+    // add a third independent dimension; PCA(1) can't reconstruct it all
+    val w3 = (0 until 40).map(i =>
+      (i * 600L, 10.0 + i, 25.0 + 2.0 * i, math.sin(i * 1.7) * 10.0))
+      .toDF("bucket_ts", "tx", "ty", "tz")
+    val m = new DiffAnomaly.PcaReconstructor(1).fit(w3, Seq("tx", "ty", "tz"))
+    val resid = w3.select(max(abs(m.predictCol("tz") - $"tz"))).head().getDouble(0)
+    assert(resid > 0.1)
+  }
+
   test("fit produces last-fold thresholds and a full anomaly frame") {
     val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
       new TrendReconstructor("bucket_ts", 0L), nSplits = 3)
