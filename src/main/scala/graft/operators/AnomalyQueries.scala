@@ -91,10 +91,58 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** M4/M5 analog gated end-to-end: the PCA(1) linear autoencoder as the
+    * base estimator over the same 2-tag frame — fit (covariance +
+    * Jacobi), CV thresholds, anomaly frame. For 2 tags the Jacobi
+    * eigendecomposition is a single rotation whose exact float sequence
+    * the oracle replays algebraically. */
+  def pcaAnomalyFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tags = Seq("click", "view")
+    val wide = wideClickView(spark, dir)
+    val fitted = DiffAnomaly.fit(wide, tags, "bucket_ts",
+      new DiffAnomaly.PcaReconstructor(1), scalerKind = "minmax", nSplits = 3)
+    val frame = DiffAnomaly.anomaly(fitted, wide, resolutionSec = 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),
     "q41_config_build" -> (configDrivenBuild _),
+    "q43_pca_anomaly" -> (pcaAnomalyFrame _),
   )
+
+  /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
+    * pick used by PcaReconstructor, over the rows of CTE `src` (columns
+    * click/view): yields mu_c, mu_v, w_c, w_v. */
+  private def pcaFitSql(src: String): String =
+    s"""SELECT mu_c, mu_v,
+      |    CASE WHEN (CASE WHEN abs(wc0) >= abs(wv0) THEN wc0 ELSE wv0 END) < 0
+      |         THEN -wc0 ELSE wc0 END AS w_c,
+      |    CASE WHEN (CASE WHEN abs(wc0) >= abs(wv0) THEN wc0 ELSE wv0 END) < 0
+      |         THEN -wv0 ELSE wv0 END AS w_v
+      |  FROM (SELECT mu_c, mu_v,
+      |      CASE WHEN lp >= lq THEN c ELSE s END AS wc0,
+      |      CASE WHEN lp >= lq THEN -s ELSE c END AS wv0
+      |    FROM (SELECT mu_c, mu_v, c, s,
+      |        c*(c*cxx - s*cxy) - s*(c*cxy - s*cyy) AS lp,
+      |        s*(s*cxx + c*cxy) + c*(s*cxy + c*cyy) AS lq
+      |      FROM (SELECT mu_c, mu_v, cxx, cxy, cyy,
+      |          1.0/sqrt(tt*tt + 1.0) AS c,
+      |          tt * (1.0/sqrt(tt*tt + 1.0)) AS s
+      |        FROM (SELECT mu_c, mu_v, cxx, cxy, cyy,
+      |            sign(th)/(abs(th) + sqrt(th*th + 1.0)) AS tt
+      |          FROM (SELECT avg(click) AS mu_c, avg(view) AS mu_v,
+      |              covar_pop(click, click) AS cxx,
+      |              covar_pop(click, view) AS cxy,
+      |              covar_pop(view, view) AS cyy,
+      |              (covar_pop(view, view) - covar_pop(click, click))
+      |                / (2.0 * covar_pop(click, view)) AS th
+      |            FROM $src)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q29_anomaly_frame" ->
@@ -275,6 +323,73 @@ object AnomalyQueries {
         |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
         |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame, th
+        |ORDER BY start""".stripMargin,
+    "q43_pca_anomaly" ->
+      s"""WITH w AS (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |               avg(value) AS value
+        |        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+        |  GROUP BY bucket_ts),
+        |idx AS (
+        |  SELECT bucket_ts, click, view,
+        |         row_number() OVER (ORDER BY bucket_ts) - 1 AS rn
+        |  FROM w WHERE click IS NOT NULL AND view IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |fm AS (${pcaFitSql("tr")}),
+        |fs AS (SELECT max(click) - min(click) AS s_c,
+        |              max(view) - min(view) AS s_v FROM tr),
+        |te AS (SELECT i.rn, i.click, i.view,
+        |    fm.mu_c + fm.w_c * ((i.click - fm.mu_c) * fm.w_c + (i.view - fm.mu_v) * fm.w_v) AS p_c,
+        |    fm.mu_v + fm.w_v * ((i.click - fm.mu_c) * fm.w_c + (i.view - fm.mu_v) * fm.w_v) AS p_v,
+        |    fs.s_c, fs.s_v,
+        |    row_number() OVER (ORDER BY i.rn) AS trn
+        |  FROM idx i, lastfold, fm, fs WHERE i.rn >= test_start),
+        |sc AS (SELECT trn,
+        |    (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
+        |    abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
+        |  FROM te),
+        |roll AS (SELECT trn,
+        |    min(mse) OVER f AS rmin_mse,
+        |    min(mae_c) OVER f AS rmin_c,
+        |    min(mae_v) OVER f AS rmin_v
+        |  FROM sc
+        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c,
+        |       max(rmin_v) AS th_v
+        |  FROM roll WHERE trn >= 6),
+        |ff AS (${pcaFitSql("idx")}),
+        |ffs AS (SELECT
+        |    CASE WHEN max(click) = min(click) THEN 1.0
+        |         ELSE max(click) - min(click) END AS s_c,
+        |    CASE WHEN max(view) = min(view) THEN 1.0
+        |         ELSE max(view) - min(view) END AS s_v
+        |  FROM idx),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.click AS mic, i.view AS miv,
+        |    ff.mu_c + ff.w_c * ((i.click - ff.mu_c) * ff.w_c + (i.view - ff.mu_v) * ff.w_v) AS moc,
+        |    ff.mu_v + ff.w_v * ((i.click - ff.mu_c) * ff.w_c + (i.view - ff.mu_v) * ff.w_v) AS mov,
+        |    ffs.s_c, ffs.s_v
+        |  FROM idx i, ff, ffs)
+        |SELECT start, "end",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
+        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
+        |  floor(abs((moc - mic) / s_c)*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(abs((mov - miv) / s_v)*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
+        |  floor(abs(moc - mic)*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor(abs(mov - miv)*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor(((pow(abs((moc - mic)/s_c), 2) + pow(abs((mov - miv)/s_v), 2))/2.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor(((pow(abs(moc - mic), 2) + pow(abs(mov - miv), 2))/2.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor((abs(moc - mic)/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor((abs(mov - miv)/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor((((pow(abs((moc - mic)/s_c), 2) + pow(abs((mov - miv)/s_v), 2))/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin,
   )
