@@ -1,13 +1,12 @@
 package graft.build
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.config.Config
-import graft.ml.DiffAnomaly
 import graft.ml.DiffAnomaly.{Fitted, FittedDetector, Thresholds}
 import graft.ml.Scalers.FittedScaler
 

@@ -30,11 +30,15 @@ object Similarity {
     * they are broadcast). Excludes self-matches by id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int): DataFrame = {
+    // norms are precomputed per row — same expression (bit-identical
+    // result), 3x fewer fold evaluations than a per-pair cosine
     val q = broadcast(queries.select(col(idCol).as("qid"),
-      col(embCol).as("qe")))
-    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("ce"))
+      col(embCol).as("qe"), norm(col(embCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("ce"),
+      norm(col(embCol)).as("cn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -64,12 +68,13 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                       planes: Int, threshold: Double): DataFrame = {
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
-      lshBucket(col(embCol), planes).as("bucket"))
+      norm(col(embCol)).as("nrm"),
+      lshBucket(col(embCol), planes).as("bucket")).persist()
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -79,13 +84,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
               planes: Int, k: Int): DataFrame = {
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
-      lshBucket(col(embCol), planes).as("bucket"))
+      norm(col(embCol)).as("nrm"),
+      lshBucket(col(embCol), planes).as("bucket")).persist()
     val a = keyed.as("a")
     val b = keyed.as("b")
     val pairs = a.join(b,
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("cid"),
-        cosine(col("a.e"), col("b.e")).as("cos"))
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
