@@ -48,8 +48,12 @@ object ModelBuilder {
 
     val dsCfg = Config.datasetConfig(spec)
     val t0 = System.nanoTime()
+    // the assembled frame feeds every CV fold fit, the final fit, and the
+    // fold-score pass — cache it so resample/grid/interpolate run once
     val wide = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
+      .persist()
     val querySec = (System.nanoTime() - t0) / 1e9
+    try {
 
     val compiled = ModelRegistry.compile(spec.model)
     val detector = ModelRegistry.detectorOf(compiled).getOrElse(
@@ -109,6 +113,7 @@ object ModelBuilder {
       metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
+    } finally wide.unpersist()
   }
 
   private def crossValScores(wide: DataFrame, tags: Seq[String],
