@@ -62,7 +62,26 @@ object TimeSeries {
                valueCol: String, widthSec: Long,
                method: String = "mean"): DataFrame = {
     val b = bucketCol(col(tsCol), widthSec).as("bucket_ts")
-    val agg: Column = method match {
+    df.groupBy((keys.map(col) :+ b): _*)
+      .agg(aggFor(method, valueCol, tsCol).as(valueCol))
+  }
+
+  /** A1 with `aggregation_methods` as a LIST (SURVEY §1.3 [inferred]:
+    * list → extra column level): one output column per method, named
+    * `<valueCol>__<method>` — the flat-name form of pandas' extra
+    * MultiIndex level. One aggregation pass for all methods. */
+  def resampleMulti(df: DataFrame, keys: Seq[String], tsCol: String,
+                    valueCol: String, widthSec: Long,
+                    methods: Seq[String]): DataFrame = {
+    require(methods.nonEmpty, "need at least one aggregation method")
+    val b = bucketCol(col(tsCol), widthSec).as("bucket_ts")
+    val aggs = methods.map(m => aggFor(m, valueCol, tsCol).as(s"${valueCol}__$m"))
+    df.groupBy((keys.map(col) :+ b): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def aggFor(method: String, valueCol: String, tsCol: String): Column =
+    method match {
       case "mean"   => avg(col(valueCol))
       case "sum"    => sum(col(valueCol))
       case "min"    => min(col(valueCol))
@@ -73,9 +92,6 @@ object TimeSeries {
       case "last"   => max_by(col(valueCol), col(tsCol))
       case m => throw new IllegalArgumentException(s"unsupported aggregation: $m")
     }
-    df.groupBy((keys.map(col) :+ b): _*)
-      .agg(agg.as(valueCol))
-  }
 
   /** Buckets per generated array chunk in [[fullGrid]]: bounds the size of
     * any single `sequence` array so a multi-year 1-minute series (~1.6M

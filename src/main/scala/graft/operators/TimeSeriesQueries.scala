@@ -155,7 +155,21 @@ object TimeSeriesQueries {
       .orderBy($"bucket_ts")
   }
 
+  /** A1 list form: `aggregation_methods: [mean, min, max, count, last]`
+    * — one column per method per bucket in ONE aggregation pass. */
+  def resampleMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    TimeSeries.resampleMulti(ev, Seq("event_type"), "ts", "value", H,
+      Seq("mean", "min", "max", "count", "last"))
+      .select($"event_type", $"bucket_ts",
+        r4($"value__mean").as("value__mean"),
+        $"value__min", $"value__max", $"value__count", $"value__last")
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_resample_multi" -> (resampleMulti _),
     "q13_resample_mean" -> (resampleMean _),
     "q14_grid_ffill" -> (gridFfill _),
     "q15_grid_interpolate" -> (gridInterpolate _),
@@ -168,6 +182,16 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q44_resample_multi" ->
+      """SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        | floor((avg(value))*10000 + 0.5)/10000 AS value__mean,
+        | min(value) AS value__min,
+        | max(value) AS value__max,
+        | CAST(count(value) AS DOUBLE) AS value__count,
+        | max_by(value, ts) AS value__last
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
     "q13_resample_mean" ->
       """SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
         | floor((avg(value))*10000 + 0.5)/10000 AS value
