@@ -166,6 +166,13 @@ object ModelBuilder {
     } finally indexed.unpersist()
   }
 
+  /** §3.3 `/prediction` equivalent: model-input/output only, no targets
+    * or residuals (`gordo/server/blueprints/base.py:30-113`). */
+  def predict(modelDir: String, wide: DataFrame,
+              resolutionSec: Long): DataFrame =
+    graft.ml.DiffAnomaly.predictFrame(Persistence.load(modelDir), wide,
+      resolutionSec)
+
   /** §3.3 batch scoring entry: load a model dir and produce the anomaly
     * frame for an input wide frame (the serve-path equivalent of
     * `POST /anomaly/prediction`). */

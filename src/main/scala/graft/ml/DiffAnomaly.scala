@@ -378,6 +378,17 @@ object DiffAnomaly {
     (tags.map(t => t -> d(s"__f_$t")).toMap, d("__agg"))
   }
 
+  /** The `/prediction` frame (`gordo/server/blueprints/base.py:30-113`):
+    * start/end + model-input/model-output only — no y, no residual
+    * derivations. */
+  def predictFrame(fd: FittedDetector, wide: DataFrame,
+                   resolutionSec: Long): DataFrame =
+    wide.select(
+      (col(fd.orderCol).as("start") +:
+        (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
+        fd.tags.map(t => col(t).as(s"model-input.$t"))) ++
+        fd.tags.map(t => fd.model.predictCol(t).as(s"model-output.$t")): _*)
+
   /** The anomaly frame (`diff.py:310-458` + `model/utils.py:102-133`):
     * start/end interval stamps plus the full derived column set, all in
     * one row-local select. `resolutionSec` gives the `end` offset (F4). */

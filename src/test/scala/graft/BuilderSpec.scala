@@ -81,6 +81,26 @@ class BuilderSpec extends AnyFunSuite {
     assert(res2.modelDir == s"$tmp/model")
   }
 
+  test("predict emits model-input/output only and agrees with score") {
+    val tmp = Files.createTempDirectory("graft-pred").toString
+    val res = ModelBuilder.build(
+      Config.parseYaml(machineYaml), Config.defaultGlobals,
+      longFrame, "tag", "ts", "value", outputDir = s"$tmp/model",
+      projectName = Some("test-project"))
+    val wide = graft.data.TimeSeries.getData(longFrame, "tag", "ts", "value",
+      Config.datasetConfig(res.spec))
+    val pred = ModelBuilder.predict(s"$tmp/model", wide, 600L)
+    assert(pred.columns.toSet == Set("start", "end",
+      "model-input.tag-a", "model-input.tag-b",
+      "model-output.tag-a", "model-output.tag-b"))
+    val scored = ModelBuilder.score(s"$tmp/model", wide, 600L)
+    val a = pred.orderBy($"start").select($"`model-output.tag-a`")
+      .as[Double].collect()
+    val b = scored.orderBy($"start").select($"`model-output.tag-a`")
+      .as[Double].collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("cache key is stable and config-sensitive") {
     val spec = Config.machineFromConfig(Config.parseYaml(machineYaml),
       Some("p"), Config.defaultGlobals)
