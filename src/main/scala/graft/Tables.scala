@@ -22,17 +22,15 @@ object Tables {
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
     * type for. Read it as raw nanos and truncate to microseconds —
     * exactly what DuckDB (µs-precision timestamps) does, so the oracle
-    * compare sees identical instants. The legacy conf is set once per
-    * session (idempotent; guarded so concurrent query threads don't race
-    * on conf mutation), and the Long→timestamp rewrite applies only to
-    * `events` — any future table with an epoch-seconds Long `ts` column
-    * must opt in explicitly.
+    * compare sees identical instants. The conf is set unconditionally
+    * before every read: it is idempotent, and a guarded once-only set
+    * would leave a window where a concurrent first reader sees it unset
+    * and fails on the nanos footer. The Long→timestamp rewrite applies
+    * only to `events` — any future table with an epoch-seconds Long `ts`
+    * column must opt in explicitly.
     */
-  private val nanosConfSet = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (nanosConfSet.add(System.identityHashCode(spark).toString))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))

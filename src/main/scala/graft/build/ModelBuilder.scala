@@ -36,8 +36,16 @@ object ModelBuilder {
             long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
             outputDir: String,
             registryDir: Option[String] = None,
-            projectName: Option[String] = None): BuildResult = {
-    val spec = Config.machineFromConfig(machineConfig, projectName, globals)
+            projectName: Option[String] = None): BuildResult =
+    buildSpec(Config.machineFromConfig(machineConfig, projectName, globals),
+      long, keyCol, tsCol, valueCol, outputDir, registryDir)
+
+  /** Build from an already-assembled spec (the project layer's path —
+    * preserves the spec's merged metadata instead of re-deriving it). */
+  def buildSpec(spec: Config.MachineSpec,
+                long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                outputDir: String,
+                registryDir: Option[String] = None): BuildResult = {
     val key = Persistence.cacheKey(spec)
 
     // cache probe (`build_model.py:104-190`): hit short-circuits the build

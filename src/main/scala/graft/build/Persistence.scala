@@ -32,9 +32,11 @@ object Persistence {
     case s: String    => quote(s)
     case b: Boolean   => b.toString
     case d: Double    =>
-      if (d.isNaN) "NaN"
-      else if (d.isPosInfinity) "Infinity"
-      else if (d.isNegInfinity) "-Infinity"
+      // strict JSON has no NaN/Infinity literals — encode as strings;
+      // load()'s toDouble parses them back ("NaN".toDouble etc.)
+      if (d.isNaN) "\"NaN\""
+      else if (d.isPosInfinity) "\"Infinity\""
+      else if (d.isNegInfinity) "\"-Infinity\""
       else d.toString
     case n: Number    => n.toString
     case other        => quote(other.toString)

@@ -65,14 +65,9 @@ object Project {
     try {
       val futures = spec.machines.map { m =>
         Future {
-          ModelBuilder.build(
-            Map("name" -> m.name, "dataset" -> m.dataset, "model" -> m.model,
-              "evaluation" -> m.evaluation, "runtime" -> m.runtime),
-            globals = Map.empty, // already merged into the spec
-            long, keyCol, tsCol, valueCol,
+          ModelBuilder.buildSpec(m, long, keyCol, tsCol, valueCol,
             outputDir = s"$outputRoot/${m.name}",
-            registryDir = registryDir,
-            projectName = Some(spec.projectName))
+            registryDir = registryDir)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

@@ -320,7 +320,11 @@ object TimeSeries {
     // same row set (one tiny agg collected to the driver — two longs).
     val Array(b0, b1) = resampled
       .agg(min($"bucket_ts"), max($"bucket_ts")).head() match {
-        case r if r.isNullAt(0) => return spark_emptyWide(resampled, cfg)
+        case r if r.isNullAt(0) =>
+          // empty input still honors n_samples_threshold (exit-code-80
+          // contract): zero rows < any positive threshold
+          return requireMinSamples(spark_emptyWide(resampled, cfg),
+            cfg.nSamplesThreshold)
         case r => Array(r.getLong(0), r.getLong(1))
       }
     val gridded = fullGrid(resampled, Seq(keyCol), widthSec, valueCol,

@@ -69,7 +69,11 @@ object Similarity {
                       planes: Int, threshold: Double): DataFrame = {
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"),
-      lshBucket(col(embCol), planes).as("bucket")).persist()
+      lshBucket(col(embCol), planes).as("bucket"))
+      // Exchange barrier doubling as the join's partitioning: prevents
+      // re-evaluation of bucket/norm per use AND is reused by both join
+      // sides (ReusedExchange) — no cached blocks left behind
+      .repartition(col("bucket"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -85,7 +89,8 @@ object Similarity {
               planes: Int, k: Int): DataFrame = {
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"),
-      lshBucket(col(embCol), planes).as("bucket")).persist()
+      lshBucket(col(embCol), planes).as("bucket"))
+      .repartition(col("bucket"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     val pairs = a.join(b,

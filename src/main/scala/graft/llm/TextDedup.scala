@@ -20,12 +20,17 @@ object TextDedup {
   /** Whitespace tokens of the trimmed text. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
-  /** Distinct word n-gram shingles. */
+  /** Distinct word n-gram shingles. Documents with fewer than n tokens
+    * yield an EMPTY shingle set — guarded explicitly because Spark's
+    * `sequence(1, 0)` is the descending [1, 0] (unlike DuckDB's empty
+    * generate_series) and `slice(toks, 0, n)` throws. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact-dup key: md5 of the raw text. */
@@ -57,9 +62,10 @@ object TextDedup {
           .cast("binary")))): _*)
 
   /** Per-doc shingle frame `(id, sh)`. Callers running BOTH candidate
-    * generation and verification should `.persist()` this — shingling is
-    * the expensive derivation and Catalyst's projection collapse would
-    * otherwise recompute it at every use site. */
+    * generation and verification should put an Exchange barrier (e.g.
+    * `.repartition(col("id"))`) behind this — shingling is the expensive
+    * derivation; the barrier stops projection collapse from recomputing
+    * it per use site and lets the branches share one ReusedExchange. */
   def withShingles(df: DataFrame, idCol: String, textCol: String,
                    ngram: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
@@ -68,17 +74,21 @@ object TextDedup {
     * shingle frame: explode band keys, self-join per bucket. The join
     * shuffles on the band key — high cardinality, tiny buckets.
     *
-    * The signature projection is materialized (localCheckpoint-free
-    * persist) before the band-key fan-out: without the barrier, collapse
-    * would inline the full k-permutation MinHash into each of the
-    * `bands` key expressions — a bands× blow-up that also pushes the
-    * expression past codegen limits into interpreted evaluation
-    * (observed 80× slower at sf0.1). */
+    * The signature projection sits behind an Exchange barrier
+    * (repartition on id) before the band-key fan-out: projection
+    * collapse cannot cross an Exchange, so without it Catalyst would
+    * inline the full k-permutation MinHash into each of the `bands` key
+    * expressions — a bands× blow-up that also pushes the expression past
+    * codegen limits into interpreted evaluation (observed 80× slower at
+    * sf0.1). A barrier (unlike persist) leaves no cached blocks behind. */
   def candidatePairs(shDf: DataFrame, k: Int = 12, bands: Int = 6): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sigDf = shDf.select(col("id"),
-      minhashSignature(col("sh"), k).as("sig"))
-      .persist()
+    // docs with no shingles (shorter than the n-gram) have no content
+    // signal for MinHash — exclude them rather than colliding them all
+    // into one degenerate empty-signature band (exactKey covers them)
+    val sigDf = shDf.filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .repartition(col("id"))
     val keyed = sigDf.select(col("id"),
       explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
     val a = keyed.as("a")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Cols.{q => qc}
 import graft.ml.Scalers.FittedScaler
 
 /** `DiffBasedAnomalyDetector` re-expressed Spark-first (SURVEY M11, the
@@ -50,7 +51,7 @@ object DiffAnomaly {
     private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
     def fit(train: DataFrame, tags: Seq[String]): Fitted = {
       val aggs = tags.flatMap(t => Seq(
-        regr_slope(col(t), x).as(s"b_$t"), regr_intercept(col(t), x).as(s"a_$t")))
+        regr_slope(qc(t), x).as(s"b_$t"), regr_intercept(qc(t), x).as(s"a_$t")))
       val row = train.agg(aggs.head, aggs.tail: _*).head()
       val ab = tags.map(t =>
         t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
@@ -75,7 +76,7 @@ object DiffAnomaly {
     def fit(train: DataFrame, tags: Seq[String]): Fitted = {
       val m = tags.size
       // feature vector = (1, tags...): Gram is (m+1)x(m+1)
-      val feats = lit(1.0) +: tags.map(col(_).cast("double"))
+      val feats = lit(1.0) +: tags.map(t => qc(t).cast("double"))
       val aggs = for {
         i <- 0 to m; j <- i to m
       } yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
@@ -137,9 +138,9 @@ object DiffAnomaly {
     def fit(train: DataFrame, tags: Seq[String]): Fitted = {
       val m = tags.size
       val k = math.min(nComponents, m)
-      val means = tags.map(t => avg(col(t)).as(s"mu_$t"))
+      val means = tags.map(t => avg(qc(t)).as(s"mu_$t"))
       val covs = for { i <- 0 until m; j <- i until m }
-        yield covar_pop(col(tags(i)), col(tags(j))).as(s"c_${i}_$j")
+        yield covar_pop(qc(tags(i)), qc(tags(j))).as(s"c_${i}_$j")
       val row = train.agg((means ++ covs).head, (means ++ covs).tail: _*).head()
       val mu = tags.map(t => row.getAs[Double](s"mu_$t")).toArray
       val cov = Array.tabulate(m, m) { (i, j) =>
@@ -158,7 +159,7 @@ object DiffAnomaly {
         def predictCol(tag: String): Column = {
           val ti = tags.indexOf(tag)
           val centered = tags.zipWithIndex.map { case (t, i) =>
-            col(t).cast("double") - lit(mu(i))
+            qc(t).cast("double") - lit(mu(i))
           }
           // x̂_ti = mu_ti + Σ_c comps(c)(ti) · (centered · comps(c))
           comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
@@ -260,7 +261,7 @@ object DiffAnomaly {
         val scored = test.select(
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
-            tags.map(t => abs(col(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+            tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
         val (feat, agg) = rollMinMax(scored, tags, 6)
         perFoldAgg(s"fold-${f.index}") = agg
         lastFeat = feat; lastAgg = agg
@@ -308,25 +309,35 @@ object DiffAnomaly {
         test.select(
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
-            tags.map(t => abs(col(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+            tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
       }.reduce(_ unionByName _)
-      val w = Window.orderBy(col("__row"))
-      val frame = w.rowsBetween(-(window - 1), 0)
-      val rn = row_number().over(w)
-      def smooth(c: Column): Column = {
-        val s = smoothingMethod match {
-          case "smm" => percentile(c, lit(0.5)).over(frame)
-          case "sma" => avg(c).over(frame)
-          case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
-        }
-        when(rn >= window, s)
+      val smoothed = smoothingMethod match {
+        case "ewma" =>
+          // pandas ewm(span=window): no NaN prefix, full-history weights
+          Ewma.ewmaMulti(scattered, keys = Nil, orderCol = "__row",
+            cols = (("__mse" -> "__sm_mse") +:
+              tags.map(t => s"__mae_$t" -> s"__sm_$t")).toMap,
+            span = window.toDouble)
+            .select((col("__sm_mse") +: tags.map(t => qc(s"__sm_$t"))): _*)
+        case method =>
+          val w = Window.orderBy(col("__row"))
+          val frame = w.rowsBetween(-(window - 1), 0)
+          val rn = row_number().over(w)
+          def smooth(c: Column): Column = {
+            val s = method match {
+              case "smm" => percentile(c, lit(0.5)).over(frame)
+              case "sma" => avg(c).over(frame)
+              case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
+            }
+            when(rn >= window, s)
+          }
+          scattered.select(
+            (smooth(col("__mse")).as("__sm_mse") +:
+              tags.map(t => smooth(qc(s"__mae_$t")).as(s"__sm_$t"))): _*)
       }
-      val smoothed = scattered.select(
-        (smooth(col("__mse")).as("__sm_mse") +:
-          tags.map(t => smooth(col(s"__mae_$t")).as(s"__sm_$t"))): _*)
       val row = smoothed.agg(
         percentile(col("__sm_mse"), lit(thresholdPercentile)).as("__agg"),
-        tags.map(t => percentile(col(s"__sm_$t"), lit(thresholdPercentile))
+        tags.map(t => percentile(qc(s"__sm_$t"), lit(thresholdPercentile))
           .as(s"__f_$t")): _*).head()
       val featureTh = tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
       val aggTh = row.getAs[Double]("__agg")
@@ -350,7 +361,7 @@ object DiffAnomaly {
   private def scaledMseCol(m: Fitted, sc: FittedScaler, tags: Seq[String]): Column =
     tags.map { t =>
       val scale = { val s = sc.stats(t)._2; if (s == 0.0) 1.0 else s }
-      val d = (m.predictCol(t) - col(t)) / lit(scale)
+      val d = (m.predictCol(t) - qc(t)) / lit(scale)
       d * d
     }.reduce(_ + _) / lit(tags.size.toDouble)
 
@@ -365,11 +376,11 @@ object DiffAnomaly {
       .select(
         (col("__rn") +:
           min(col("__mse")).over(frame).as("__rmin_mse") +:
-          tags.map(t => min(col(s"__mae_$t")).over(frame).as(s"__rmin_$t"))): _*)
+          tags.map(t => min(qc(s"__mae_$t")).over(frame).as(s"__rmin_$t"))): _*)
       .filter(col("__rn") >= width)
     val row = rolled.agg(
       max(col("__rmin_mse")).as("__agg"),
-      tags.map(t => max(col(s"__rmin_$t")).as(s"__f_$t")): _*).head()
+      tags.map(t => max(qc(s"__rmin_$t")).as(s"__f_$t")): _*).head()
     // a fold shorter than the rolling width has no full frame: pandas
     // rolling().min() is all-NaN and .max() of that is NaN — mirror it
     def d(name: String): Double =
@@ -386,7 +397,7 @@ object DiffAnomaly {
     wide.select(
       (col(fd.orderCol).as("start") +:
         (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
-        fd.tags.map(t => col(t).as(s"model-input.$t"))) ++
+        fd.tags.map(t => qc(t).as(s"model-input.$t"))) ++
         fd.tags.map(t => fd.model.predictCol(t).as(s"model-output.$t")): _*)
 
   /** The anomaly frame (`diff.py:310-458` + `model/utils.py:102-133`):
@@ -404,7 +415,7 @@ object DiffAnomaly {
     val base = wide.select(
       (col(fd.orderCol).as("start") +:
         (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
-        tags.map(t => col(t).as(s"model-input.$t"))) ++
+        tags.map(t => qc(t).as(s"model-input.$t"))) ++
         tags.map(t => m.predictCol(t).as(s"model-output.$t")): _*)
     def in(t: String) = col(s"`model-input.$t`")
     def out(t: String) = col(s"`model-output.$t`")
@@ -437,28 +448,36 @@ object DiffAnomaly {
         overThreshold(col("`total-anomaly-scaled`"), th.aggregateThreshold))
   }
 
+  /** The (input → smooth output) column-name pairs for smoothing. */
+  private def smoothPairs(tags: Seq[String]): Seq[(String, String)] =
+    tags.flatMap(t => Seq(
+      s"tag-anomaly-scaled.$t" -> s"smooth-tag-anomaly-scaled.$t",
+      s"tag-anomaly-unscaled.$t" -> s"smooth-tag-anomaly-unscaled.$t")) ++ Seq(
+      "total-anomaly-scaled" -> "smooth-total-anomaly-scaled",
+      "total-anomaly-unscaled" -> "smooth-total-anomaly-unscaled")
+
   /** smooth-* columns (`diff.py:388-417`): rolling smm/sma over the tag
     * and total anomaly columns with pandas NaN-prefix (null until a full
-    * window); ewma uses the W4 kernel semantics via an expression-level
-    * equivalent over the bounded window. */
-  private def addSmooth(df: DataFrame, fd: FittedDetector, width: Int): DataFrame = {
-    val w = Window.orderBy(col("start"))
-    val frame = w.rowsBetween(-(width - 1), 0)
-    val rn = row_number().over(w)
-    def smooth(c: Column): Column = {
-      val s = fd.smoothingMethod match {
-        case "smm" => percentile(c, lit(0.5)).over(frame)
-        case "sma" => avg(c).over(frame)
-        case m => throw new IllegalArgumentException(
-          s"unsupported smoothing for expression path: $m (use Ewma.ewma)")
-      }
-      when(rn >= width, s)
+    * window); ewma (pandas `ewm(span=window)`, no NaN prefix) runs
+    * through the W4 streaming kernel over the same frame. */
+  private def addSmooth(df: DataFrame, fd: FittedDetector, width: Int): DataFrame =
+    fd.smoothingMethod match {
+      case "ewma" =>
+        Ewma.ewmaMulti(df, keys = Nil, orderCol = "start",
+          cols = smoothPairs(fd.tags).toMap, span = width.toDouble)
+      case method =>
+        val w = Window.orderBy(col("start"))
+        val frame = w.rowsBetween(-(width - 1), 0)
+        val rn = row_number().over(w)
+        def smooth(c: Column): Column = {
+          val s = method match {
+            case "smm" => percentile(c, lit(0.5)).over(frame)
+            case "sma" => avg(c).over(frame)
+            case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
+          }
+          when(rn >= width, s)
+        }
+        df.withColumns(smoothPairs(fd.tags)
+          .map { case (in, out) => out -> smooth(qc(in)) }.toMap)
     }
-    val tagCols = fd.tags.flatMap(t => Seq(
-      s"smooth-tag-anomaly-scaled.$t" -> smooth(col(s"`tag-anomaly-scaled.$t`")),
-      s"smooth-tag-anomaly-unscaled.$t" -> smooth(col(s"`tag-anomaly-unscaled.$t`"))))
-    df.withColumns((tagCols ++ Seq(
-      "smooth-total-anomaly-scaled" -> smooth(col("`total-anomaly-scaled`")),
-      "smooth-total-anomaly-unscaled" -> smooth(col("`total-anomaly-unscaled`")))).toMap)
-  }
 }

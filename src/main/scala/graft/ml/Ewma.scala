@@ -26,31 +26,54 @@ import org.apache.spark.sql.types.DoubleType
 object Ewma {
 
   def ewma(df: DataFrame, keys: Seq[String], orderCol: String,
-           valueCol: String, span: Double, out: String = "ewma"): DataFrame = {
+           valueCol: String, span: Double, out: String = "ewma"): DataFrame =
+    ewmaMulti(df, keys, orderCol, Map(valueCol -> out), span)
+
+  /** Multi-column variant: one streaming pass maintains accumulators for
+    * every (input → output) pair in `cols`. Used by the smooth-* anomaly
+    * columns where several series share the same scan. `keys` may be
+    * empty for a single global series (coalesced to one partition —
+    * per-machine frames are bounded). */
+  def ewmaMulti(df: DataFrame, keys: Seq[String], orderCol: String,
+                cols: Map[String, String], span: Double): DataFrame = {
     require(span >= 1.0, s"span must be >= 1, got $span")
+    require(cols.nonEmpty, "need at least one column")
     val alpha = 2.0 / (span + 1.0)
     val decay = 1.0 - alpha
-    val schema = df.schema.add(out, DoubleType, nullable = true)
+    val pairs = cols.toSeq
+    val schema = pairs.foldLeft(df.schema)((s, p) =>
+      s.add(p._2, DoubleType, nullable = true))
     val keyIdx = keys.map(df.schema.fieldIndex).toArray
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val sorted = df
-      .repartition(keys.map(col): _*)
-      .sortWithinPartitions((keys :+ orderCol).map(col): _*)
+    val vIdx = pairs.map(p => df.schema.fieldIndex(p._1)).toArray
+    val sorted =
+      if (keys.isEmpty) df.coalesce(1).sortWithinPartitions(col(orderCol))
+      else df.repartition(keys.map(col): _*)
+        .sortWithinPartitions((keys :+ orderCol).map(col): _*)
     sorted.mapPartitions { it =>
+      val n = vIdx.length
       var curKey: List[Any] = null
-      var num = 0.0
-      var den = 0.0
+      val num = new Array[Double](n)
+      val den = new Array[Double](n)
       it.map { r =>
         val k = keyIdx.foldRight(List.empty[Any])((i, acc) => r.get(i) :: acc)
-        if (k != curKey) { curKey = k; num = 0.0; den = 0.0 }
-        num *= decay
-        den *= decay
-        if (!r.isNullAt(vIdx)) {
-          num += r.getDouble(vIdx)
-          den += 1.0
+        if (k != curKey) {
+          curKey = k
+          java.util.Arrays.fill(num, 0.0)
+          java.util.Arrays.fill(den, 0.0)
         }
-        val v: Any = if (den == 0.0) null else num / den
-        Row.fromSeq(r.toSeq :+ v)
+        val outs = new Array[Any](n)
+        var c = 0
+        while (c < n) {
+          num(c) *= decay
+          den(c) *= decay
+          if (!r.isNullAt(vIdx(c))) {
+            num(c) += r.getDouble(vIdx(c))
+            den(c) += 1.0
+          }
+          outs(c) = if (den(c) == 0.0) null else num(c) / den(c)
+          c += 1
+        }
+        Row.fromSeq(r.toSeq ++ outs)
       }
     }(Encoders.row(schema))
   }

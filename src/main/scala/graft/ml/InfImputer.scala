@@ -3,6 +3,8 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Cols.{q => qc}
+
 /** ±Infinity imputer (SURVEY P6/A2; ref:
   * `gordo/machine/model/transformers/imputer.py:12-127`).
   *
@@ -20,9 +22,9 @@ object InfImputer {
   case class Fitted(fills: Map[String, (Double, Double)]) {
     def transformCol(c: String): Column = {
       val (posFill, negFill) = fills(c)
-      when(col(c) === lit(Double.PositiveInfinity), lit(posFill))
-        .when(col(c) === lit(Double.NegativeInfinity), lit(negFill))
-        .otherwise(col(c))
+      when(qc(c) === lit(Double.PositiveInfinity), lit(posFill))
+        .when(qc(c) === lit(Double.NegativeInfinity), lit(negFill))
+        .otherwise(qc(c))
     }
     def transform(df: DataFrame, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, transformCol(c)))
@@ -38,8 +40,8 @@ object InfImputer {
         negInfFillValue.getOrElse(Double.MinValue))).toMap)
     case "minmax" =>
       val finite: String => Column = c =>
-        when(!isnan(col(c)) && col(c) =!= lit(Double.PositiveInfinity) &&
-          col(c) =!= lit(Double.NegativeInfinity), col(c))
+        when(!isnan(qc(c)) && qc(c) =!= lit(Double.PositiveInfinity) &&
+          qc(c) =!= lit(Double.NegativeInfinity), qc(c))
       val aggs = cols.flatMap(c => Seq(
         max(finite(c)).as(s"__max_$c"), min(finite(c)).as(s"__min_$c")))
       val row = df.agg(aggs.head, aggs.tail: _*).head()

@@ -3,6 +3,8 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Cols.{q => qc}
+
 /** Column scalers with sklearn semantics (SURVEY A3/F3; ref: scaler use in
   * `gordo/machine/model/anomaly/diff.py:173,350-358`).
   *
@@ -22,9 +24,9 @@ object Scalers {
       if (s == 0.0) 1.0 else s
     }
     def transformCol(c: String): Column =
-      (col(c) - lit(stats(c)._1)) / lit(scaleOf(c))
+      (qc(c) - lit(stats(c)._1)) / lit(scaleOf(c))
     def inverseCol(c: String): Column =
-      col(c) * lit(scaleOf(c)) + lit(stats(c)._1)
+      qc(c) * lit(scaleOf(c)) + lit(stats(c)._1)
 
     /** Replace each of `cols` with its scaled value. */
     def transform(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -37,7 +39,7 @@ object Scalers {
     * scaled = (x − min) / (max − min). */
   def fitMinMax(df: DataFrame, cols: Seq[String]): FittedScaler = {
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      Seq(min(qc(c)).as(s"__min_$c"), max(qc(c)).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     FittedScaler("minmax", cols.map { c =>
       val lo = row.getAs[Double](s"__min_$c")
@@ -51,9 +53,9 @@ object Scalers {
     * linear-interpolated quantiles. */
   def fitRobust(df: DataFrame, cols: Seq[String]): FittedScaler = {
     val aggs = cols.flatMap(c => Seq(
-      percentile(col(c), lit(0.5)).as(s"__med_$c"),
-      percentile(col(c), lit(0.25)).as(s"__q1_$c"),
-      percentile(col(c), lit(0.75)).as(s"__q3_$c")))
+      percentile(qc(c), lit(0.5)).as(s"__med_$c"),
+      percentile(qc(c), lit(0.25)).as(s"__q1_$c"),
+      percentile(qc(c), lit(0.75)).as(s"__q3_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     FittedScaler("robust", cols.map { c =>
       val med = row.getAs[Double](s"__med_$c")

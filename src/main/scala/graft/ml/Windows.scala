@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Cols.{q => qc}
+
 /** Sequence-model windowing (SURVEY W5/J3; ref: LSTM sliding windows
   * `gordo/machine/model/models.py:713-793`, trailing alignment
   * `gordo/builder/build_model.py:448-471`).
@@ -20,12 +22,12 @@ object Windows {
     val ord = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     val frame = ord.rowsBetween(-(lookback - 1), 0)
     val out = df
-      .withColumn("window", collect_list(col(valueCol)).over(frame))
+      .withColumn("window", collect_list(qc(valueCol)).over(frame))
       .withColumn("__rn", row_number().over(ord))
       .filter(col("__rn") >= lookback)
     val withY =
-      if (lookahead == 0) out.withColumn("y", col(valueCol))
-      else out.withColumn("y", lead(col(valueCol), lookahead).over(ord))
+      if (lookahead == 0) out.withColumn("y", qc(valueCol))
+      else out.withColumn("y", lead(qc(valueCol), lookahead).over(ord))
     withY.drop("__rn")
   }
 

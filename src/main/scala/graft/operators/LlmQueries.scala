@@ -69,10 +69,11 @@ object LlmQueries {
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    // shingling is shared by candidate generation AND verification —
-    // persist so it's derived once per document
+    // shingling is shared by candidate generation AND verification — an
+    // Exchange barrier lets both branches reuse one computation
+    // (ReusedExchange) without leaking cached blocks
     val shDf = TextDedup.withShingles(docs, "doc_id", "text", ngram = 3)
-      .persist()
+      .repartition(col("id"))
     val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))

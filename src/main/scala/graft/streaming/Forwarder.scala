@@ -13,12 +13,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object Forwarder {
 
   /** Forward a (possibly scored) stream to a parquet measurement
-    * directory; checkpointed so restarts resume exactly-once. */
+    * directory. Each micro-batch lands in its own `batch_id=N`
+    * subdirectory with OVERWRITE mode, so a replay after a crash between
+    * write and checkpoint commit rewrites the same directory instead of
+    * appending duplicates — that is what makes restarts exactly-once.
+    * Readers use `spark.read.parquet(outDir)` (partition discovery). */
   def toParquet(stream: DataFrame, outDir: String,
                 checkpointDir: String): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(outDir): Unit
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId"): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()

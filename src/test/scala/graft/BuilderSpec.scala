@@ -56,6 +56,10 @@ class BuilderSpec extends AnyFunSuite {
     assert(res.metadata("cache_key").toString.length == 128)
     assert(Files.exists(java.nio.file.Paths.get(s"$tmp/model/model.json")))
     assert(Files.exists(java.nio.file.Paths.get(s"$tmp/model/info.json")))
+    // model dir files are STRICT JSON (no bare NaN/Infinity tokens)
+    val strict = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (f <- Seq("model.json", "metadata.json", "info.json"))
+      strict.readTree(new java.io.File(s"$tmp/model/$f"))
 
     // loaded model scores identically to the in-memory one
     val wide = graft.data.TimeSeries.getData(longFrame, "tag", "ts", "value",

@@ -83,6 +83,34 @@ class DiffAnomalySpec extends AnyFunSuite {
     assert(worst < 1e-9)
   }
 
+  test("dotted free-form tag names work through fit and anomaly") {
+    // the reference's real tag shape: spaces and dots
+    val dotted = (0 until 40)
+      .map(i => (i * 600L, 10.0 + i, 25.0 + 2.0 * i))
+      .toDF("bucket_ts", "GRA-YE  -23-0751X.PV", "GRA-TE -123-456")
+    val tags = Seq("GRA-YE  -23-0751X.PV", "GRA-TE -123-456")
+    val fitted = DiffAnomaly.fit(dotted, tags, "bucket_ts",
+      new DiffAnomaly.RidgeReconstructor(), nSplits = 3)
+    val frame = DiffAnomaly.anomaly(fitted, dotted, 600L)
+    assert(frame.count() == 40)
+    assert(frame.columns.contains("model-output.GRA-YE  -23-0751X.PV"))
+    val pca = new DiffAnomaly.PcaReconstructor(1).fit(dotted, tags)
+    assert(pca.params.nonEmpty)
+  }
+
+  test("ewma smoothing produces smooth columns through fit and kfcv") {
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3,
+      window = Some(6), smoothingMethod = "ewma")
+    val frame = DiffAnomaly.anomaly(fitted, wide, 600L)
+    // pandas ewm has NO NaN prefix: every row gets a smoothed value
+    assert(frame.filter($"`smooth-total-anomaly-scaled`".isNull).count() == 0)
+    val kfcv = DiffAnomaly.fitKfcv(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 5,
+      window = 6, smoothingMethod = "ewma")
+    assert(!kfcv.thresholds.aggregateThreshold.isNaN)
+  }
+
   test("smooth columns appear with window and are null for the NaN prefix") {
     val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
       new TrendReconstructor("bucket_ts", 0L), nSplits = 3,

@@ -23,6 +23,20 @@ class LlmSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.3))
   }
 
+  test("shingles of short documents are empty, not a crash") {
+    val df = Seq((1L, "one"), (2L, "two words"), (3L, "three whole words here"))
+      .toDF("id", "text")
+    val got = df.select($"id", TextDedup.shingles($"text").as("sh"))
+      .orderBy($"id").collect()
+    assert(got(0).getSeq[String](1).isEmpty)
+    assert(got(1).getSeq[String](1).isEmpty)
+    assert(got(2).getSeq[String](1).size == 2)
+    // and the full dedup pipeline tolerates them
+    val shDf = TextDedup.withShingles(df, "id", "text")
+      .repartition(org.apache.spark.sql.functions.col("id"))
+    assert(TextDedup.candidatePairs(shDf).count() == 0)
+  }
+
   test("simhash of near-identical docs has small hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

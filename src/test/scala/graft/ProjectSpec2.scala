@@ -31,6 +31,7 @@ class ProjectSpec2 extends AnyFunSuite {
       |          kind: feedforward_hourglass
       |machines:
       |  - name: machine-one
+      |    metadata: {owner: team-x}
       |    dataset:
       |      tag_list: [tag-a, tag-b]
       |      resolution: 10T
@@ -65,6 +66,10 @@ class ProjectSpec2 extends AnyFunSuite {
     assert(scores.contains("r2-score"))
     val r2 = scores("r2-score").asInstanceOf[Map[String, Double]]
     assert(r2.keySet.intersect(Set("fold-mean", "fold-std", "fold-1")).size == 3)
+    // machine metadata survives through the project build path
+    val userDef = results.head.metadata("user_defined")
+      .asInstanceOf[Map[String, Any]]
+    assert(userDef("machine-metadata") == Map("owner" -> "team-x"))
   }
 
   test("verifyColumns reorders labeled input and renames unlabeled input") {

@@ -49,7 +49,9 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData((3L, 3.5))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$tmp/out").count() == 3)
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.count() == 3)
+      assert(out.columns.contains("batch_id")) // partitioned by batch
     } finally q.stop()
   }
 
