@@ -69,11 +69,14 @@ object LlmQueries {
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    // shingling is shared by candidate generation AND verification — an
-    // Exchange barrier lets both branches reuse one computation
-    // (ReusedExchange) without leaking cached blocks
+    // shingling is shared by candidate generation AND verification.
+    // persist (not an Exchange barrier): the empty-shingle filter inside
+    // candidatePairs pushes below a repartition and de-duplicates the
+    // exchange subplans, so ReusedExchange misses and shingles recompute
+    // per branch (observed 4x slower). The cache lives for the batch
+    // process; long-lived sessions should unpersist after consuming.
     val shDf = TextDedup.withShingles(docs, "doc_id", "text", ngram = 3)
-      .repartition(col("id"))
+      .persist()
     val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
