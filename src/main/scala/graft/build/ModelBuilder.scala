@@ -80,18 +80,39 @@ object ModelBuilder {
       case _ => 3
     }
 
+    // A8/A9/M13/M14 inputs: metric list + scoring scaler (fit on the FULL
+    // y first, `build_model.py:377-446`); the fold scores are computed
+    // inside the SAME CV loop that derives thresholds — no second pass
+    // refitting the base models
+    import graft.ml.{CrossValidate, Metrics, Scalers}
+    val metricNames = spec.evaluation.get("metrics") match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _ => List("explained_variance_score", "r2_score",
+        "mean_squared_error", "mean_absolute_error")
+    }
+    val foldMetrics = metricNames.map(name => name -> (name match {
+      case "explained_variance_score" => Metrics.explainedVariance _
+      case "r2_score" => Metrics.r2 _
+      case "mean_squared_error" => Metrics.mse _
+      case "mean_absolute_error" => Metrics.mae _
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }))
+    val scoringScaler =
+      if (spec.evaluation.get("scoring_scaler").exists(_ != null))
+        Some(Scalers.fitMinMax(wide, dsCfg.tags))
+      else None
+
     val t1 = System.nanoTime()
     val fitted = DiffAnomaly.fit(wide, dsCfg.tags, "bucket_ts", base,
       scalerKind = detector.scaler.kind, nSplits = nSplits,
       window = detector.window,
-      smoothingMethod = detector.smoothingMethod.getOrElse("smm"))
+      smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
+      foldMetrics = foldMetrics, scoringScaler = scoringScaler)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
-    // A8/A9/M13/M14: per-metric fold scores exactly like
-    // `build_model.py:274-289` — metric over scaling-scaler-transformed
-    // y/ŷ per fold (scaler fit on the FULL y first, `:377-446`), then
-    // fold-mean/std/max/min aggregation
-    val scores = crossValScores(wide, dsCfg.tags, base, nSplits, spec)
+    val scores = fitted.foldScores.map { case (name, vals) =>
+      name.replace("_", "-") -> CrossValidate.aggregateScores(vals)
+    }
 
     // model offset (J3, `build_model.py:448-471`): expression models are
     // row-aligned, so input length == output length
@@ -122,56 +143,6 @@ object ModelBuilder {
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
     } finally wide.unpersist()
-  }
-
-  private def crossValScores(wide: DataFrame, tags: Seq[String],
-                             base: graft.ml.DiffAnomaly.Reconstructor,
-                             nSplits: Int,
-                             spec: Config.MachineSpec): Map[String, Map[String, Double]] = {
-    import graft.ml.{CrossValidate, Metrics, Scalers}
-    val metricNames = spec.evaluation.get("metrics") match {
-      case Some(l: List[_]) => l.map(_.toString)
-      case _ => List("explained_variance_score", "r2_score",
-        "mean_squared_error", "mean_absolute_error")
-    }
-    val useScaler = spec.evaluation.get("scoring_scaler").exists(_ != null)
-    val scaler =
-      if (useScaler) Some(Scalers.fitMinMax(wide, tags)) else None
-    val indexed = CrossValidate.withRowIndex(wide,
-      Seq(col("bucket_ts"))).cache()
-    try {
-      val n = indexed.count()
-      val folds = CrossValidate.timeSeriesSplit(n, nSplits)
-      val perFold: Seq[Map[String, Double]] = folds.map { f =>
-        val m = base.fit(CrossValidate.trainFold(indexed, f), tags)
-        val test = CrossValidate.testFold(indexed, f)
-        def sc(c: org.apache.spark.sql.Column, t: String) = scaler match {
-          case Some(s) =>
-            val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
-            (c - lit(ctr)) / lit(sv)
-          case None => c
-        }
-        // average-over-tags metric, one aggregation pass for all metrics
-        val aggs = metricNames.flatMap { name =>
-          tags.map { t =>
-            val (y, yh) = (sc(col(s"`$t`"), t), sc(m.predictCol(t), t))
-            val expr = name match {
-              case "explained_variance_score" => Metrics.explainedVariance(y, yh)
-              case "r2_score" => Metrics.r2(y, yh)
-              case "mean_squared_error" => Metrics.mse(y, yh)
-              case "mean_absolute_error" => Metrics.mae(y, yh)
-              case other => throw new IllegalArgumentException(s"unknown metric: $other")
-            }
-            expr.as(s"${name}__$t")
-          }
-        }
-        val row = test.agg(aggs.head, aggs.tail: _*).head()
-        metricNames.map(name => name ->
-          tags.map(t => row.getAs[Double](s"${name}__$t")).sum / tags.size).toMap
-      }
-      metricNames.map(name => name.replace("_", "-") ->
-        CrossValidate.aggregateScores(perFold.map(_(name)))).toMap
-    } finally indexed.unpersist()
   }
 
   /** §3.3 `/prediction` equivalent: model-input/output only, no targets

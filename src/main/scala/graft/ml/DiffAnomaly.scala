@@ -232,7 +232,11 @@ object DiffAnomaly {
       tags: Seq[String],
       orderCol: String,
       window: Option[Int],
-      smoothingMethod: String)
+      smoothingMethod: String,
+      /** Per-metric raw fold values when `foldMetrics` were requested at
+        * fit time (A8 input) — computed inside the SAME fold loop as the
+        * thresholds, so no second CV pass refits the base models. */
+      foldScores: Map[String, Seq[Double]] = Map.empty)
 
   /** Fit + cross_validate (`diff.py:166-264`): per expanding-window fold,
     * fit the base model and scaler on train, score the test span, take
@@ -243,7 +247,9 @@ object DiffAnomaly {
   def fit(wide: DataFrame, tags: Seq[String], orderCol: String,
           base: Reconstructor, scalerKind: String = "minmax",
           nSplits: Int = 3, window: Option[Int] = None,
-          smoothingMethod: String = "smm"): FittedDetector = {
+          smoothingMethod: String = "smm",
+          foldMetrics: Seq[(String, (Column, Column) => Column)] = Nil,
+          scoringScaler: Option[FittedScaler] = None): FittedDetector = {
     val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
@@ -253,6 +259,8 @@ object DiffAnomaly {
       var lastSmoothFeat: Option[Map[String, Double]] = None
       var lastSmoothAgg: Option[Double] = None
       val perFoldAgg = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val perFoldScores = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ListBuffer[Double]]()
       folds.foreach { f =>
         val train = CrossValidate.trainFold(indexed, f)
         val test = CrossValidate.testFold(indexed, f)
@@ -269,13 +277,34 @@ object DiffAnomaly {
           val (sf, sa) = rollMinMax(scored, tags, w)
           lastSmoothFeat = Some(sf); lastSmoothAgg = Some(sa)
         }
+        // A8/M13/M14: fold metric scores in the SAME loop, reusing this
+        // fold's fitted model — metric over scoring-scaler-transformed
+        // y/ŷ, averaged over tags (`build_model.py:274-289,377-446`)
+        if (foldMetrics.nonEmpty) {
+          def scl(c: Column, t: String): Column = scoringScaler match {
+            case Some(s) =>
+              val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
+              (c - lit(ctr)) / lit(sv)
+            case None => c
+          }
+          val aggs = for { (name, fn) <- foldMetrics; t <- tags }
+            yield fn(scl(qc(t), t), scl(m.predictCol(t), t)).as(s"${name}__$t")
+          val row = test.agg(aggs.head, aggs.tail: _*).head()
+          foldMetrics.foreach { case (name, _) =>
+            val avgOverTags = tags
+              .map(t => row.getAs[Double](s"${name}__$t")).sum / tags.size
+            perFoldScores.getOrElseUpdate(name,
+              scala.collection.mutable.ListBuffer()) += avgOverTags
+          }
+        }
       }
       val finalModel = base.fit(indexed, tags)
       val finalScaler = fitScaler(scalerKind, indexed, tags)
       FittedDetector(finalModel, finalScaler,
         Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
           perFoldAgg.toMap),
-        tags, orderCol, window, smoothingMethod)
+        tags, orderCol, window, smoothingMethod,
+        perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap)
     } finally indexed.unpersist()
   }
 
