@@ -64,13 +64,25 @@ object ModelBuilder {
     try {
 
     val compiled = ModelRegistry.compile(spec.model)
+    // a model without an explicit detector node (e.g. the reference's
+    // canonical top-level Pipeline[MinMaxScaler, KerasAutoEncoder]) is
+    // wrapped in a default detector with the WHOLE tree as base — its
+    // preprocessing prefix must survive, not be dropped
     val detector = ModelRegistry.detectorOf(compiled).getOrElse(
-      ModelRegistry.Detector(
-        ModelRegistry.Reconstruction("ridge", "feedforward_hourglass"),
+      ModelRegistry.Detector(compiled,
         ModelRegistry.Scaler("minmax"), None, None, shuffle = false))
     val epoch0 = dsCfg.trainStart
       .map(s => Config.parseTzAware(s).toEpochSecond).getOrElse(0L)
-    val base = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
+    // base-estimator preprocessing prefix (the reference's default model
+    // IS Pipeline[MinMaxScaler, KerasAutoEncoder]): fit the transform
+    // chain on the assembled frame, then fit the reconstruction in the
+    // transformed space with predictions mapped back to raw units
+    val prep = ModelRegistry.fitPreprocess(wide, dsCfg.tags,
+      ModelRegistry.basePreprocess(detector.base))
+    val base0 = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
+    val base =
+      if (prep.isEmpty) base0
+      else new graft.ml.Preprocess.Reconstructor(base0, prep)
     val nSplits = spec.evaluation.get("cv") match {
       case Some(cv: Map[_, _]) =>
         ModelRegistry.compile(cv.asInstanceOf[Map[String, Any]]) match {
@@ -97,10 +109,17 @@ object ModelBuilder {
       case "mean_absolute_error" => Metrics.mae _
       case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }))
-    val scoringScaler =
-      if (spec.evaluation.get("scoring_scaler").exists(_ != null))
-        Some(Scalers.fitMinMax(wide, dsCfg.tags))
-      else None
+    // dispatch on the CONFIGURED scaler class (a RobustScaler must not be
+    // silently substituted with MinMax — it skews the fold-metric scores)
+    val scoringScaler = spec.evaluation.get("scoring_scaler")
+      .filter(_ != null).map { v =>
+        ModelRegistry.compile(v) match {
+          case ModelRegistry.Scaler("minmax") => Scalers.fitMinMax(wide, dsCfg.tags)
+          case ModelRegistry.Scaler("robust") => Scalers.fitRobust(wide, dsCfg.tags)
+          case other => throw new ModelRegistry.CompileException(
+            s"unsupported scoring_scaler: $other")
+        }
+      }
 
     val t1 = System.nanoTime()
     val fitted = DiffAnomaly.fit(wide, dsCfg.tags, "bucket_ts", base,
@@ -138,8 +157,8 @@ object ModelBuilder {
         "aggregate-thresholds-per-fold" -> fitted.thresholds.perFoldAggregate,
         "cross_validation" -> Map("scores" -> scores)))
 
-    Persistence.save(outputDir, Persistence.stateOf(fitted, implName, epoch0),
-      metadata)
+    Persistence.save(outputDir,
+      Persistence.stateOf(fitted, implName, epoch0, prep.specs), metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
     } finally wide.unpersist()

@@ -72,12 +72,16 @@ object Persistence {
       impl: String, epoch0: Long, orderCol: String, tags: Seq[String],
       modelParams: Map[String, Double], scalerKind: String,
       scalerStats: Map[String, (Double, Double)], thresholds: Thresholds,
-      window: Option[Int], smoothingMethod: String)
+      window: Option[Int], smoothingMethod: String,
+      /** Fitted base-estimator preprocessing chain specs
+        * ([[graft.ml.Preprocess]]); empty when the base is bare. */
+      preprocess: List[Map[String, Any]] = Nil)
 
-  def stateOf(fd: FittedDetector, impl: String, epoch0: Long): ModelState =
+  def stateOf(fd: FittedDetector, impl: String, epoch0: Long,
+              preprocess: List[Map[String, Any]] = Nil): ModelState =
     ModelState(impl, epoch0, fd.orderCol, fd.tags, fd.model.params,
       fd.scaler.kind, fd.scaler.stats, fd.thresholds, fd.window,
-      fd.smoothingMethod)
+      fd.smoothingMethod, preprocess)
 
   def save(dir: String, state: ModelState,
            metadata: Map[String, Any] = Map.empty): Unit = {
@@ -98,7 +102,8 @@ object Persistence {
         .map(_.asInstanceOf[Any]).getOrElse(null),
       "perFoldAggregate" -> state.thresholds.perFoldAggregate,
       "window" -> state.window.map(_.asInstanceOf[Any]).getOrElse(null),
-      "smoothingMethod" -> state.smoothingMethod))
+      "smoothingMethod" -> state.smoothingMethod,
+      "preprocess" -> state.preprocess))
     Files.writeString(p.resolve("model.json"), modelJson)
     Files.writeString(p.resolve("metadata.json"), toJson(metadata))
     Files.writeString(p.resolve("info.json"),
@@ -136,51 +141,71 @@ object Persistence {
       Option(m.getOrElse("smoothAggregateThreshold", null)).map(dbl),
       m.getOrElse("perFoldAggregate", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> dbl(v) })
-    val fitted = rebuildFitted(m("impl").toString, params, tags, orderCol, epoch0)
+    val prep = graft.ml.Preprocess.fromSpecs(
+      m.getOrElse("preprocess", List.empty[Any]).asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]))
+    val fitted = rebuildFitted(m("impl").toString, params, tags, orderCol,
+      epoch0, prep)
     FittedDetector(fitted, FittedScaler(m("scalerKind").toString, stats), th,
       tags, orderCol,
       Option(m.getOrElse("window", null)).map(_.toString.toInt),
       m.getOrElse("smoothingMethod", "smm").toString)
   }
 
-  /** Reconstruct the prediction expressions from saved weights. */
+  /** Reconstruct the prediction expressions from saved weights. The
+    * feature references go through the persisted preprocessing chain
+    * (identity when empty) and predictions back through its affine
+    * inverse — and ALWAYS through `graft.Cols.q`: tag names with dots
+    * (`GRA-YE  -23-0751X.PV`) are a supported case, so a bare `col(tag)`
+    * here would fail any persisted dotted-tag model on load-then-score. */
   private def rebuildFitted(impl: String, p: Map[String, Double],
                             tags: Seq[String], orderCol: String,
-                            epoch0: Long): Fitted = impl match {
-    case "trend" => new Fitted {
-      private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
-      def predictCol(tag: String): Column =
-        lit(p(s"a_$tag")) + lit(p(s"b_$tag")) * x
-      def params: Map[String, Double] = p
-    }
-    case "ridge" => new Fitted {
-      private val feats: Seq[Column] = lit(1.0) +: tags.map(col(_).cast("double"))
-      def predictCol(tag: String): Column =
-        feats.indices
-          .flatMap(fi => p.get(s"w_${tag}_$fi").map(w => feats(fi) * lit(w)))
-          .reduce(_ + _)
-      def params: Map[String, Double] = p
-    }
-    case "pca" => new Fitted {
-      private val mu = tags.map(t => p(s"mu_$t")).toArray
-      private val nComp = p.keys.collect {
-        case k if k.startsWith("pc_") => k.split("_")(1).toInt
-      }.foldLeft(-1)(math.max) + 1
-      private val comps = Array.tabulate(nComp, tags.size)((ci, d) => p(s"pc_${ci}_$d"))
-      def predictCol(tag: String): Column = {
-        val ti = tags.indexOf(tag)
-        val centered = tags.zipWithIndex.map { case (t, i) =>
-          col(t).cast("double") - lit(mu(i))
-        }
-        comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
-          val proj = centered.zip(comp)
-            .map { case (c, w) => c * lit(w) }.reduce(_ + _)
-          acc + lit(comp(ti)) * proj
-        }
+                            epoch0: Long,
+                            prep: graft.ml.Preprocess.Fitted): Fitted = {
+    def feature(t: String): Column =
+      prep.preFrom(t, graft.Cols.q(t).cast("double"))
+    val inner: Fitted = impl match {
+      case "trend" => new Fitted {
+        private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
+        def predictCol(tag: String): Column =
+          lit(p(s"a_$tag")) + lit(p(s"b_$tag")) * x
+        def params: Map[String, Double] = p
       }
-      def params: Map[String, Double] = p
+      case "ridge" => new Fitted {
+        private val feats: Seq[Column] =
+          lit(1.0) +: tags.map(t => feature(t).cast("double"))
+        def predictCol(tag: String): Column =
+          feats.indices
+            .flatMap(fi => p.get(s"w_${tag}_$fi").map(w => feats(fi) * lit(w)))
+            .reduce(_ + _)
+        def params: Map[String, Double] = p
+      }
+      case "pca" => new Fitted {
+        private val mu = tags.map(t => p(s"mu_$t")).toArray
+        private val nComp = p.keys.collect {
+          case k if k.startsWith("pc_") => k.split("_")(1).toInt
+        }.foldLeft(-1)(math.max) + 1
+        private val comps = Array.tabulate(nComp, tags.size)((ci, d) => p(s"pc_${ci}_$d"))
+        def predictCol(tag: String): Column = {
+          val ti = tags.indexOf(tag)
+          val centered = tags.zipWithIndex.map { case (t, i) =>
+            feature(t).cast("double") - lit(mu(i))
+          }
+          comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
+            val proj = centered.zip(comp)
+              .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+            acc + lit(comp(ti)) * proj
+          }
+        }
+        def params: Map[String, Double] = p
+      }
+      case other => throw new IllegalStateException(s"unknown model impl: $other")
     }
-    case other => throw new IllegalStateException(s"unknown model impl: $other")
+    if (prep.isEmpty) inner
+    else new Fitted {
+      def predictCol(tag: String): Column = prep.post(tag, inner.predictCol(tag))
+      def params: Map[String, Double] = inner.params
+    }
   }
 
   // ---- disk registry (ref: gordo/util/disk_registry.py:18-117) ----

@@ -3,7 +3,7 @@ package graft.config
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ml.{DiffAnomaly, InfImputer, Scalers}
+import graft.ml.{DiffAnomaly, InfImputer, Preprocess, Scalers}
 
 /** The pipeline compiler (SURVEY M1/M2/M8; ref: `from_definition`
   * `gordo/serializer/from_definition.py:23-373`, inverse
@@ -90,7 +90,22 @@ object ModelRegistry {
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
     case "sklearn.decomposition.PCA" =>
-      Reconstruction("pca", kw.getOrElse("n_components", 1).toString)
+      // sklearn accepts a positive int (rank), a float in (0,1) (variance
+      // fraction), or None (keep all) — validate HERE so a bad value is a
+      // clear config error, not a NumberFormatException mid-build
+      val spec = kw.getOrElse("n_components", 1) match {
+        case null => "all"
+        case v =>
+          val s = v.toString
+          scala.util.Try(s.toDouble).toOption match {
+            case Some(d) if d >= 1.0 && d == math.floor(d) => d.toInt.toString
+            case Some(d) if d > 0.0 && d < 1.0 => s
+            case _ => throw new CompileException(
+              s"PCA n_components must be a positive integer, a variance " +
+                s"fraction in (0, 1), or null: $s")
+          }
+      }
+      Reconstruction("pca", spec)
     case "sklearn.model_selection.TimeSeriesSplit" =>
       CvSplit("timeseries", kw.getOrElse("n_splits", 3).toString.toInt)
     case "sklearn.model_selection.KFold" =>
@@ -127,7 +142,11 @@ object ModelRegistry {
         "func" -> "gordo.machine.model.transformer_funcs.general.multiply_by",
         "kw_args" -> Map("factor" -> factor)))
     case Reconstruction("pca", k) =>
-      Map("sklearn.decomposition.PCA" -> Map("n_components" -> k.toInt))
+      val n: Any =
+        if (k == "all") null
+        else if (k.contains('.')) k.toDouble
+        else k.toInt
+      Map("sklearn.decomposition.PCA" -> Map("n_components" -> n))
     case Reconstruction(_, kind) =>
       Map("gordo.machine.model.models.KerasAutoEncoder" -> Map("kind" -> kind))
     case CvSplit("timeseries", n) =>
@@ -158,7 +177,8 @@ object ModelRegistry {
       case Imputer(strategy, delta) =>
         InfImputer.fit(df, tags, strategy, delta).transform(df, tags)
       case Multiply(factor) =>
-        tags.foldLeft(df)((d, t) => d.withColumn(t, col(t) * lit(factor)))
+        tags.foldLeft(df)((d, t) =>
+          d.withColumn(t, graft.Cols.q(t) * lit(factor)))
       case UnionOf(branches) =>
         // column-wise composition over the SAME rows (no join): branch i
         // gets its own copy of the tag columns (suffix __b{i}) and its
@@ -185,9 +205,61 @@ object ModelRegistry {
   def reconstructorOf(stage: Stage, orderCol: String, epoch0: Long): DiffAnomaly.Reconstructor =
     stage match {
       case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
-      case Reconstruction("pca", k) => new DiffAnomaly.PcaReconstructor(k.toInt)
+      case Reconstruction("pca", k) =>
+        if (k == "all") new DiffAnomaly.PcaReconstructor(Int.MaxValue)
+        else if (k.contains('.'))
+          new DiffAnomaly.PcaReconstructor(1, Some(k.toDouble))
+        else new DiffAnomaly.PcaReconstructor(k.toInt)
       case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
       case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
       case other => throw new CompileException(s"no reconstructor in $other")
     }
+
+  /** Preprocessing prefix of a base estimator: the stages before the
+    * final Reconstruction of a `Pipeline[transforms..., model]` (the
+    * reference's DEFAULT model shape — `Pipeline[MinMaxScaler,
+    * KerasAutoEncoder]`). Unsupported shapes are an explicit
+    * CompileException, never silently dropped. */
+  def basePreprocess(base: Stage): List[Stage] = base match {
+    case PipelineOf(steps) =>
+      if (steps.isEmpty) throw new CompileException("empty base-estimator Pipeline")
+      val prefix = steps.init.flatMap {
+        case PipelineOf(inner) => inner
+        case s => List(s)
+      }
+      prefix.foreach {
+        case _: Scaler | _: Imputer | _: Multiply => ()
+        case other => throw new CompileException(
+          s"unsupported base-estimator preprocessing stage: $other")
+      }
+      prefix
+    case _ => Nil
+  }
+
+  /** Fit the preprocessing prefix sequentially over the wide frame
+    * (sklearn `Pipeline.fit`: each stage fits on the previous stage's
+    * output). Each fit is one distributed agg pass; no materialized
+    * intermediate — the chain stays pure column expressions. */
+  def fitPreprocess(df: DataFrame, tags: Seq[String],
+                    stages: List[Stage]): Preprocess.Fitted = {
+    val fitted = scala.collection.mutable.ListBuffer[Preprocess.Stage]()
+    var cur = df
+    stages.foreach { st =>
+      val f: Preprocess.Stage = st match {
+        case Scaler(kind) =>
+          val s = if (kind == "minmax") Scalers.fitMinMax(cur, tags)
+                  else Scalers.fitRobust(cur, tags)
+          Preprocess.ScalerStage(kind, s.stats)
+        case Imputer(strategy, delta) =>
+          Preprocess.ImputerStage(
+            InfImputer.fit(cur, tags, strategy, delta).fills)
+        case Multiply(factor) => Preprocess.MultiplyStage(factor)
+        case other => throw new CompileException(s"not a preprocessing stage: $other")
+      }
+      fitted += f
+      cur = tags.foldLeft(cur)((d, t) =>
+        d.withColumn(t, f.pre(t, graft.Cols.q(t).cast("double"))))
+    }
+    Preprocess.Fitted(fitted.toList)
+  }
 }

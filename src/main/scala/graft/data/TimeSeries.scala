@@ -334,8 +334,10 @@ object TimeSeries {
       case "linear_interpolation" | "linear" => interpolateLinear(gridded, Seq(keyCol), limitSec, valueCol)
       case m => throw new IllegalArgumentException(s"unsupported interpolation: $m")
     }
+    // NOT `na.drop(cols)`: DataFrameNaFunctions resolves dotted tag names
+    // as nested-field paths and fails — filter through quoted refs instead
     var wide = pivotWide(interp, keyCol, cfg.tags, valueCol)
-      .na.drop(cols = cfg.tags)
+      .filter(cfg.tags.map(t => graft.Cols.q(t).isNotNull).reduce(_ && _))
     if (cfg.rowFilter.nonEmpty)
       wide = rowFilterWithBuffer(wide, keys = Nil, orderCols = Seq("bucket_ts"),
         predicate = expr(translateRowFilter(cfg.rowFilter)),

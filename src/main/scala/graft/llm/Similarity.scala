@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-fold dot product in index order — the native codegen kernel
+    * ([[graft.functions.ArrayOps.dot]]); bit-identical to the HOF
+    * `aggregate(zip_with(...))` form it replaced. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

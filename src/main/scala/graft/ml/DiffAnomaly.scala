@@ -34,7 +34,14 @@ object DiffAnomaly {
     * columns. Implementations must be deterministic (SURVEY §7.4: no NN
     * nondeterminism in correctness gates). */
   trait Reconstructor {
-    def fit(train: DataFrame, tags: Seq[String]): Fitted
+    /** Fit with an explicit feature-expression builder: `feature(tag)` is
+      * the model-input expression for `tag` (identity `qc` normally; the
+      * fitted preprocessing chain when the base estimator is a
+      * `Pipeline[transforms..., model]` — see [[Preprocess.Reconstructor]]). */
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted
+    final def fit(train: DataFrame, tags: Seq[String]): Fitted =
+      fit(train, tags, t => qc(t).cast("double"))
   }
 
   trait Fitted {
@@ -49,9 +56,11 @@ object DiffAnomaly {
     * correctness-gate reconstruction model (SURVEY §7.3(c)). */
   class TrendReconstructor(orderCol: String, epoch0: Long) extends Reconstructor {
     private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
-    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted = {
       val aggs = tags.flatMap(t => Seq(
-        regr_slope(qc(t), x).as(s"b_$t"), regr_intercept(qc(t), x).as(s"a_$t")))
+        regr_slope(feature(t), x).as(s"b_$t"),
+        regr_intercept(feature(t), x).as(s"a_$t")))
       val row = train.agg(aggs.head, aggs.tail: _*).head()
       val ab = tags.map(t =>
         t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
@@ -73,10 +82,11 @@ object DiffAnomaly {
     * — the Spark shape for "fit collects the modest per-machine matrix"
     * (SURVEY §3.1). */
   class RidgeReconstructor(lambda: Double = 1e-8) extends Reconstructor {
-    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted = {
       val m = tags.size
       // feature vector = (1, tags...): Gram is (m+1)x(m+1)
-      val feats = lit(1.0) +: tags.map(t => qc(t).cast("double"))
+      val feats = lit(1.0) +: tags.map(t => feature(t).cast("double"))
       val aggs = for {
         i <- 0 to m; j <- i to m
       } yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
@@ -133,14 +143,19 @@ object DiffAnomaly {
     * Deterministic (eigenvector sign fixed by largest-magnitude entry),
     * the authentic stand-in for the reference's feedforward autoencoder
     * (SURVEY §7.3c: "default to linear/PCA reconstruction models"). */
-  class PcaReconstructor(nComponents: Int) extends Reconstructor {
-    require(nComponents >= 1, "n_components must be >= 1")
-    def fit(train: DataFrame, tags: Seq[String]): Fitted = {
+  class PcaReconstructor(nComponents: Int,
+                         varianceFraction: Option[Double] = None)
+      extends Reconstructor {
+    require(varianceFraction.isDefined || nComponents >= 1,
+      "n_components must be >= 1")
+    varianceFraction.foreach(f => require(f > 0.0 && f < 1.0,
+      s"variance fraction must be in (0, 1): $f"))
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted = {
       val m = tags.size
-      val k = math.min(nComponents, m)
-      val means = tags.map(t => avg(qc(t)).as(s"mu_$t"))
+      val means = tags.map(t => avg(feature(t)).as(s"mu_$t"))
       val covs = for { i <- 0 until m; j <- i until m }
-        yield covar_pop(qc(tags(i)), qc(tags(j))).as(s"c_${i}_$j")
+        yield covar_pop(feature(tags(i)), feature(tags(j))).as(s"c_${i}_$j")
       val row = train.agg((means ++ covs).head, (means ++ covs).tail: _*).head()
       val mu = tags.map(t => row.getAs[Double](s"mu_$t")).toArray
       val cov = Array.tabulate(m, m) { (i, j) =>
@@ -148,6 +163,20 @@ object DiffAnomaly {
         row.getAs[Double](s"c_${a}_$b")
       }
       val (vals, vecs) = jacobiEigen(cov)
+      val sorted = vals.sorted(Ordering[Double].reverse)
+      // sklearn float n_components: smallest k whose cumulative explained
+      // variance EXCEEDS the fraction (searchsorted side='right' + 1)
+      val k = varianceFraction match {
+        case Some(f) =>
+          val total = sorted.sum
+          val cum = sorted.scanLeft(0.0)(_ + _).drop(1)
+          if (total <= 0.0) 1
+          else math.min(m, cum.indexWhere(_ / total > f) match {
+            case -1 => m
+            case i  => i + 1
+          })
+        case None => math.min(nComponents, m)
+      }
       // top-k by eigenvalue, sign-fixed for determinism
       val order = vals.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
       val comps: Array[Array[Double]] = order.map { ci =>
@@ -159,7 +188,7 @@ object DiffAnomaly {
         def predictCol(tag: String): Column = {
           val ti = tags.indexOf(tag)
           val centered = tags.zipWithIndex.map { case (t, i) =>
-            qc(t).cast("double") - lit(mu(i))
+            feature(t).cast("double") - lit(mu(i))
           }
           // x̂_ti = mu_ti + Σ_c comps(c)(ti) · (centered · comps(c))
           comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>

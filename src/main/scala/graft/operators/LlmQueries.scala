@@ -262,7 +262,7 @@ object LlmQueries {
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     "q36_ann_lsh_buckets" ->
-      s"""SELECT bucket, count(*) AS n, sum(vec_id) AS sum_ids FROM (
+      s"""SELECT bucket, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_ids FROM (
         |  SELECT vec_id,
         |    $bucketSql AS bucket
         |  FROM embeddings)
