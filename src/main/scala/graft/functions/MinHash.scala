@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature kernel: `k` permutations simulated as the
+  * minimum over shingles of `md5(i + "|" + shingle)` — the SAME hash
+  * family as the declarative
+  * `transform(sequence(0, k-1), i => array_min(transform(sh, s => md5(...))))`
+  * it replaces, but computed in one JVM pass per row instead of an
+  * interpreted nested-lambda tree (k × |sh| expression-tree walks with
+  * per-element string concat/allocation).
+  *
+  * Parity contract (the DuckDB oracle replays the same arithmetic):
+  * lowercase-hex md5 strings compared lexicographically. Hex lexicographic
+  * order equals UNSIGNED byte order of the 16-byte digest, so the kernel
+  * compares raw digests and hex-encodes only each permutation's winner.
+  * Null shingle elements are skipped (array_min ignores nulls); an
+  * empty/all-null shingle set yields null signature entries.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string>, got ${other.catalogString}")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // shingle bytes decoded once, reused across all k permutations
+    val shingles = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) shingles(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](k)
+    var p = 0
+    while (p < k) {
+      val prefix = (p.toString + "|").getBytes("UTF-8")
+      var min: Array[Byte] = null
+      var j = 0
+      while (j < n) {
+        val s = shingles(j)
+        if (s != null) {
+          md.reset()
+          md.update(prefix)
+          md.update(s)
+          val d = md.digest()
+          if (min == null || java.util.Arrays.compareUnsigned(d, min) < 0)
+            min = d
+        }
+        j += 1
+      }
+      out(p) = if (min == null) null else hex(min)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHash {
+  /** MinHash signature of a shingle-array column (k lowercase-hex md5
+    * minima, identical to the declarative HOF form). */
+  def signature(sh: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), k))
+}

@@ -52,34 +52,63 @@ object Similarity {
       .cast("double") / lit(1073741824.0) - lit(1.0)
 
   /** Sign-bucket key from `planes` random hyperplanes: the classic
-    * random-projection LSH for cosine similarity. */
-  def lshBucket(emb: Column, planes: Int): Column =
+    * random-projection LSH for cosine similarity. `table` offsets the
+    * plane indices so each hash table draws independent hyperplanes. */
+  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column =
     concat_ws("", (0 until planes).map { j =>
       val d = aggregate(
-        transform(emb, (x, i) => x.cast("double") * hyperplane(j, i.cast("long"))),
+        transform(emb, (x, i) =>
+          x.cast("double") * hyperplane(table * planes + j, i.cast("long"))),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs are
-    * same-bucket rows only (id_a < id_b), verified by exact cosine ≥
-    * `threshold` — the embedding analog of MinHash near-dup dedup.
-    * Fewer planes → bigger buckets → higher recall at higher cost. */
+  /** Banded multi-table LSH candidate pairs: `tables` independent hash
+    * tables of `planes` hyperplanes each. A pair is a candidate when it
+    * collides in ANY table (the OR-construction — same shape as MinHash
+    * banding). This is the 100-TB design: bucket count per table is
+    * 2^planes (scale `planes` with log N to bound bucket occupancy, and
+    * `tables` for recall), so the per-bucket self-join stays tiny and the
+    * plan is explode → shuffle-on-bucket → join → pair-distinct, with NO
+    * low-cardinality bucket key and NO crossJoin. */
+  def lshCandidatePairs(corpus: DataFrame, idCol: String, embCol: String,
+                        planes: Int, tables: Int): DataFrame = {
+    val keyed = corpus.select(col(idCol).as("id"),
+      explode(array((0 until tables).map(t =>
+        concat_ws("#", lit(t.toString),
+          lshBucket(col(embCol), planes, t))): _*)).as("bucket"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs, banded-LSH bucketed: candidates
+    * collide in any of `tables` hash tables of `planes` planes (OR over
+    * tables → recall; planes → bucket size), deduped per pair, then
+    * verified by exact cosine ≥ `threshold` — the embedding analog of
+    * MinHash near-dup dedup. Only deduped candidates pay the exact
+    * cosine: the verify step joins the pair list back to the corpus on
+    * id (two hash joins on a high-cardinality key). */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-                      planes: Int, threshold: Double): DataFrame = {
+                      planes: Int, tables: Int, threshold: Double): DataFrame = {
+    // vectors ride through the bucket shuffle so no re-join is needed;
+    // the cosine filter runs BEFORE the pair-distinct, shrinking the
+    // distinct's input to near-dup collisions only (cosine is
+    // deterministic, so duplicate collisions dedup exactly)
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"),
-      lshBucket(col(embCol), planes).as("bucket"))
-      // Exchange barrier doubling as the join's partitioning: prevents
-      // re-evaluation of bucket/norm per use AND is reused by both join
-      // sides (ReusedExchange) — no cached blocks left behind
-      .repartition(col("bucket"))
+      explode(array((0 until tables).map(t =>
+        concat_ws("#", lit(t.toString),
+          lshBucket(col(embCol), planes, t))): _*)).as("bucket"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Bucketed approximate top-k: candidates are same-bucket rows only —

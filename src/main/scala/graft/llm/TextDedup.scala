@@ -43,14 +43,11 @@ object TextDedup {
 
   /** MinHash signature: k permutations simulated as min over shingles of
     * md5(i + "|" + shingle) (lexicographic min of hex strings — a
-    * uniform order, portable across engines). Built as ONE nested
-    * transform so the (expensive) shingle argument appears once in the
-    * expression tree — an `array(...)` of k independent mins would
-    * re-evaluate it k times after projection collapse. */
+    * uniform order, portable across engines). Computed by the native
+    * [[graft.functions.MinHash]] kernel — one JVM pass per row instead of
+    * an interpreted k × |sh| nested-lambda walk. */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh,
-        s => md5(concat(i.cast("string"), lit("|"), s).cast("binary")))))
+    graft.functions.MinHash.signature(sh, k)
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one key. Docs sharing ANY band key are candidate

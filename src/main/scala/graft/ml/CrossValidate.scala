@@ -53,13 +53,56 @@ object CrossValidate {
   }
 
   /** Attach a 0-based `__row` ordered by `orderCols` (deterministic total
-    * order — callers must include a unique tiebreak column). The window
-    * is unpartitioned by design: CV operates on ONE machine's series,
-    * whose length is bounded (months × 144/day); multi-machine builds
-    * parallelize across machines, not within this window. */
-  def withRowIndex(df: DataFrame, orderCols: Seq[Column]): DataFrame =
-    df.withColumn("__row",
-      row_number().over(Window.orderBy(orderCols: _*)) - lit(1))
+    * order — callers must include a unique tiebreak column).
+    *
+    * Scale-safe: when the leading order column is numeric (the time
+    * bucket, in every caller), rows are chunked by VALUE RANGE — chunk
+    * boundaries derive from a collected min/max, not a sampled
+    * partitioner, so the two jobs (per-chunk counts, then numbering)
+    * see identical chunks — and `__row` = exclusive prefix sum of chunk
+    * counts + row_number within the chunk. No single-partition
+    * WindowExec; each window partition holds ~n/chunks rows however long
+    * the series grows. Non-numeric leading columns fall back to the
+    * global window (no current caller). */
+  def withRowIndex(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val headIsNumeric = orderCols.headOption.exists(c =>
+      df.select(c).schema.head.dataType.isInstanceOf[NumericType])
+    if (!headIsNumeric)
+      return df.withColumn("__row",
+        row_number().over(Window.orderBy(orderCols: _*)) - lit(1))
+    val head = orderCols.head
+    val b = df.agg(min(head).cast("double").as("mn"),
+      max(head).cast("double").as("mx"), count(lit(1)).as("n")).head()
+    if (b.getLong(2) == 0L) return df.withColumn("__row", lit(0L))
+    val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    // bounded frame: a single constant-key partition is already bounded —
+    // skip the chunk-count job and offset join
+    if (n <= 4096)
+      return df.withColumn("__row",
+        row_number().over(Window
+          .partitionBy(pmod(head.cast("bigint"), lit(1L)))
+          .orderBy(orderCols: _*))
+          .cast("long") - lit(1L))
+    val targetChunks = math.max(32,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val span = math.max((mx - mn + 1.0) / targetChunks, 1e-9)
+    val chunkOf = floor((head.cast("double") - lit(mn)) / lit(span)).cast("long")
+    val counts = df.groupBy(chunkOf.as("__ck"))
+      .agg(count(lit(1)).as("__cn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (ck, cn) => val o = (ck, acc); acc += cn; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__ck", "__off")
+    val w = Window.partitionBy(col("__ck")).orderBy(orderCols: _*)
+    df.withColumn("__ck", chunkOf)
+      .join(broadcast(offDf), "__ck")
+      .withColumn("__row",
+        col("__off") + row_number().over(w).cast("long") - lit(1L))
+      .drop("__ck", "__off")
+  }
 
   def testFold(indexed: DataFrame, fold: Fold): DataFrame =
     indexed.filter(col("__row") >= fold.testStart && col("__row") < fold.testEnd)

@@ -279,7 +279,11 @@ object DiffAnomaly {
           smoothingMethod: String = "smm",
           foldMetrics: Seq[(String, (Column, Column) => Column)] = Nil,
           scoringScaler: Option[FittedScaler] = None): FittedDetector = {
-    val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol))).cache()
+    // persist the assembled frame FIRST: withRowIndex runs two small jobs
+    // (chunk bounds + counts) before the fold loop, which would otherwise
+    // recompute the upstream resample/align per job
+    val src = wide.persist()
+    val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
       val folds = CrossValidate.timeSeriesSplit(n, nSplits)
@@ -299,11 +303,11 @@ object DiffAnomaly {
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
             tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
-        val (feat, agg) = rollMinMax(scored, tags, 6)
+        val (feat, agg) = rollMinMax(scored, tags, 6, f.testStart, f.nTest)
         perFoldAgg(s"fold-${f.index}") = agg
         lastFeat = feat; lastAgg = agg
         window.foreach { w =>
-          val (sf, sa) = rollMinMax(scored, tags, w)
+          val (sf, sa) = rollMinMax(scored, tags, w, f.testStart, f.nTest)
           lastSmoothFeat = Some(sf); lastSmoothAgg = Some(sa)
         }
         // A8/M13/M14: fold metric scores in the SAME loop, reusing this
@@ -334,7 +338,7 @@ object DiffAnomaly {
           perFoldAgg.toMap),
         tags, orderCol, window, smoothingMethod,
         perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap)
-    } finally indexed.unpersist()
+    } finally { indexed.unpersist(); src.unpersist() }
   }
 
   /** M12 `DiffBasedKFCVAnomalyDetector` (`diff.py:461-635`): KFold CV,
@@ -352,7 +356,8 @@ object DiffAnomaly {
               nSplits: Int = 5, window: Int = 144,
               smoothingMethod: String = "smm",
               thresholdPercentile: Double = 0.99): FittedDetector = {
-    val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol))).cache()
+    val src = wide.persist()
+    val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
       val folds = CrossValidate.kFold(n, nSplits)
@@ -378,20 +383,15 @@ object DiffAnomaly {
             span = window.toDouble)
             .select((col("__sm_mse") +: tags.map(t => qc(s"__sm_$t"))): _*)
         case method =>
-          val w = Window.orderBy(col("__row"))
-          val frame = w.rowsBetween(-(window - 1), 0)
-          val rn = row_number().over(w)
-          def smooth(c: Column): Column = {
-            val s = method match {
-              case "smm" => percentile(c, lit(0.5)).over(frame)
-              case "sma" => avg(c).over(frame)
-              case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
-            }
-            when(rn >= window, s)
-          }
-          scattered.select(
-            (smooth(col("__mse")).as("__sm_mse") +:
-              tags.map(t => smooth(qc(s"__mae_$t")).as(s"__sm_$t"))): _*)
+          require(method == "smm" || method == "sma",
+            s"unsupported smoothing: $method")
+          // chunked trailing window over the dense __row index — no
+          // single-partition WindowExec however long the series
+          Windows.chunkedTrailing(scattered, "__row", 0L, window,
+            ("__mse", "__sm_mse", method) +:
+              tags.map(t => (s"__mae_$t", s"__sm_$t", method)),
+            totalRows = n)
+            .select((col("__sm_mse") +: tags.map(t => qc(s"__sm_$t"))): _*)
       }
       val row = smoothed.agg(
         percentile(col("__sm_mse"), lit(thresholdPercentile)).as("__agg"),
@@ -404,7 +404,7 @@ object DiffAnomaly {
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
         tags, orderCol, Some(window), smoothingMethod)
-    } finally indexed.unpersist()
+    } finally { indexed.unpersist(); src.unpersist() }
   }
 
   private def fitScaler(kind: String, df: DataFrame, tags: Seq[String]): FittedScaler =
@@ -424,18 +424,18 @@ object DiffAnomaly {
     }.reduce(_ + _) / lit(tags.size.toDouble)
 
   /** rolling(width).min() then max, NaN-prefix-skipping: per-tag map and
-    * the aggregate threshold in one pass over the scored fold. */
+    * the aggregate threshold in one pass over the scored fold. The
+    * rolling min runs chunk-partitioned over the dense `__row` index
+    * (re-based by `idxOffset`, the fold's first row) — the prefix rows
+    * are null and the max skips them, exactly pandas'
+    * `rolling(width).min()` NaN prefix under `.max()`. */
   private def rollMinMax(scored: DataFrame, tags: Seq[String],
-                         width: Int): (Map[String, Double], Double) = {
-    val w = Window.orderBy(col("__row"))
-    val frame = w.rowsBetween(-(width - 1), 0)
-    val rolled = scored
-      .withColumn("__rn", row_number().over(w))
-      .select(
-        (col("__rn") +:
-          min(col("__mse")).over(frame).as("__rmin_mse") +:
-          tags.map(t => min(qc(s"__mae_$t")).over(frame).as(s"__rmin_$t"))): _*)
-      .filter(col("__rn") >= width)
+                         width: Int, idxOffset: Long,
+                         totalRows: Long): (Map[String, Double], Double) = {
+    val rolled = Windows.chunkedTrailing(scored, "__row", idxOffset, width,
+      ("__mse", "__rmin_mse", "min") +:
+        tags.map(t => (s"__mae_$t", s"__rmin_$t", "min")),
+      totalRows = totalRows)
     val row = rolled.agg(
       max(col("__rmin_mse")).as("__agg"),
       tags.map(t => max(qc(s"__rmin_$t")).as(s"__f_$t")): _*).head()
@@ -524,18 +524,14 @@ object DiffAnomaly {
         Ewma.ewmaMulti(df, keys = Nil, orderCol = "start",
           cols = smoothPairs(fd.tags).toMap, span = width.toDouble)
       case method =>
-        val w = Window.orderBy(col("start"))
-        val frame = w.rowsBetween(-(width - 1), 0)
-        val rn = row_number().over(w)
-        def smooth(c: Column): Column = {
-          val s = method match {
-            case "smm" => percentile(c, lit(0.5)).over(frame)
-            case "sma" => avg(c).over(frame)
-            case m => throw new IllegalArgumentException(s"unsupported smoothing: $m")
-          }
-          when(rn >= width, s)
-        }
-        df.withColumns(smoothPairs(fd.tags)
-          .map { case (in, out) => out -> smooth(qc(in)) }.toMap)
+        require(method == "smm" || method == "sma",
+          s"unsupported smoothing: $method")
+        // index the frame scale-safely (value-chunked, no global window),
+        // then run the trailing smm/sma chunk-partitioned
+        Windows.chunkedTrailing(
+          CrossValidate.withRowIndex(df, Seq(col("start"))),
+          "__row", 0L, width,
+          smoothPairs(fd.tags).map { case (in, out) => (in, out, method) })
+          .drop("__row")
     }
 }

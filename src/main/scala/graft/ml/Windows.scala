@@ -42,6 +42,56 @@ object Windows {
       .drop("__rrn")
   }
 
+  /** Fixed-width trailing ROW-window aggregates over a dense 0-based
+    * integer index WITHOUT a single-partition window: rows are chunked by
+    * `idx div chunkSize`, each chunk's last `width−1` rows are duplicated
+    * into the next chunk as carry, the window runs partitioned by chunk,
+    * and carry rows are dropped afterwards — exact for trailing frames
+    * because every row's `width−1` predecessors are in its partition.
+    *
+    * `cols` maps (input → output → kind) with kind ∈ min | sma (mean) |
+    * smm (median). Rows with fewer than `width−1` predecessors get null
+    * (the pandas rolling NaN prefix). `idxOffset` re-bases an index that
+    * does not start at 0 (e.g. a CV fold's span). */
+  def chunkedTrailing(df: DataFrame, idxCol: String, idxOffset: Long,
+                      width: Int, cols: Seq[(String, String, String)],
+                      chunkSize: Int = 4096, totalRows: Long = -1L): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val c = math.max(chunkSize, 2 * width)
+    val rel = col(idxCol) - lit(idxOffset)
+    def aggOf(kind: String, in: String, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      kind match {
+        case "min" => min(qc(in)).over(w)
+        case "sma" => avg(qc(in)).over(w)
+        case "smm" => percentile(qc(in), lit(0.5)).over(w)
+        case k => throw new IllegalArgumentException(s"unsupported kind: $k")
+      }
+    // caller-proven bounded frame (≤ one chunk): a single constant-key
+    // partition is already bounded — skip the union/carry machinery
+    if (totalRows >= 0 && totalRows <= c) {
+      // pmod(idx, 1) ≡ 0 but is NOT foldable — a literal partition key
+      // would be constant-folded away, reintroducing the unpartitioned-
+      // window shape (and its warning) this fast path is proven safe from
+      val w = Window.partitionBy(pmod(col(idxCol), lit(1L)))
+        .orderBy(col(idxCol)).rowsBetween(-(width - 1), 0)
+      return cols.foldLeft(df) { case (d, (in, out, kind)) =>
+        d.withColumn(out, when(rel >= width - 1, aggOf(kind, in, w)))
+      }
+    }
+    val base = df.withColumn("__wck", (rel / c).cast("long"))
+      .withColumn("__wcarry", lit(false))
+    val carry = df.filter(rel % c >= c - (width - 1))
+      .withColumn("__wck", (rel / c).cast("long") + 1)
+      .withColumn("__wcarry", lit(true))
+    val w = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
+      .rowsBetween(-(width - 1), 0)
+    val withAggs = cols.foldLeft(base.unionByName(carry)) {
+      case (d, (in, out, kind)) =>
+        d.withColumn(out, when(rel >= width - 1, aggOf(kind, in, w)))
+    }
+    withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry")
+  }
+
   /** M9: hourglass layer-dimension calculus, ported exactly from
     * `gordo/machine/model/factories/utils.py:7-41` (including Python's
     * round-half-to-even via rint). */

@@ -118,13 +118,15 @@ object LlmQueries {
       .orderBy($"media_id")
   }
 
-  /** Embedding-cosine near-dup pairs: 4-plane LSH buckets (high recall,
-    * bigger buckets) verified by exact cosine ≥ 0.4 — the embedding
-    * analog of MinHash dedup; still no crossJoin. */
+  /** Embedding-cosine near-dup pairs: banded LSH — 4 hash tables × 6
+    * hyperplanes (64 buckets/table at this SF; planes scales with log N)
+    * OR-combined for recall, pair-deduped, verified by exact cosine ≥
+    * 0.4 — the embedding analog of MinHash dedup; no crossJoin, no
+    * low-cardinality bucket key. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
-      "vec_id", "embedding", planes = 4, threshold = 0.4)
+      "vec_id", "embedding", planes = 6, tables = 4, threshold = 0.4)
       .select($"id_a", $"id_b", r4($"cos").as("cos"))
       .orderBy($"id_a", $"id_b")
   }
@@ -160,12 +162,15 @@ object LlmQueries {
     .mkString("[", ",\n          ", "]")
 
   /** Hyperplane sign bits (LCG arithmetic identical to
-    * Similarity.hyperplane; DuckDB lambda index is 1-based → i-1). */
-  private def bucketSqlFor(planes: Int): String = (0 until planes).map { j =>
-    s"""CASE WHEN list_reduce(list_transform(embedding, (x, i) ->
-       |      CAST(x AS DOUBLE) * (CAST(((i - 1 + ${64 * j}) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
-       |      (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
-  }.mkString(" ||\n    ")
+    * Similarity.hyperplane; DuckDB lambda index is 1-based → i-1).
+    * `table` offsets plane indices like Similarity.lshBucket. */
+  private def bucketSqlFor(planes: Int, table: Int = 0): String =
+    (0 until planes).map { j =>
+      val p = table * planes + j
+      s"""CASE WHEN list_reduce(list_transform(embedding, (x, i) ->
+         |      CAST(x AS DOUBLE) * (CAST(((i - 1 + ${64 * p}) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
+         |      (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n    ")
 
   private val bucketSql = bucketSqlFor(8)
 
@@ -179,20 +184,23 @@ object LlmQueries {
     s"sqrt(list_reduce(list_transform($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
 
   val oracleSql: Map[String, String] = Map(
-    "q42_embedding_neardup" ->
-      s"""WITH k AS (SELECT vec_id,
-        |    embedding AS e,
-        |    ${bucketSqlFor(4)} AS bucket
+    "q42_embedding_neardup" -> {
+      val tableBuckets = (0 until 4).map(t =>
+        s"'$t' || '#' || ${bucketSqlFor(6, t)}").mkString("[",
+        ",\n          ", "]")
+      s"""WITH kx AS (SELECT vec_id, embedding AS e,
+        |    unnest($tableBuckets) AS bucket
         |  FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    ${dotOf("a.e", "b.e")} AS dot_ab,
         |    ${dotOf("a.e", "a.e")} AS dot_aa,
         |    ${dotOf("b.e", "b.e")} AS dot_bb
-        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, floor((dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)))*10000 + 0.5)/10000 AS cos
+        |  FROM kx a JOIN kx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT id_a, id_b, floor((dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)))*10000 + 0.5)/10000 AS cos
         |FROM p
         |WHERE dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin
+    },
     "q30_text_stats" ->
       """SELECT lang, source, count(*) AS n,
         | floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,

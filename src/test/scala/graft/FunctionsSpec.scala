@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-parity of the native Catalyst kernels against the declarative HOF
+  * forms they replaced (the oracle replays the HOF arithmetic, so the
+  * kernels must match it EXACTLY, not just approximately). */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("DotProduct matches the HOF left fold bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      graft.functions.ArrayOps.dot($"a", $"b").as("native"),
+      hofDot($"a", $"b").as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct null semantics mirror zip_with padding") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f)),          // unequal length → null
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))     // equal → 11.0
+    ).toDF("a", "b")
+    val got = df.select(graft.functions.ArrayOps.dot($"a", $"b")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 11.0)
+    // explicit null element → null (HOF: null product poisons the fold)
+    val withNull = spark.sql(
+      "SELECT cast(array(1.0, NULL) AS array<float>) a, cast(array(2.0, 3.0) AS array<float>) b")
+    assert(withNull.select(graft.functions.ArrayOps.dot($"a", $"b"))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("MinHashSignature matches the HOF md5-min form exactly") {
+    def hofSig(sh: Column, k: Int): Column =
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(sh,
+          s => md5(concat(i.cast("string"), lit("|"), s).cast("binary")))))
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a b",       // fewer tokens than the 3-gram → empty shingles
+      "x y z x y z x y z").toDF("text")
+    val sh = graft.llm.TextDedup.shingles($"text", 3)
+    val out = docs.select(
+      graft.functions.MinHash.signature(sh, 12).as("native"),
+      hofSig(sh, 12).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+}
