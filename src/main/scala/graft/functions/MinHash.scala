@@ -98,3 +98,70 @@ object MinHash {
   def signature(sh: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), k))
 }
+
+/** Native 32-bit SimHash kernel over a token array: bit b of the hash is
+  * set when the signed sum over tokens of the parity of md5 hex digit b
+  * is positive — EXACTLY the arithmetic of the declarative form
+  * (`aggregate` fold per bit over `transform(tokens, md5)`), but with one
+  * digest per token and all 32 bit-counters updated in a single pass,
+  * instead of 32 interpreted lambda folds per document.
+  *
+  * Hex digit b of the digest is the high nibble of byte b/2 for even b,
+  * low nibble for odd b; its parity is the nibble's lowest bit. A null
+  * token contributes −1 to every bit (the HOF `otherwise` branch on a
+  * null md5). A null token ARRAY yields null. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 32) { counts(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 32) {
+          val nib = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+          counts(b) += (if ((nib & 1) == 1) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash {
+  /** 32-bit simhash of a token-array column (md5-hex-parity bits,
+    * identical to the declarative fold form and the DuckDB oracle). */
+  def simhash32(tokens: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+}

@@ -111,6 +111,57 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every vector to its nearest of `nCentroids` centroids (one pass,
+    * broadcast centroids, window per vector id — high-cardinality
+    * partitioning); each query probes its `nprobe` nearest centroid
+    * lists and ranks ONLY those candidates by exact cosine. The 100-TB
+    * shape of ANN search: the per-query candidate set is ~nprobe/C of
+    * the corpus, centroid lists shuffle once on the centroid id, and no
+    * crossJoin appears anywhere.
+    *
+    * The quantizer is deterministic — centroids are the `nCentroids`
+    * smallest-id corpus vectors — standing in for k-means training the
+    * way the reference's correctness gates use closed-form models
+    * (k-means iterations would not be oracle-replayable). */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+              nCentroids: Int, nprobe: Int, k: Int,
+              queryPred: Column /* over the renamed `id` column */): DataFrame = {
+    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(embCol).as("ce"),
+        norm(col(embCol)).as("cn")))
+    val vecs = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
+      norm(col(embCol)).as("nrm"))
+    // coarse assignment: nearest centroid per vector (ties → smaller cid)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = vecs.join(cents)
+      .select(col("id"), col("e"), col("nrm"), col("cid"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("e"), col("nrm"), col("cid"))
+    // probe lists: each query's nprobe nearest centroids
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = vecs.filter(queryPred).join(cents)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("cid"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    // rank candidates from the probed lists only
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cand").asc)
+    probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cand"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucketed approximate top-k: candidates are same-bucket rows only —
     * the plan contains one shuffle on the bucket key and NO crossJoin.
     * Recall trades off with `planes` (more planes → smaller buckets). */

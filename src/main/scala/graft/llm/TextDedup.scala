@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
@@ -95,6 +96,28 @@ object TextDedup {
       .distinct()
   }
 
+  /** Direct EXACT n-gram Jaccard pairs from the inverted index: one
+    * self-join on the shingle, one pair-grouped intersection count —
+    * every pair sharing ≥ 1 shingle is scored, so recall is total. Cost
+    * is Σ_s df(s)² over the shingle document frequencies (NOT |docs|² —
+    * no crossJoin): bounded when the df distribution is, which holds
+    * after boilerplate removal; for skewed corpora compose with
+    * [[prefixFilterCandidates]] (lossless) or MinHash banding
+    * (probabilistic) to prune before the join. */
+  def jaccardPairs(shDf: DataFrame, threshold: Double): DataFrame = {
+    val ex = shDf.filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.n")).as("na"), first(col("b.n")).as("nb"),
+        count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact Jaccard verification of candidate pairs: explode each side's
     * distinct shingles, count intersections grouped by pair, divide by
     * |A| + |B| − |A∩B|. Only candidates pay this cost. */
@@ -133,4 +156,89 @@ object TextDedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 32-bit ORACLE-PORTABLE SimHash: per token, bit b is the parity of
+    * hex digit b of md5(token); the simhash bit is set when the signed
+    * sum over tokens is positive. Computed by the native
+    * [[graft.functions.SimHash]] kernel (one digest per token, all 32
+    * bit counters in one pass) — and the identical arithmetic is
+    * expressible in DuckDB, unlike xxhash64. */
+  def simhash32(text: Column): Column =
+    graft.functions.SimHash.simhash32(tokens(text))
+
+  /** Banded SimHash near-dup pairs: the 32-bit simhash splits into 4
+    * bands of 8 bits; docs sharing ANY (band index, band value) are
+    * candidates (hamming ≤ 3 guarantees ≥ 1 clean band), verified by
+    * exact Hamming distance ≤ `maxHamming`. Same OR-construction scale
+    * shape as MinHash banding — no all-pairs join. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), simhash32(col(textCol)).as("sh32"))
+      .select(col("id"), col("sh32"), explode(array((0 until 4).map(i =>
+        concat_ws("#", lit(i.toString),
+          shiftright(col("sh32"), 8 * i).bitwiseAND(255))): _*)).as("band"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sh32"), col("b.sh32")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Inverted-index candidate pairs for n-gram Jaccard dedup with a
+    * stop-shingle document-frequency cap (`maxDf`) bounding per-posting
+    * join fan-out. Approximate: pairs sharing ONLY hub shingles are
+    * missed — use [[prefixFilterCandidates]] for lossless candidates. */
+  def invertedIndexCandidates(shDf: DataFrame, maxDf: Long): DataFrame = {
+    val ex = shDf.select(col("id"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val keyed = ex.join(rare, "s")
+    keyed.as("a").join(keyed.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** PPJoin-style prefix-filtered candidates for EXACT Jaccard ≥
+    * `threshold`: each doc indexes only its `n − ⌈t·n⌉ + 1` globally
+    * rarest shingles (order: document frequency asc, shingle asc).
+    * LOSSLESS — the first common shingle of any qualifying pair (in that
+    * global order) falls inside BOTH prefixes, because at most
+    * `n − |A∩B|` non-shared shingles can precede it and `|A∩B| ≥ ⌈t·n⌉`.
+    * Rarity-first ordering makes the indexed postings the low-fan-out
+    * ones, so the self-join stays bounded at scale without losing the
+    * dup CLUSTERS a hard df cap drops. */
+  def prefixFilterCandidates(shDf: DataFrame, threshold: Double): DataFrame = {
+    val ex = shDf.filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val withDf = ex.join(
+      ex.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = withDf
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
+      .select(col("id"), col("n"), col("s"))
+    // length filter (also lossless): J ≥ t forces max(|A|,|B|) ≤ min/t
+    prefix.as("a").join(prefix.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.n") * lit(threshold) <= col("b.n") &&
+        col("b.n") * lit(threshold) <= col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Dup-cluster materialization (the dedup WRITE side): group by a
+    * content key expression (exact md5 or the order-insensitive
+    * fingerprint), keep the smallest id as the cluster representative,
+    * report cluster size — rows with n > 1 are the duplicates a pipeline
+    * would drop. One hash-shuffle on the content key. */
+  def dupGroups(df: DataFrame, idCol: String, key: Column,
+                keyName: String): DataFrame =
+    df.select(key.as(keyName), col(idCol).as("id"))
+      .groupBy(col(keyName))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
 }

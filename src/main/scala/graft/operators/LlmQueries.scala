@@ -131,6 +131,51 @@ object LlmQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Banded 16-bit SimHash near-dup pairs (portable md5-hex-parity bits),
+    * exact Hamming ≤ 3 verified — the third dedup family next to MinHash
+    * (q34) and embedding-cosine (q42). */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextDedup.simhashNearDups(Tables(spark, dir, "documents"),
+      "doc_id", "text", maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** EXACT n-gram Jaccard dedup via the direct inverted-index pair
+    * count (one shingle self-join + pair groupBy; cost Σ df², never
+    * |docs|²) — the total-recall contrast to MinHash's probabilistic
+    * candidates. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
+      "doc_id", "text", ngram = 3)
+    TextDedup.jaccardPairs(shDf, threshold = 0.3)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** IVF ANN: 16 deterministic centroids, nprobe=2, top-5 by exact
+    * cosine within the probed lists for the first 10 query vectors —
+    * the scale path whose candidate set is ~nprobe/C of the corpus. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfTopK(Tables(spark, dir, "embeddings"), "vec_id",
+      "embedding", nCentroids = 16, nprobe = 2, k = 5,
+      queryPred = col("id") < 10)
+      .select($"qid", $"rank", $"cand", r4($"cos").as("cos"))
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Dup-cluster materialization over the order-insensitive content
+    * fingerprint: groups with a keeper id and cluster size (the dedup
+    * write side — shuffled/duplicated-word copies collapse together). */
+  def fingerprintDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextDedup.dupGroups(Tables(spark, dir, "documents"), "doc_id",
+      TextDedup.contentFingerprint($"text"), "fingerprint")
+      .orderBy($"fingerprint")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_embedding_neardup" -> (embeddingNearDups _),
     "q30_text_stats" -> (textStats _),
@@ -141,6 +186,10 @@ object LlmQueries {
     "q35_ann_topk" -> (annTopK _),
     "q36_ann_lsh_buckets" -> (annLshBuckets _),
     "q37_multimodal_features" -> (multimodalFeatures _),
+    "q45_simhash_neardup" -> (simhashNearDups _),
+    "q46_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q47_ann_ivf_topk" -> (annIvfTopK _),
+    "q48_fingerprint_dup_groups" -> (fingerprintDupGroups _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
@@ -182,6 +231,19 @@ object LlmQueries {
 
   private def normSql(col: String) =
     s"sqrt(list_reduce(list_transform($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+
+  /** 32-bit simhash from md5-hex parity bits (identical arithmetic to
+    * TextDedup.simhash32) over the token-hex list `hx`. */
+  private val simhashBitsSql = (0 until 32).map { b =>
+    s"""CASE WHEN list_reduce(list_transform(hx,
+       |      h -> CASE WHEN substr(h, ${b + 1}, 1) IN ('1','3','5','7','9','b','d','f')
+       |                THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+       |     THEN ${1L << b} ELSE 0 END""".stripMargin
+  }.mkString(" +\n    ")
+
+  private val simhashBandsSql = (0 until 4).map(i =>
+    s"'$i' || '#' || CAST((sh32 >> ${8 * i}) & 255 AS VARCHAR)")
+    .mkString("[", ",\n          ", "]")
 
   val oracleSql: Map[String, String] = Map(
     "q42_embedding_neardup" -> {
@@ -280,5 +342,60 @@ object LlmQueries {
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    "q45_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    list_transform(str_split(trim(text), ' '), tk -> md5(tk)) AS hx
+        |  FROM documents),
+        |s AS (SELECT doc_id, $simhashBitsSql AS sh32 FROM t),
+        |bands AS (SELECT doc_id, sh32, unnest($simhashBandsSql) AS band FROM s),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q46_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb, count(*) AS c
+        |  FROM shx x JOIN shx y ON y.s = x.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
+        |FROM inter
+        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q47_ann_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+        |ac AS (SELECT id, e, cid,
+        |    ${dotOf("e", "ce")} / (${normSql("e")} * ${normSql("ce")}) AS ccos
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT id, e, cid FROM (
+        |    SELECT id, e, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid ASC) AS r
+        |    FROM ac) WHERE r = 1),
+        |pq AS (SELECT id AS qid, e AS qe, cid FROM (
+        |    SELECT id, e, cid,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid ASC) AS r
+        |    FROM ac WHERE id < 10) WHERE r <= 2),
+        |scored AS (SELECT pq.qid, asg.id AS cand,
+        |    ${dotOf("pq.qe", "asg.e")} / (${normSql("pq.qe")} * ${normSql("asg.e")}) AS cos
+        |  FROM pq JOIN asg ON pq.cid = asg.cid AND pq.qid != asg.id)
+        |SELECT qid, rank, cand, floor(cos*10000 + 0.5)/10000 AS cos FROM (
+        |  SELECT qid, cand, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q48_fingerprint_dup_groups" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(str_split(trim(text), ' '))), ' ')) AS fingerprint,
+        | min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY fingerprint""".stripMargin,
   )
 }

@@ -64,4 +64,26 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) == r.getSeq[String](1))
     }
   }
+
+  test("SimHash32 kernel matches the declarative md5-hex-parity fold") {
+    def hofSimhash(text: Column): Column = {
+      val hexes = transform(split(trim(text), " "), t => md5(t))
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      (0 until 32).map { b =>
+        val bitSum = aggregate(hexes, lit(0L), (acc, h) =>
+          acc + when(substring(h, b + 1, 1).isin(odd: _*), lit(1L))
+            .otherwise(lit(-1L)))
+        when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+    }
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a",
+      "some words repeat words repeat words here").toDF("text")
+    val out = docs.select(
+      graft.llm.TextDedup.simhash32($"text").as("native"),
+      hofSimhash($"text").as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }

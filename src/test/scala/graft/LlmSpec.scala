@@ -105,4 +105,84 @@ class LlmSpec extends AnyFunSuite {
     import graft.operators.LlmQueries
     assert(LlmQueries.oracleSql.keySet == LlmQueries.queries.keySet)
   }
+
+  test("banded simhash32 finds near-identical docs, no crossJoin") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val df = Seq(
+      (1L, base + "ending one"),
+      (2L, base + "ending two"),
+      (3L, (1 to 40).map(i => s"unrelated$i").mkString(" "))).toDF("id", "text")
+    val pairs = TextDedup.simhashNearDups(df, "id", "text", maxHamming = 6)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    val got = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"expected (1,2) in $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("inverted-index candidates respect the stop-shingle cap") {
+    // "common common common" trigram appears in ALL docs → df cap excludes
+    // it; docs 1/2 still share a rare shingle, doc 3 shares only the hub
+    val common = "common common common"
+    val df = Seq(
+      (1L, s"alpha beta gamma $common"),
+      (2L, s"alpha beta gamma delta $common"),
+      (3L, s"zeta eta theta $common")).toDF("id", "text")
+    val shDf = TextDedup.withShingles(df, "id", "text")
+    val capped = TextDedup.invertedIndexCandidates(shDf, maxDf = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 == 3L || p._2 == 3L),
+      s"hub shingle must not generate candidates: $capped")
+    val uncapped = TextDedup.invertedIndexCandidates(shDf, maxDf = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 3) // all pairs share the hub when uncapped
+  }
+
+  test("IVF top-k recall vs brute force is high and the plan has no crossJoin") {
+    val emb = Tables(spark, sf, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCentroids = 16, nprobe = 4, k = 3, queryPred = col("id") < 5)
+    // the corpus x centroids assignment is a BROADCAST nested loop with a
+    // constant-size (16-row) build side — linear in the corpus, the
+    // canonical IVF shape; only a non-broadcast cartesian would be O(N²)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val brute = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val got = ivf.select($"qid", $"cand").as[(Long, Long)].collect().toSet
+    // IVF searches only probed lists: expect most of the exact top-3
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (got=$got brute=$brute)")
+  }
+
+  test("prefix-filtered candidates are lossless vs direct jaccard pairs") {
+    val docs = Tables(spark, sf, "documents")
+    val shDf = TextDedup.withShingles(docs, "doc_id", "text").persist()
+    val direct = TextDedup.jaccardPairs(shDf, 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(direct.nonEmpty)
+    val cands = TextDedup.prefixFilterCandidates(shDf, 0.3)
+      .as[(Long, Long)].collect().toSet
+    assert(direct.subsetOf(cands),
+      s"prefix filter lost pairs: ${direct -- cands}")
+    // verified-through-candidates equals the direct exact join
+    val viaCands = TextDedup.verifiedPairs(shDf,
+      TextDedup.prefixFilterCandidates(shDf, 0.3), 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaCands == direct)
+  }
+
+  test("fingerprint dup groups collapse word-order copies") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),       // permutation of 1
+      (3L, "alpha beta delta")).toDF("id", "text")
+    val groups = TextDedup.dupGroups(df, "id",
+      TextDedup.contentFingerprint($"text"), "fingerprint").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+    assert(groups(0).getAs[Long]("n_docs") == 2L)
+  }
 }
