@@ -64,7 +64,8 @@ object CrossValidate {
     * WindowExec; each window partition holds ~n/chunks rows however long
     * the series grows. Non-numeric leading columns fall back to the
     * global window (no current caller). */
-  def withRowIndex(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+  def withRowIndex(df: DataFrame, orderCols: Seq[Column],
+                   boundedThreshold: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     val headIsNumeric = orderCols.headOption.exists(c =>
       df.select(c).schema.head.dataType.isInstanceOf[NumericType])
@@ -78,7 +79,7 @@ object CrossValidate {
     val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
     // bounded frame: a single constant-key partition is already bounded —
     // skip the chunk-count job and offset join
-    if (n <= 4096)
+    if (n <= boundedThreshold)
       return df.withColumn("__row",
         row_number().over(Window
           .partitionBy(pmod(head.cast("bigint"), lit(1L)))

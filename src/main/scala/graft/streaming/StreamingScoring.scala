@@ -44,4 +44,20 @@ object StreamingScoring {
     val stateless = fd.copy(window = None)
     DiffAnomaly.anomaly(stateless, wide, resolutionSec)
   }
+
+  /** Streaming exact dedup for an arriving document stream: the first
+    * occurrence of each content key passes, later copies are dropped.
+    * State is bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes — a plain `dropDuplicates` would keep key state forever) —
+    * the streaming side of the LLM-pipeline dedup family; near-dup
+    * (MinHash/SimHash) stays a periodic batch job over the deduped sink,
+    * as signatures need the full corpus index. */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+                  tsCol: String,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("exact_key", graft.llm.TextDedup.exactKey(col(textCol)))
+      .dropDuplicatesWithinWatermark("exact_key")
 }

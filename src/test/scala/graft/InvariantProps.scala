@@ -126,4 +126,48 @@ object InvariantProps extends Properties("graft") {
           Prop(dims.forall(d => d >= 1 && d <= n)) &&
           Prop(dims.last == smallest)
     }
+
+  property("chunked trailing windows equal the single-partition window") =
+    forAll(seriesGen, Gen.choose(1, 8), Gen.oneOf("min", "sma", "smm")) {
+      (rows, width, kind) =>
+        rows.nonEmpty ==> {
+          val df = rows.zipWithIndex
+            .map { case ((_, v), i) => (i.toLong, v) }
+            .toDF("__row", "v")
+          // tiny chunkSize forces the multi-chunk carry path
+          val chunked = Windows.chunkedTrailing(df, "__row", 0L, width,
+            Seq(("v", "out", kind)), chunkSize = math.max(2 * width, 4))
+            .orderBy($"__row").select($"out").collect()
+            .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy($"__row").rowsBetween(-(width - 1), 0)
+          val agg = kind match {
+            case "min" => min($"v").over(w)
+            case "sma" => avg($"v").over(w)
+            case "smm" => percentile($"v", lit(0.5)).over(w)
+          }
+          val global = df
+            .withColumn("out", when($"__row" >= width - 1, agg))
+            .orderBy($"__row").select($"out").collect()
+            .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          Prop(chunked.toSeq == global.toSeq) :| s"kind=$kind width=$width"
+        }
+    }
+
+  property("value-chunked row index equals the global row_number") =
+    forAll(seriesGen, Gen.oneOf(0L, 4096L)) { (rows, threshold) =>
+      rows.nonEmpty ==> {
+        // threshold 0 forces the chunk-count + offset-join path even for
+        // tiny frames; 4096 exercises the bounded fast path
+        val df = rows.toDF("bucket_ts", "v")
+        val got = CrossValidate.withRowIndex(df, Seq($"bucket_ts"),
+          boundedThreshold = threshold)
+          .orderBy($"bucket_ts")
+          .select($"bucket_ts", $"__row").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val exp = rows.map(_._1).sorted.zipWithIndex
+          .map { case (ts, i) => (ts, i.toLong) }
+        Prop(got.toSeq == exp) :| s"n=${rows.length} threshold=$threshold"
+      }
+    }
 }

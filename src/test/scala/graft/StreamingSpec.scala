@@ -76,4 +76,28 @@ class StreamingSpec extends AnyFunSuite {
       got.zip(exp).foreach { case (g, e) => assert(g == e) }
     } finally q.stop()
   }
+
+  test("streaming exact dedup keeps first occurrences only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("doc_id", "epoch", "text")
+      .select($"doc_id", timestamp_seconds($"epoch").as("ts"), $"text")
+    val q = StreamingScoring.dedupStream(stream, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      // separate micro-batches: within one batch the surviving copy of a
+      // key is arbitrary; across batches state makes first-wins exact
+      val t0 = 1704067200L // clear of the initial (epoch-0) watermark
+      input.addData((1L, t0, "alpha beta"), (2L, t0 + 10L, "gamma delta"))
+      q.processAllAvailable()
+      input.addData((3L, t0 + 20L, "alpha beta"), (4L, t0 + 30L, "epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM deduped ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      // doc 3 duplicates doc 1's content and is dropped
+      assert(got == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
