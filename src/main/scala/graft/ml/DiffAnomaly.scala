@@ -42,6 +42,13 @@ object DiffAnomaly {
             feature: String => Column): Fitted
     final def fit(train: DataFrame, tags: Seq[String]): Fitted =
       fit(train, tags, t => qc(t).cast("double"))
+    /** Single-pass protocol: when defined, (aggregate columns, result-row
+      * decoder) let a caller FUSE this fit into a wider aggregation over
+      * the same frame (the CV fold loop runs model + error-scaler fit as
+      * ONE distributed pass per fold instead of two). Aliases are
+      * name-spaced per model so plans compose. */
+    def aggPlan(tags: Seq[String], feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = None
   }
 
   trait Fitted {
@@ -56,20 +63,25 @@ object DiffAnomaly {
     * correctness-gate reconstruction model (SURVEY §7.3(c)). */
   class TrendReconstructor(orderCol: String, epoch0: Long) extends Reconstructor {
     private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
+    override def aggPlan(tags: Seq[String], feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = Some((
+      tags.flatMap(t => Seq(
+        regr_slope(feature(t), x).as(s"b_$t"),
+        regr_intercept(feature(t), x).as(s"a_$t"))),
+      row => {
+        val ab = tags.map(t =>
+          t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
+        new Fitted {
+          def predictCol(tag: String): Column =
+            lit(ab(tag)._1) + lit(ab(tag)._2) * x
+          def params: Map[String, Double] =
+            ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
+        }
+      }))
     def fit(train: DataFrame, tags: Seq[String],
             feature: String => Column): Fitted = {
-      val aggs = tags.flatMap(t => Seq(
-        regr_slope(feature(t), x).as(s"b_$t"),
-        regr_intercept(feature(t), x).as(s"a_$t")))
-      val row = train.agg(aggs.head, aggs.tail: _*).head()
-      val ab = tags.map(t =>
-        t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
-      new Fitted {
-        def predictCol(tag: String): Column =
-          lit(ab(tag)._1) + lit(ab(tag)._2) * x
-        def params: Map[String, Double] =
-          ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
-      }
+      val (aggs, dec) = aggPlan(tags, feature).get
+      dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
   }
 
@@ -82,34 +94,40 @@ object DiffAnomaly {
     * — the Spark shape for "fit collects the modest per-machine matrix"
     * (SURVEY §3.1). */
   class RidgeReconstructor(lambda: Double = 1e-8) extends Reconstructor {
-    def fit(train: DataFrame, tags: Seq[String],
-            feature: String => Column): Fitted = {
+    override def aggPlan(tags: Seq[String], feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
       val m = tags.size
       // feature vector = (1, tags...): Gram is (m+1)x(m+1)
       val feats = lit(1.0) +: tags.map(t => feature(t).cast("double"))
       val aggs = for {
         i <- 0 to m; j <- i to m
       } yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
-      val row = train.agg(aggs.head, aggs.tail: _*).head()
-      def gram(i: Int, j: Int): Double =
-        row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}")
-      // weights per target over features (1, tags != target)
-      val weights: Map[String, Seq[(Int, Double)]] = tags.map { t =>
-        val ti = tags.indexOf(t) + 1
-        val fIdx = (0 to m).filterNot(_ == ti)
-        val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
-          gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
+      Some((aggs, row => {
+        def gram(i: Int, j: Int): Double =
+          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}")
+        // weights per target over features (1, tags != target)
+        val weights: Map[String, Seq[(Int, Double)]] = tags.map { t =>
+          val ti = tags.indexOf(t) + 1
+          val fIdx = (0 to m).filterNot(_ == ti)
+          val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
+            gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
+          }
+          val b = fIdx.map(gram(_, ti)).toArray
+          t -> fIdx.zip(solve(a, b))
+        }.toMap
+        new Fitted {
+          def predictCol(tag: String): Column =
+            weights(tag).map { case (fi, wi) => feats(fi) * lit(wi) }.reduce(_ + _)
+          def params: Map[String, Double] = weights.flatMap { case (t, w) =>
+            w.map { case (fi, v) => s"w_${t}_$fi" -> v }
+          }
         }
-        val b = fIdx.map(gram(_, ti)).toArray
-        t -> fIdx.zip(solve(a, b))
-      }.toMap
-      new Fitted {
-        def predictCol(tag: String): Column =
-          weights(tag).map { case (fi, wi) => feats(fi) * lit(wi) }.reduce(_ + _)
-        def params: Map[String, Double] = weights.flatMap { case (t, w) =>
-          w.map { case (fi, v) => s"w_${t}_$fi" -> v }
-        }
-      }
+      }))
+    }
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted = {
+      val (aggs, dec) = aggPlan(tags, feature).get
+      dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
     /** In-place Gaussian elimination with partial pivoting. */
     private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
@@ -150,13 +168,22 @@ object DiffAnomaly {
       "n_components must be >= 1")
     varianceFraction.foreach(f => require(f > 0.0 && f < 1.0,
       s"variance fraction must be in (0, 1): $f"))
-    def fit(train: DataFrame, tags: Seq[String],
-            feature: String => Column): Fitted = {
+    override def aggPlan(tags: Seq[String], feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
       val m = tags.size
       val means = tags.map(t => avg(feature(t)).as(s"mu_$t"))
       val covs = for { i <- 0 until m; j <- i until m }
         yield covar_pop(feature(tags(i)), feature(tags(j))).as(s"c_${i}_$j")
-      val row = train.agg((means ++ covs).head, (means ++ covs).tail: _*).head()
+      Some(((means ++ covs), row => decode(row, tags, feature)))
+    }
+    def fit(train: DataFrame, tags: Seq[String],
+            feature: String => Column): Fitted = {
+      val (aggs, dec) = aggPlan(tags, feature).get
+      dec(train.agg(aggs.head, aggs.tail: _*).head())
+    }
+    private def decode(row: org.apache.spark.sql.Row, tags: Seq[String],
+                       feature: String => Column): Fitted = {
+      val m = tags.size
       val mu = tags.map(t => row.getAs[Double](s"mu_$t")).toArray
       val cov = Array.tabulate(m, m) { (i, j) =>
         val (a, b) = if (i <= j) (i, j) else (j, i)
@@ -297,42 +324,66 @@ object DiffAnomaly {
       folds.foreach { f =>
         val train = CrossValidate.trainFold(indexed, f)
         val test = CrossValidate.testFold(indexed, f)
-        val m = base.fit(train, tags)
-        val sc = fitScaler(scalerKind, train, tags)
+        // ONE train-side pass per fold: model + error-scaler aggregates
+        // fused (2 full-data passes → 1 when the model exposes its plan)
+        val (m, sc) = fitModelAndScaler(train, tags, base, scalerKind)
+        // ONE test-side pass per fold: width-6 thresholds, the smooth
+        // window's thresholds, AND the fold metric aggregates over the
+        // same scored frame (was 2-3 separate jobs)
+        def scl(c: Column, t: String): Column = scoringScaler match {
+          case Some(s) =>
+            val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
+            (c - lit(ctr)) / lit(sv)
+          case None => c
+        }
+        val metricInputs =
+          if (foldMetrics.isEmpty) Nil
+          else tags.flatMap(t =>
+            Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
         val scored = test.select(
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
-            tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
-        val (feat, agg) = rollMinMax(scored, tags, 6, f.testStart, f.nTest)
+            (tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
+              metricInputs)): _*)
+        val widths = (6 +: window.toSeq).distinct
+        val rolled = Windows.chunkedTrailingMulti(scored, "__row", f.testStart,
+          widths.flatMap(w =>
+            ("__mse", s"__rmin${w}__mse", "min", w) +:
+              tags.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w))),
+          totalRows = f.nTest)
+        // A8/M13/M14 fold metric scores reuse this pass — metric over
+        // scoring-scaler-transformed y/ŷ, averaged over tags
+        // (`build_model.py:274-289,377-446`)
+        val metricAggs = for { (name, fn) <- foldMetrics; t <- tags }
+          yield fn(scl(col(s"`__y_$t`"), t), scl(col(s"`__p_$t`"), t))
+            .as(s"${name}__$t")
+        val aggs = widths.flatMap(w =>
+          max(col(s"__rmin${w}__mse")).as(s"__agg__$w") +:
+            tags.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
+          metricAggs
+        val row = rolled.agg(aggs.head, aggs.tail: _*).head()
+        // a fold shorter than a rolling width has no full frame: pandas
+        // rolling().min() is all-NaN and .max() of that is NaN — mirror it
+        def d(name: String): Double =
+          if (row.isNullAt(row.fieldIndex(name))) Double.NaN
+          else row.getAs[Double](name)
+        val agg = d("__agg__6")
         perFoldAgg(s"fold-${f.index}") = agg
-        lastFeat = feat; lastAgg = agg
+        lastFeat = tags.map(t => t -> d(s"__f6__$t")).toMap
+        lastAgg = agg
         window.foreach { w =>
-          val (sf, sa) = rollMinMax(scored, tags, w, f.testStart, f.nTest)
-          lastSmoothFeat = Some(sf); lastSmoothAgg = Some(sa)
+          lastSmoothFeat = Some(tags.map(t => t -> d(s"__f${w}__$t")).toMap)
+          lastSmoothAgg = Some(d(s"__agg__$w"))
         }
-        // A8/M13/M14: fold metric scores in the SAME loop, reusing this
-        // fold's fitted model — metric over scoring-scaler-transformed
-        // y/ŷ, averaged over tags (`build_model.py:274-289,377-446`)
-        if (foldMetrics.nonEmpty) {
-          def scl(c: Column, t: String): Column = scoringScaler match {
-            case Some(s) =>
-              val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
-              (c - lit(ctr)) / lit(sv)
-            case None => c
-          }
-          val aggs = for { (name, fn) <- foldMetrics; t <- tags }
-            yield fn(scl(qc(t), t), scl(m.predictCol(t), t)).as(s"${name}__$t")
-          val row = test.agg(aggs.head, aggs.tail: _*).head()
-          foldMetrics.foreach { case (name, _) =>
-            val avgOverTags = tags
-              .map(t => row.getAs[Double](s"${name}__$t")).sum / tags.size
-            perFoldScores.getOrElseUpdate(name,
-              scala.collection.mutable.ListBuffer()) += avgOverTags
-          }
+        foldMetrics.foreach { case (name, _) =>
+          val avgOverTags = tags
+            .map(t => row.getAs[Double](s"${name}__$t")).sum / tags.size
+          perFoldScores.getOrElseUpdate(name,
+            scala.collection.mutable.ListBuffer()) += avgOverTags
         }
       }
-      val finalModel = base.fit(indexed, tags)
-      val finalScaler = fitScaler(scalerKind, indexed, tags)
+      val (finalModel, finalScaler) =
+        fitModelAndScaler(indexed, tags, base, scalerKind)
       FittedDetector(finalModel, finalScaler,
         Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
           perFoldAgg.toMap),
@@ -367,8 +418,7 @@ object DiffAnomaly {
         val train = indexed.filter(
           col("__row") < f.testStart || col("__row") >= f.testEnd)
         val test = CrossValidate.testFold(indexed, f)
-        val m = base.fit(train, tags)
-        val sc = fitScaler(scalerKind, train, tags)
+        val (m, sc) = fitModelAndScaler(train, tags, base, scalerKind)
         test.select(
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
@@ -399,8 +449,8 @@ object DiffAnomaly {
           .as(s"__f_$t")): _*).head()
       val featureTh = tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
       val aggTh = row.getAs[Double]("__agg")
-      val finalModel = base.fit(indexed, tags)
-      val finalScaler = fitScaler(scalerKind, indexed, tags)
+      val (finalModel, finalScaler) =
+        fitModelAndScaler(indexed, tags, base, scalerKind)
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
         tags, orderCol, Some(window), smoothingMethod)
@@ -414,6 +464,23 @@ object DiffAnomaly {
       case k => throw new IllegalArgumentException(s"unknown scaler: $k")
     }
 
+  /** Model fit + error-scaler fit in ONE distributed aggregation pass
+    * over `df` when the reconstructor exposes its agg plan (all built-in
+    * ones do); falls back to two passes otherwise. Identical values —
+    * each aggregate has its own buffer, fused or not. */
+  private def fitModelAndScaler(df: DataFrame, tags: Seq[String],
+                                base: Reconstructor,
+                                scalerKind: String): (Fitted, FittedScaler) =
+    base.aggPlan(tags, t => qc(t).cast("double")) match {
+      case Some((mAggs, mDec)) =>
+        val (sAggs, sDec) = Scalers.aggPlan(scalerKind, tags)
+        val all = mAggs ++ sAggs
+        val row = df.agg(all.head, all.tail: _*).head()
+        (mDec(row), sDec(row))
+      case None =>
+        (base.fit(df, tags), fitScaler(scalerKind, df, tags))
+    }
+
   /** Scaled MSE per timestep (`diff.py:268-293`): mean over tags of
     * (scaled ŷ − scaled y)². */
   private def scaledMseCol(m: Fitted, sc: FittedScaler, tags: Seq[String]): Column =
@@ -422,30 +489,6 @@ object DiffAnomaly {
       val d = (m.predictCol(t) - qc(t)) / lit(scale)
       d * d
     }.reduce(_ + _) / lit(tags.size.toDouble)
-
-  /** rolling(width).min() then max, NaN-prefix-skipping: per-tag map and
-    * the aggregate threshold in one pass over the scored fold. The
-    * rolling min runs chunk-partitioned over the dense `__row` index
-    * (re-based by `idxOffset`, the fold's first row) — the prefix rows
-    * are null and the max skips them, exactly pandas'
-    * `rolling(width).min()` NaN prefix under `.max()`. */
-  private def rollMinMax(scored: DataFrame, tags: Seq[String],
-                         width: Int, idxOffset: Long,
-                         totalRows: Long): (Map[String, Double], Double) = {
-    val rolled = Windows.chunkedTrailing(scored, "__row", idxOffset, width,
-      ("__mse", "__rmin_mse", "min") +:
-        tags.map(t => (s"__mae_$t", s"__rmin_$t", "min")),
-      totalRows = totalRows)
-    val row = rolled.agg(
-      max(col("__rmin_mse")).as("__agg"),
-      tags.map(t => max(qc(s"__rmin_$t")).as(s"__f_$t")): _*).head()
-    // a fold shorter than the rolling width has no full frame: pandas
-    // rolling().min() is all-NaN and .max() of that is NaN — mirror it
-    def d(name: String): Double =
-      if (row.isNullAt(row.fieldIndex(name))) Double.NaN
-      else row.getAs[Double](name)
-    (tags.map(t => t -> d(s"__f_$t")).toMap, d("__agg"))
-  }
 
   /** The `/prediction` frame (`gordo/server/blueprints/base.py:30-113`):
     * start/end + model-input/model-output only — no y, no residual

@@ -110,13 +110,17 @@ object Preprocess {
     * `Pipeline[transforms..., model]` as a base estimator). */
   class Reconstructor(inner: DiffAnomaly.Reconstructor, prep: Fitted)
       extends DiffAnomaly.Reconstructor {
-    def fit(train: org.apache.spark.sql.DataFrame, tags: Seq[String],
-            feature: String => Column): DiffAnomaly.Fitted = {
-      val f = inner.fit(train, tags, t => prep.preFrom(t, feature(t)))
+    private def wrap(f: DiffAnomaly.Fitted): DiffAnomaly.Fitted =
       new DiffAnomaly.Fitted {
         def predictCol(tag: String): Column = prep.post(tag, f.predictCol(tag))
         def params: Map[String, Double] = f.params
       }
-    }
+    override def aggPlan(tags: Seq[String], feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => DiffAnomaly.Fitted)] =
+      inner.aggPlan(tags, t => prep.preFrom(t, feature(t)))
+        .map { case (aggs, dec) => (aggs, (row: org.apache.spark.sql.Row) => wrap(dec(row))) }
+    def fit(train: org.apache.spark.sql.DataFrame, tags: Seq[String],
+            feature: String => Column): DiffAnomaly.Fitted =
+      wrap(inner.fit(train, tags, t => prep.preFrom(t, feature(t))))
   }
 }

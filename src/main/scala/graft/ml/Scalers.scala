@@ -35,32 +35,47 @@ object Scalers {
       cols.foldLeft(df)((d, c) => d.withColumn(c, inverseCol(c)))
   }
 
+  /** Single-pass protocol: (aggregate columns, result-row decoder) so a
+    * caller can fuse the scaler fit into ITS aggregation pass over the
+    * same frame (the CV fold loop fits model + scaler in one job). Agg
+    * aliases are name-spaced per scaler, so plans compose. */
+  def aggPlan(kind: String, cols: Seq[String])
+      : (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Row => FittedScaler) =
+    kind match {
+      case "minmax" =>
+        (cols.flatMap(c =>
+          Seq(min(qc(c)).as(s"__min_$c"), max(qc(c)).as(s"__max_$c"))),
+          row => FittedScaler("minmax", cols.map { c =>
+            val lo = row.getAs[Double](s"__min_$c")
+            val hi = row.getAs[Double](s"__max_$c")
+            c -> (lo, hi - lo)
+          }.toMap))
+      case "robust" =>
+        (cols.flatMap(c => Seq(
+          percentile(qc(c), lit(0.5)).as(s"__med_$c"),
+          percentile(qc(c), lit(0.25)).as(s"__q1_$c"),
+          percentile(qc(c), lit(0.75)).as(s"__q3_$c"))),
+          row => FittedScaler("robust", cols.map { c =>
+            val med = row.getAs[Double](s"__med_$c")
+            val iqr = row.getAs[Double](s"__q3_$c") - row.getAs[Double](s"__q1_$c")
+            c -> (med, iqr)
+          }.toMap))
+      case k => throw new IllegalArgumentException(s"unknown scaler: $k")
+    }
+
+  private def fitVia(kind: String, df: DataFrame, cols: Seq[String]): FittedScaler = {
+    val (aggs, dec) = aggPlan(kind, cols)
+    dec(df.agg(aggs.head, aggs.tail: _*).head())
+  }
+
   /** sklearn MinMaxScaler (default feature_range (0,1)):
     * scaled = (x − min) / (max − min). */
-  def fitMinMax(df: DataFrame, cols: Seq[String]): FittedScaler = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(qc(c)).as(s"__min_$c"), max(qc(c)).as(s"__max_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    FittedScaler("minmax", cols.map { c =>
-      val lo = row.getAs[Double](s"__min_$c")
-      val hi = row.getAs[Double](s"__max_$c")
-      c -> (lo, hi - lo)
-    }.toMap)
-  }
+  def fitMinMax(df: DataFrame, cols: Seq[String]): FittedScaler =
+    fitVia("minmax", df, cols)
 
   /** sklearn RobustScaler (defaults: with_centering, with_scaling,
     * quantile_range (25, 75)): scaled = (x − median) / (q3 − q1), exact
     * linear-interpolated quantiles. */
-  def fitRobust(df: DataFrame, cols: Seq[String]): FittedScaler = {
-    val aggs = cols.flatMap(c => Seq(
-      percentile(qc(c), lit(0.5)).as(s"__med_$c"),
-      percentile(qc(c), lit(0.25)).as(s"__q1_$c"),
-      percentile(qc(c), lit(0.75)).as(s"__q3_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    FittedScaler("robust", cols.map { c =>
-      val med = row.getAs[Double](s"__med_$c")
-      val iqr = row.getAs[Double](s"__q3_$c") - row.getAs[Double](s"__q1_$c")
-      c -> (med, iqr)
-    }.toMap)
-  }
+  def fitRobust(df: DataFrame, cols: Seq[String]): FittedScaler =
+    fitVia("robust", df, cols)
 }

@@ -55,9 +55,23 @@ object Windows {
     * does not start at 0 (e.g. a CV fold's span). */
   def chunkedTrailing(df: DataFrame, idxCol: String, idxOffset: Long,
                       width: Int, cols: Seq[(String, String, String)],
-                      chunkSize: Int = 4096, totalRows: Long = -1L): DataFrame = {
-    require(width >= 1, s"width must be >= 1: $width")
-    val c = math.max(chunkSize, 2 * width)
+                      chunkSize: Int = 4096, totalRows: Long = -1L): DataFrame =
+    chunkedTrailingMulti(df, idxCol, idxOffset,
+      cols.map { case (in, out, kind) => (in, out, kind, width) },
+      chunkSize, totalRows)
+
+  /** Multi-width variant: each output column carries its own trailing
+    * width (the CV fold loop computes the width-6 thresholds AND the
+    * width-144 smooth thresholds in ONE pass — carry rows cover the
+    * largest width; narrower frames are correct a fortiori). */
+  def chunkedTrailingMulti(df: DataFrame, idxCol: String, idxOffset: Long,
+                           cols: Seq[(String, String, String, Int)],
+                           chunkSize: Int = 4096,
+                           totalRows: Long = -1L): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.forall(_._4 >= 1), s"widths must be >= 1: ${cols.map(_._4)}")
+    val maxWidth = cols.map(_._4).max
+    val c = math.max(chunkSize, 2 * maxWidth)
     val rel = col(idxCol) - lit(idxOffset)
     def aggOf(kind: String, in: String, w: org.apache.spark.sql.expressions.WindowSpec): Column =
       kind match {
@@ -72,22 +86,23 @@ object Windows {
       // pmod(idx, 1) ≡ 0 but is NOT foldable — a literal partition key
       // would be constant-folded away, reintroducing the unpartitioned-
       // window shape (and its warning) this fast path is proven safe from
-      val w = Window.partitionBy(pmod(col(idxCol), lit(1L)))
-        .orderBy(col(idxCol)).rowsBetween(-(width - 1), 0)
-      return cols.foldLeft(df) { case (d, (in, out, kind)) =>
-        d.withColumn(out, when(rel >= width - 1, aggOf(kind, in, w)))
+      val part = Window.partitionBy(pmod(col(idxCol), lit(1L)))
+        .orderBy(col(idxCol))
+      return cols.foldLeft(df) { case (d, (in, out, kind, width)) =>
+        d.withColumn(out, when(rel >= width - 1,
+          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
       }
     }
     val base = df.withColumn("__wck", (rel / c).cast("long"))
       .withColumn("__wcarry", lit(false))
-    val carry = df.filter(rel % c >= c - (width - 1))
+    val carry = df.filter(rel % c >= c - (maxWidth - 1))
       .withColumn("__wck", (rel / c).cast("long") + 1)
       .withColumn("__wcarry", lit(true))
-    val w = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
-      .rowsBetween(-(width - 1), 0)
+    val part = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
     val withAggs = cols.foldLeft(base.unionByName(carry)) {
-      case (d, (in, out, kind)) =>
-        d.withColumn(out, when(rel >= width - 1, aggOf(kind, in, w)))
+      case (d, (in, out, kind, width)) =>
+        d.withColumn(out, when(rel >= width - 1,
+          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
     }
     withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry")
   }
