@@ -74,15 +74,17 @@ object ModelBuilder {
     val epoch0 = dsCfg.trainStart
       .map(s => Config.parseTzAware(s).toEpochSecond).getOrElse(0L)
     // base-estimator preprocessing prefix (the reference's default model
-    // IS Pipeline[MinMaxScaler, KerasAutoEncoder]): fit the transform
-    // chain on the assembled frame, then fit the reconstruction in the
+    // IS Pipeline[MinMaxScaler, KerasAutoEncoder]): the wrapper REFITS
+    // the transform chain inside every fit call — per CV fold on that
+    // fold's train span, finally on the full series — exactly sklearn's
+    // clone-and-refit pipeline semantics; the reconstruction fits in the
     // transformed space with predictions mapped back to raw units
-    val prep = ModelRegistry.fitPreprocess(wide, dsCfg.tags,
+    val prepSpecs = ModelRegistry.preprocessSpecs(
       ModelRegistry.basePreprocess(detector.base))
     val base0 = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
     val base =
-      if (prep.isEmpty) base0
-      else new graft.ml.Preprocess.Reconstructor(base0, prep)
+      if (prepSpecs.isEmpty) base0
+      else new graft.ml.Preprocess.Reconstructor(base0, prepSpecs)
     val nSplits = spec.evaluation.get("cv") match {
       case Some(cv: Map[_, _]) =>
         ModelRegistry.compile(cv.asInstanceOf[Map[String, Any]]) match {
@@ -137,10 +139,14 @@ object ModelBuilder {
     // row-aligned, so input length == output length
     val offset = 0
 
-    val implName = detector.base match {
+    // resolve like reconstructorOf does — a Pipeline[..., PCA] base must
+    // persist as "pca", or the saved params are unloadable
+    def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
+      case ModelRegistry.PipelineOf(steps) if steps.nonEmpty => implOf(steps.last)
       case _ => "ridge"
     }
+    val implName = implOf(detector.base)
     val metadata = Map[String, Any](
       "name" -> spec.name,
       "project_name" -> spec.projectName,
@@ -157,8 +163,14 @@ object ModelBuilder {
         "aggregate-thresholds-per-fold" -> fitted.thresholds.perFoldAggregate,
         "cross_validation" -> Map("scores" -> scores)))
 
+    // the FINAL model's fitted preprocessing (fit on the full series)
+    // goes to disk for the serve path
+    val prepOut = fitted.model match {
+      case pf: graft.ml.Preprocess.PreprocessedFitted => pf.prep.specs
+      case _ => Nil
+    }
     Persistence.save(outputDir,
-      Persistence.stateOf(fitted, implName, epoch0, prep.specs), metadata)
+      Persistence.stateOf(fitted, implName, epoch0, prepOut), metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
     } finally wide.unpersist()

@@ -232,34 +232,29 @@ object ModelRegistry {
         case other => throw new CompileException(
           s"unsupported base-estimator preprocessing stage: $other")
       }
-      prefix
+      // a nested Pipeline in the LAST slot contributes its own prefix
+      // (reconstructorOf recurses into it for the model, so its transform
+      // stages must not be silently dropped)
+      prefix ++ basePreprocess(steps.last)
     case _ => Nil
   }
+
+  /** Convert a compiled preprocessing prefix to the unfitted stage specs
+    * [[Preprocess.Reconstructor]] refits per CV fold. */
+  def preprocessSpecs(stages: List[Stage]): List[Preprocess.StageSpec] =
+    stages.map {
+      case Scaler(kind)             => Preprocess.ScalerSpec(kind)
+      case Imputer(strategy, delta) => Preprocess.ImputerSpec(strategy, delta)
+      case Multiply(factor)         => Preprocess.MultiplySpec(factor)
+      case other => throw new CompileException(s"not a preprocessing stage: $other")
+    }
 
   /** Fit the preprocessing prefix sequentially over the wide frame
     * (sklearn `Pipeline.fit`: each stage fits on the previous stage's
     * output). Each fit is one distributed agg pass; no materialized
     * intermediate — the chain stays pure column expressions. */
   def fitPreprocess(df: DataFrame, tags: Seq[String],
-                    stages: List[Stage]): Preprocess.Fitted = {
-    val fitted = scala.collection.mutable.ListBuffer[Preprocess.Stage]()
-    var cur = df
-    stages.foreach { st =>
-      val f: Preprocess.Stage = st match {
-        case Scaler(kind) =>
-          val s = if (kind == "minmax") Scalers.fitMinMax(cur, tags)
-                  else Scalers.fitRobust(cur, tags)
-          Preprocess.ScalerStage(kind, s.stats)
-        case Imputer(strategy, delta) =>
-          Preprocess.ImputerStage(
-            InfImputer.fit(cur, tags, strategy, delta).fills)
-        case Multiply(factor) => Preprocess.MultiplyStage(factor)
-        case other => throw new CompileException(s"not a preprocessing stage: $other")
-      }
-      fitted += f
-      cur = tags.foldLeft(cur)((d, t) =>
-        d.withColumn(t, f.pre(t, graft.Cols.q(t).cast("double"))))
-    }
-    Preprocess.Fitted(fitted.toList)
-  }
+                    stages: List[Stage]): Preprocess.Fitted =
+    Preprocess.fitStages(df, tags, preprocessSpecs(stages),
+      t => graft.Cols.q(t).cast("double"))
 }

@@ -335,9 +335,13 @@ object TimeSeries {
       case m => throw new IllegalArgumentException(s"unsupported interpolation: $m")
     }
     // NOT `na.drop(cols)`: DataFrameNaFunctions resolves dotted tag names
-    // as nested-field paths and fails — filter through quoted refs instead
+    // as nested-field paths and fails — filter through quoted refs,
+    // keeping na.drop's FULL semantics (null AND NaN rows drop, like
+    // pandas dropna on a float frame)
     var wide = pivotWide(interp, keyCol, cfg.tags, valueCol)
-      .filter(cfg.tags.map(t => graft.Cols.q(t).isNotNull).reduce(_ && _))
+      .filter(cfg.tags.map(t =>
+        graft.Cols.q(t).isNotNull && !isnan(graft.Cols.q(t).cast("double")))
+        .reduce(_ && _))
     if (cfg.rowFilter.nonEmpty)
       wide = rowFilterWithBuffer(wide, keys = Nil, orderCols = Seq("bucket_ts"),
         predicate = expr(translateRowFilter(cfg.rowFilter)),

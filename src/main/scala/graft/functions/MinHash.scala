@@ -40,6 +40,11 @@ case class MinHashSignature(child: Expression, k: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Per-permutation salt bytes, computed once per expression instance —
+    * not once per row. */
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(p => (p.toString + "|").getBytes("UTF-8"))
+
   private def hex(bytes: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
@@ -65,7 +70,7 @@ case class MinHashSignature(child: Expression, k: Int)
     val out = new Array[Any](k)
     var p = 0
     while (p < k) {
-      val prefix = (p.toString + "|").getBytes("UTF-8")
+      val prefix = prefixes(p)
       var min: Array[Byte] = null
       var j = 0
       while (j < n) {

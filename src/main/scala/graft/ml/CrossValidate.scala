@@ -71,11 +71,18 @@ object CrossValidate {
       df.select(c).schema.head.dataType.isInstanceOf[NumericType])
     if (!headIsNumeric)
       return df.withColumn("__row",
-        row_number().over(Window.orderBy(orderCols: _*)) - lit(1))
+        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L))
     val head = orderCols.head
     val b = df.agg(min(head).cast("double").as("mn"),
-      max(head).cast("double").as("mx"), count(lit(1)).as("n")).head()
+      max(head).cast("double").as("mx"), count(lit(1)).as("n"),
+      count(head).as("nh")).head()
     if (b.getLong(2) == 0L) return df.withColumn("__row", lit(0L))
+    // null order values would corrupt both value-chunked paths (null
+    // chunk keys / a second pmod partition restarting at 0) — fall back
+    // to the global window, which orders nulls deterministically
+    if (b.getLong(3) != b.getLong(2))
+      return df.withColumn("__row",
+        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L))
     val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
     // bounded frame: a single constant-key partition is already bounded —
     // skip the chunk-count job and offset join

@@ -105,22 +105,97 @@ object Preprocess {
     }
   })
 
-  /** Wrap a reconstructor so it fits on preprocessed features and emits
-    * raw-space predictions (the compiled form of
-    * `Pipeline[transforms..., model]` as a base estimator). */
-  class Reconstructor(inner: DiffAnomaly.Reconstructor, prep: Fitted)
-      extends DiffAnomaly.Reconstructor {
-    private def wrap(f: DiffAnomaly.Fitted): DiffAnomaly.Fitted =
-      new DiffAnomaly.Fitted {
-        def predictCol(tag: String): Column = prep.post(tag, f.predictCol(tag))
-        def params: Map[String, Double] = f.params
+  // ---- unfitted stage specs (what a compiled config provides) ----
+
+  sealed trait StageSpec
+  case class ScalerSpec(kind: String) extends StageSpec
+  case class ImputerSpec(strategy: String, delta: Double) extends StageSpec
+  case class MultiplySpec(factor: Double) extends StageSpec
+
+  /** Fit the stage chain sequentially over `df` (sklearn `Pipeline.fit`:
+    * each stage fits on the PREVIOUS stage's output — expressed as
+    * nested column expressions, one aggregation job per fitted stage, no
+    * materialized intermediates). */
+  def fitStages(df: org.apache.spark.sql.DataFrame, tags: Seq[String],
+                specs: List[StageSpec],
+                feature: String => Column): Fitted = {
+    var chain = List.empty[Stage]
+    specs.foreach { spec =>
+      def cur(t: String): Column = Fitted(chain).preFrom(t, feature(t))
+      val stage: Stage = spec match {
+        case MultiplySpec(f) => MultiplyStage(f)
+        case ScalerSpec("minmax") =>
+          val aggs = tags.flatMap(t =>
+            Seq(min(cur(t)).as(s"__pmin_$t"), max(cur(t)).as(s"__pmax_$t")))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          ScalerStage("minmax", tags.map { t =>
+            val lo = row.getAs[Double](s"__pmin_$t")
+            t -> (lo, row.getAs[Double](s"__pmax_$t") - lo)
+          }.toMap)
+        case ScalerSpec("robust") =>
+          val aggs = tags.flatMap(t => Seq(
+            percentile(cur(t), lit(0.5)).as(s"__pmed_$t"),
+            percentile(cur(t), lit(0.25)).as(s"__pq1_$t"),
+            percentile(cur(t), lit(0.75)).as(s"__pq3_$t")))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          ScalerStage("robust", tags.map { t =>
+            val med = row.getAs[Double](s"__pmed_$t")
+            val iqr = row.getAs[Double](s"__pq3_$t") - row.getAs[Double](s"__pq1_$t")
+            t -> (med, iqr)
+          }.toMap)
+        case ScalerSpec(k) =>
+          throw new IllegalArgumentException(s"unknown scaler: $k")
+        case ImputerSpec("extremes", _) =>
+          ImputerStage(tags.map(t =>
+            t -> (Double.MaxValue, Double.MinValue)).toMap)
+        case ImputerSpec("minmax", delta) =>
+          // finite min/max (non-finite masked, like numpy masked_invalid)
+          def finite(c: Column): Column =
+            when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+              c =!= lit(Double.NegativeInfinity), c)
+          val aggs = tags.flatMap(t => Seq(
+            max(finite(cur(t))).as(s"__pimax_$t"),
+            min(finite(cur(t))).as(s"__pimin_$t")))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          ImputerStage(tags.map { t =>
+            val hi = row.getAs[Double](s"__pimax_$t")
+            val lo = row.getAs[Double](s"__pimin_$t")
+            val pos = if (Double.MaxValue - delta > hi) hi + delta else Double.MaxValue
+            val neg = if (Double.MinValue + delta < lo) lo - delta else Double.MinValue
+            t -> (pos, neg)
+          }.toMap)
+        case ImputerSpec(s, _) =>
+          throw new IllegalArgumentException(s"unknown imputer strategy: $s")
       }
-    override def aggPlan(tags: Seq[String], feature: String => Column)
-        : Option[(Seq[Column], org.apache.spark.sql.Row => DiffAnomaly.Fitted)] =
-      inner.aggPlan(tags, t => prep.preFrom(t, feature(t)))
-        .map { case (aggs, dec) => (aggs, (row: org.apache.spark.sql.Row) => wrap(dec(row))) }
+      chain = chain :+ stage
+    }
+    Fitted(chain)
+  }
+
+  /** A fitted-model wrapper exposing the fitted preprocessing chain (for
+    * model persistence). */
+  case class PreprocessedFitted(inner: DiffAnomaly.Fitted, prep: Fitted)
+      extends DiffAnomaly.Fitted {
+    def predictCol(tag: String): Column = prep.post(tag, inner.predictCol(tag))
+    def params: Map[String, Double] = inner.params
+  }
+
+  /** Wrap a reconstructor so every `fit` call FIRST fits the
+    * preprocessing chain on that call's train frame (sklearn
+    * `cross_validate` clones and refits the whole pipeline per fold — a
+    * chain fitted once on the full series would leak each fold's test
+    * span into its transform statistics), then fits the model on the
+    * transformed features with raw-space predictions via the affine
+    * inverse. `aggPlan` stays None: stage fitting is sequential (stage k
+    * fits on stage k−1's output), so it cannot fuse into one pass. */
+  class Reconstructor(inner: DiffAnomaly.Reconstructor,
+                      specs: List[StageSpec])
+      extends DiffAnomaly.Reconstructor {
     def fit(train: org.apache.spark.sql.DataFrame, tags: Seq[String],
-            feature: String => Column): DiffAnomaly.Fitted =
-      wrap(inner.fit(train, tags, t => prep.preFrom(t, feature(t))))
+            feature: String => Column): DiffAnomaly.Fitted = {
+      val prep = fitStages(train, tags, specs, feature)
+      PreprocessedFitted(
+        inner.fit(train, tags, t => prep.preFrom(t, feature(t))), prep)
+    }
   }
 }

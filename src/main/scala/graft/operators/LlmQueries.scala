@@ -131,9 +131,9 @@ object LlmQueries {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Banded 16-bit SimHash near-dup pairs (portable md5-hex-parity bits),
-    * exact Hamming ≤ 3 verified — the third dedup family next to MinHash
-    * (q34) and embedding-cosine (q42). */
+  /** Banded 32-bit SimHash near-dup pairs (portable md5-hex-parity bits,
+    * 4 bands × 8 bits), exact Hamming ≤ 3 verified — the third dedup
+    * family next to MinHash (q34) and embedding-cosine (q42). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     TextDedup.simhashNearDups(Tables(spark, dir, "documents"),

@@ -140,17 +140,78 @@ class AdviceFixesSpec extends AnyFunSuite {
       Config.datasetConfig(Config.machineFromConfig(
         Config.parseYaml(yamlFor(bareRidge)), Some("p"), Config.defaultGlobals)))
     val tags = Seq("plant.tag-a.PV", "plant.tag-b.PV")
-    val prep = ModelRegistry.fitPreprocess(wide, tags,
-      List(ModelRegistry.Scaler("minmax")))
     val bare = new graft.ml.DiffAnomaly.PcaReconstructor(1).fit(wide, tags)
     val scaled = new graft.ml.Preprocess.Reconstructor(
-      new graft.ml.DiffAnomaly.PcaReconstructor(1), prep).fit(wide, tags)
+      new graft.ml.DiffAnomaly.PcaReconstructor(1),
+      List(graft.ml.Preprocess.ScalerSpec("minmax"))).fit(wide, tags)
     val out = wide.select(
       bare.predictCol(tags.head).as("b"),
       scaled.predictCol(tags.head).as("s")).agg(
       max(abs($"b" - $"s")).as("d")).as[Double].head()
     // tags have very different ranges → scaling rotates the principal axis
     assert(out > 1e-3, s"expected PCA(1) to differ under scaling, max|Δ|=$out")
+  }
+
+  test("Pipeline[Scaler, PCA] base persists as pca and reloads (review fix)") {
+    val pipePca =
+      """  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      sklearn.pipeline.Pipeline:
+        |        steps:
+        |          - sklearn.preprocessing.MinMaxScaler
+        |          - sklearn.decomposition.PCA:
+        |              n_components: 1""".stripMargin
+    val tmp = Files.createTempDirectory("graft-pipepca").toString
+    val res = ModelBuilder.build(
+      Config.parseYaml(yamlFor(pipePca)), Config.defaultGlobals,
+      dottedLong, "tag", "ts", "value", outputDir = s"$tmp/model",
+      projectName = Some("p"))
+    val modelJson = Files.readString(java.nio.file.Paths.get(s"$tmp/model/model.json"))
+    assert(modelJson.contains("\"impl\":\"pca\""), "impl must resolve through the Pipeline")
+    // the bug: impl persisted as "ridge" with pca params → load crashed
+    val wide = graft.data.TimeSeries.getData(dottedLong, "tag", "ts", "value",
+      Config.datasetConfig(res.spec))
+    val a = graft.ml.DiffAnomaly.anomaly(res.fitted, wide, 600L)
+      .orderBy($"start").select($"`total-anomaly-scaled`").as[Double].collect()
+    val b = ModelBuilder.score(s"$tmp/model", wide, 600L)
+      .orderBy($"start").select($"`total-anomaly-scaled`").as[Double].collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("nested Pipeline in the last slot contributes its prefix (review fix)") {
+    val nested = ModelRegistry.compile(Config.parseYaml(
+      """sklearn.pipeline.Pipeline:
+        |  steps:
+        |    - gordo.machine.model.transformers.imputer.InfImputer
+        |    - sklearn.pipeline.Pipeline:
+        |        steps:
+        |          - sklearn.preprocessing.MinMaxScaler
+        |          - gordo.machine.model.models.KerasAutoEncoder:
+        |              kind: feedforward_hourglass""".stripMargin))
+    val prefix = ModelRegistry.basePreprocess(nested)
+    assert(prefix == List(ModelRegistry.Imputer("minmax", 2.0),
+      ModelRegistry.Scaler("minmax")))
+  }
+
+  test("preprocessing refits per fit call on that call's frame (review fix)") {
+    val wide = graft.data.TimeSeries.getData(dottedLong, "tag", "ts", "value",
+      Config.datasetConfig(Config.machineFromConfig(
+        Config.parseYaml(yamlFor(bareRidge)), Some("p"), Config.defaultGlobals)))
+    val tags = Seq("plant.tag-a.PV", "plant.tag-b.PV")
+    val rec = new graft.ml.Preprocess.Reconstructor(
+      new graft.ml.DiffAnomaly.RidgeReconstructor(),
+      List(graft.ml.Preprocess.ScalerSpec("minmax")))
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      rec.fit(df, tags) match {
+        case pf: graft.ml.Preprocess.PreprocessedFitted =>
+          pf.prep.stages.head.asInstanceOf[graft.ml.Preprocess.ScalerStage].stats
+        case other => fail(s"expected PreprocessedFitted, got $other")
+      }
+    val full = statsOf(wide)
+    val head = statsOf(wide.orderBy($"bucket_ts").limit(50))
+    // the leak: a chain fitted once on the full series would make these
+    // equal; per-call refit sees only the train span's range
+    assert(full != head)
   }
 
   test("scoring_scaler dispatches on the configured class (advice: low)") {
