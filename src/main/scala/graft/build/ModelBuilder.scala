@@ -116,8 +116,10 @@ object ModelBuilder {
     val scoringScaler = spec.evaluation.get("scoring_scaler")
       .filter(_ != null).map { v =>
         ModelRegistry.compile(v) match {
-          case ModelRegistry.Scaler("minmax") => Scalers.fitMinMax(wide, dsCfg.tags)
-          case ModelRegistry.Scaler("robust") => Scalers.fitRobust(wide, dsCfg.tags)
+          case ModelRegistry.Scaler("minmax") =>
+            Scalers.fitMinMax(wide, dsCfg.effectiveTargets)
+          case ModelRegistry.Scaler("robust") =>
+            Scalers.fitRobust(wide, dsCfg.effectiveTargets)
           case other => throw new ModelRegistry.CompileException(
             s"unsupported scoring_scaler: $other")
         }
@@ -128,7 +130,8 @@ object ModelBuilder {
       scalerKind = detector.scaler.kind, nSplits = nSplits,
       window = detector.window,
       smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
-      foldMetrics = foldMetrics, scoringScaler = scoringScaler)
+      foldMetrics = foldMetrics, scoringScaler = scoringScaler,
+      targetTags = dsCfg.targetTags)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     val scores = fitted.foldScores.map { case (name, vals) =>

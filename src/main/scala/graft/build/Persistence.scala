@@ -70,6 +70,8 @@ object Persistence {
 
   case class ModelState(
       impl: String, epoch0: Long, orderCol: String, tags: Seq[String],
+      /** y columns (`target_tag_list`); empty means targets = tags. */
+      targets: Seq[String],
       modelParams: Map[String, Double], scalerKind: String,
       scalerStats: Map[String, (Double, Double)], thresholds: Thresholds,
       window: Option[Int], smoothingMethod: String,
@@ -79,9 +81,10 @@ object Persistence {
 
   def stateOf(fd: FittedDetector, impl: String, epoch0: Long,
               preprocess: List[Map[String, Any]] = Nil): ModelState =
-    ModelState(impl, epoch0, fd.orderCol, fd.tags, fd.model.params,
-      fd.scaler.kind, fd.scaler.stats, fd.thresholds, fd.window,
-      fd.smoothingMethod, preprocess)
+    ModelState(impl, epoch0, fd.orderCol, fd.tags,
+      if (fd.targets == fd.tags) Nil else fd.targets,
+      fd.model.params, fd.scaler.kind, fd.scaler.stats, fd.thresholds,
+      fd.window, fd.smoothingMethod, preprocess)
 
   def save(dir: String, state: ModelState,
            metadata: Map[String, Any] = Map.empty): Unit = {
@@ -92,6 +95,7 @@ object Persistence {
       "epoch0" -> state.epoch0,
       "orderCol" -> state.orderCol,
       "tags" -> state.tags,
+      "targets" -> state.targets,
       "modelParams" -> state.modelParams,
       "scalerKind" -> state.scalerKind,
       "scalerStats" -> state.scalerStats.map { case (k, (a, b)) => k -> List(a, b) },
@@ -124,6 +128,11 @@ object Persistence {
     def dbl(v: Any): Double =
       if (v == null) Double.NaN else v.toString.toDouble
     val tags = m("tags").asInstanceOf[List[Any]].map(_.toString)
+    val targets = m.getOrElse("targets", List.empty[Any])
+      .asInstanceOf[List[Any]].map(_.toString) match {
+        case Nil => tags
+        case l   => l
+      }
     val params = m("modelParams").asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> dbl(v) }
     val orderCol = m("orderCol").toString
@@ -147,7 +156,7 @@ object Persistence {
     val fitted = rebuildFitted(m("impl").toString, params, tags, orderCol,
       epoch0, prep)
     FittedDetector(fitted, FittedScaler(m("scalerKind").toString, stats), th,
-      tags, orderCol,
+      tags, targets, orderCol,
       Option(m.getOrElse("window", null)).map(_.toString.toInt),
       m.getOrElse("smoothingMethod", "smm").toString)
   }

@@ -119,6 +119,7 @@ object Config {
   /** Dataset-block defaults asserted at
     * `tests/gordo/workflow/test_config_elements.py:137-162`. */
   val datasetDefaults: Map[String, Any] = Map(
+    "target_tag_list" -> null,
     "aggregation_methods" -> "mean",
     "resolution" -> "10T",
     "row_filter" -> "",
@@ -219,6 +220,11 @@ object Config {
       case Some(l: List[_]) => l.map(_.toString)
       case _ => throw new ConfigException("dataset needs tag_list")
     }
+    // y columns (`target_tag_list`); empty → y = X
+    val targetTags = ds.get("target_tag_list").filter(_ != null) match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _ => Nil
+    }
     val periods = ds.get("known_filter_periods") match {
       case Some(l: List[_]) => l.map {
         case p: List[_] => (p.head.toString, p(1).toString)
@@ -228,6 +234,7 @@ object Config {
     }
     TimeSeries.DatasetConfig(
       tags = tags,
+      targetTags = targetTags,
       resolution = str("resolution").getOrElse("10T"),
       aggregationMethod = str("aggregation_methods").getOrElse("mean"),
       trainStart = isoStr("train_start_date"),

@@ -282,6 +282,10 @@ object TimeSeries {
     * are values of `keyCol` in the long input frame. */
   case class DatasetConfig(
       tags: Seq[String],
+      /** `target_tag_list` — the y columns; empty means y = X. The wide
+        * frame assembles the UNION of both so every model input and
+        * target aligns on the same grid. */
+      targetTags: Seq[String] = Nil,
       resolution: String = "10T",
       aggregationMethod: String = "mean",
       trainStart: Option[String] = None,
@@ -291,7 +295,11 @@ object TimeSeries {
       knownFilterPeriods: Seq[(String, String)] = Nil,
       interpolationMethod: String = "linear_interpolation",
       interpolationLimit: String = "48H",
-      nSamplesThreshold: Long = 0)
+      nSamplesThreshold: Long = 0) {
+    /** The y columns actually used (targetTags, defaulting to tags). */
+    def effectiveTargets: Seq[String] =
+      if (targetTags.isEmpty) tags else targetTags
+  }
 
   /** S1/J1 composed: long `(key, ts, value)` frame → aligned wide frame
     * `(bucket_ts, tag1, ..., tagN)` — the operation every gordo query
@@ -310,7 +318,9 @@ object TimeSeries {
               valueCol: String, cfg: DatasetConfig): DataFrame = {
     val widthSec = parseResolutionSeconds(cfg.resolution)
     val limitSec = parseResolutionSeconds(cfg.interpolationLimit)
-    var df = long.filter(col(keyCol).isin(cfg.tags: _*))
+    // X tags plus any extra target tags align on the same grid
+    val allTags = (cfg.tags ++ cfg.targetTags).distinct
+    var df = long.filter(col(keyCol).isin(allTags: _*))
     cfg.trainStart.foreach(s => df = df.filter(col(tsCol) >= lit(s).cast("timestamp")))
     cfg.trainEnd.foreach(e => df = df.filter(col(tsCol) < lit(e).cast("timestamp")))
     df = dropKnownPeriods(df, tsCol, cfg.knownFilterPeriods)
@@ -338,8 +348,8 @@ object TimeSeries {
     // as nested-field paths and fails — filter through quoted refs,
     // keeping na.drop's FULL semantics (null AND NaN rows drop, like
     // pandas dropna on a float frame)
-    var wide = pivotWide(interp, keyCol, cfg.tags, valueCol)
-      .filter(cfg.tags.map(t =>
+    var wide = pivotWide(interp, keyCol, allTags, valueCol)
+      .filter(allTags.map(t =>
         graft.Cols.q(t).isNotNull && !isnan(graft.Cols.q(t).cast("double")))
         .reduce(_ && _))
     if (cfg.rowFilter.nonEmpty)
@@ -352,7 +362,8 @@ object TimeSeries {
   private def spark_emptyWide(resampled: DataFrame, cfg: DatasetConfig): DataFrame = {
     val base = resampled.sparkSession.emptyDataFrame
       .withColumn("bucket_ts", lit(0L))
-    cfg.tags.foldLeft(base)((d, t) => d.withColumn(t, lit(null).cast("double")))
+    (cfg.tags ++ cfg.targetTags).distinct
+      .foldLeft(base)((d, t) => d.withColumn(t, lit(null).cast("double")))
       .limit(0)
   }
 

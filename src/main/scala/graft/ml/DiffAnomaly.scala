@@ -34,20 +34,26 @@ object DiffAnomaly {
     * columns. Implementations must be deterministic (SURVEY §7.4: no NN
     * nondeterminism in correctness gates). */
   trait Reconstructor {
-    /** Fit with an explicit feature-expression builder: `feature(tag)` is
+    /** Fit predicting `yTags` from the `xTags` features (the reference's
+      * `tag_list` → `target_tag_list` split; `y = X` for autoencoders),
+      * with an explicit feature-expression builder: `feature(tag)` is
       * the model-input expression for `tag` (identity `qc` normally; the
       * fitted preprocessing chain when the base estimator is a
       * `Pipeline[transforms..., model]` — see [[Preprocess.Reconstructor]]). */
-    def fit(train: DataFrame, tags: Seq[String],
+    def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted
     final def fit(train: DataFrame, tags: Seq[String]): Fitted =
-      fit(train, tags, t => qc(t).cast("double"))
+      fit(train, tags, tags, t => qc(t).cast("double"))
+    final def fit(train: DataFrame, tags: Seq[String],
+                  feature: String => Column): Fitted =
+      fit(train, tags, tags, feature)
     /** Single-pass protocol: when defined, (aggregate columns, result-row
       * decoder) let a caller FUSE this fit into a wider aggregation over
       * the same frame (the CV fold loop runs model + error-scaler fit as
       * ONE distributed pass per fold instead of two). Aliases are
       * name-spaced per model so plans compose. */
-    def aggPlan(tags: Seq[String], feature: String => Column)
+    def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = None
   }
 
@@ -63,13 +69,14 @@ object DiffAnomaly {
     * correctness-gate reconstruction model (SURVEY §7.3(c)). */
   class TrendReconstructor(orderCol: String, epoch0: Long) extends Reconstructor {
     private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
-    override def aggPlan(tags: Seq[String], feature: String => Column)
+    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = Some((
-      tags.flatMap(t => Seq(
+      yTags.flatMap(t => Seq(
         regr_slope(feature(t), x).as(s"b_$t"),
         regr_intercept(feature(t), x).as(s"a_$t"))),
       row => {
-        val ab = tags.map(t =>
+        val ab = yTags.map(t =>
           t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
         new Fitted {
           def predictCol(tag: String): Column =
@@ -78,9 +85,9 @@ object DiffAnomaly {
             ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
         }
       }))
-    def fit(train: DataFrame, tags: Seq[String],
+    def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
-      val (aggs, dec) = aggPlan(tags, feature).get
+      val (aggs, dec) = aggPlan(xTags, yTags, feature).get
       dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
   }
@@ -94,20 +101,30 @@ object DiffAnomaly {
     * — the Spark shape for "fit collects the modest per-machine matrix"
     * (SURVEY §3.1). */
   class RidgeReconstructor(lambda: Double = 1e-8) extends Reconstructor {
-    override def aggPlan(tags: Seq[String], feature: String => Column)
+    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
-      val m = tags.size
-      // feature vector = (1, tags...): Gram is (m+1)x(m+1)
-      val feats = lit(1.0) +: tags.map(t => feature(t).cast("double"))
+      val m = xTags.size
+      // column vector = (1, xTags..., y-only targets...): the Gram over
+      // all pairs carries both XᵀX and the XᵀY cross terms
+      val extraY = yTags.filterNot(xTags.contains)
+      val allCols = (lit(1.0) +: xTags.map(t => feature(t).cast("double"))) ++
+        extraY.map(t => feature(t).cast("double"))
+      val nAll = allCols.size - 1
       val aggs = for {
-        i <- 0 to m; j <- i to m
-      } yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
+        i <- 0 to nAll; j <- i to nAll
+      } yield sum(allCols(i) * allCols(j)).as(s"g_${i}_$j")
       Some((aggs, row => {
         def gram(i: Int, j: Int): Double =
           row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}")
-        // weights per target over features (1, tags != target)
-        val weights: Map[String, Seq[(Int, Double)]] = tags.map { t =>
-          val ti = tags.indexOf(t) + 1
+        def yIdx(t: String): Int = {
+          val xi = xTags.indexOf(t)
+          if (xi >= 0) xi + 1 else m + 1 + extraY.indexOf(t)
+        }
+        // weights per target over features (1, xTags != target): a target
+        // present among the inputs is excluded from its own features
+        val weights: Map[String, Seq[(Int, Double)]] = yTags.map { t =>
+          val ti = yIdx(t)
           val fIdx = (0 to m).filterNot(_ == ti)
           val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
             gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
@@ -117,16 +134,16 @@ object DiffAnomaly {
         }.toMap
         new Fitted {
           def predictCol(tag: String): Column =
-            weights(tag).map { case (fi, wi) => feats(fi) * lit(wi) }.reduce(_ + _)
+            weights(tag).map { case (fi, wi) => allCols(fi) * lit(wi) }.reduce(_ + _)
           def params: Map[String, Double] = weights.flatMap { case (t, w) =>
             w.map { case (fi, v) => s"w_${t}_$fi" -> v }
           }
         }
       }))
     }
-    def fit(train: DataFrame, tags: Seq[String],
+    def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
-      val (aggs, dec) = aggPlan(tags, feature).get
+      val (aggs, dec) = aggPlan(xTags, yTags, feature).get
       dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
     /** In-place Gaussian elimination with partial pivoting. */
@@ -168,17 +185,21 @@ object DiffAnomaly {
       "n_components must be >= 1")
     varianceFraction.foreach(f => require(f > 0.0 && f < 1.0,
       s"variance fraction must be in (0, 1): $f"))
-    override def aggPlan(tags: Seq[String], feature: String => Column)
+    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
+      require(xTags == yTags,
+        "PCA reconstruction is an autoencoder: target_tag_list must equal tag_list")
+      val tags = xTags
       val m = tags.size
       val means = tags.map(t => avg(feature(t)).as(s"mu_$t"))
       val covs = for { i <- 0 until m; j <- i until m }
         yield covar_pop(feature(tags(i)), feature(tags(j))).as(s"c_${i}_$j")
       Some(((means ++ covs), row => decode(row, tags, feature)))
     }
-    def fit(train: DataFrame, tags: Seq[String],
+    def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
-      val (aggs, dec) = aggPlan(tags, feature).get
+      val (aggs, dec) = aggPlan(xTags, yTags, feature).get
       dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
     private def decode(row: org.apache.spark.sql.Row, tags: Seq[String],
@@ -286,6 +307,10 @@ object DiffAnomaly {
       scaler: FittedScaler,
       thresholds: Thresholds,
       tags: Seq[String],
+      /** y columns (`target_tag_list`); == tags for autoencoders. Error,
+        * threshold, and confidence columns are per TARGET tag; the
+        * model-input columns are per X tag. */
+      targets: Seq[String],
       orderCol: String,
       window: Option[Int],
       smoothingMethod: String,
@@ -305,7 +330,10 @@ object DiffAnomaly {
           nSplits: Int = 3, window: Option[Int] = None,
           smoothingMethod: String = "smm",
           foldMetrics: Seq[(String, (Column, Column) => Column)] = Nil,
-          scoringScaler: Option[FittedScaler] = None): FittedDetector = {
+          scoringScaler: Option[FittedScaler] = None,
+          targetTags: Seq[String] = Nil): FittedDetector = {
+    // y columns (`target_tag_list`, diff.py fit(X, y)); empty -> y = X
+    val y = if (targetTags.isEmpty) tags else targetTags
     // persist the assembled frame FIRST: withRowIndex runs two small jobs
     // (chunk bounds + counts) before the fold loop, which would otherwise
     // recompute the upstream resample/align per job
@@ -326,7 +354,7 @@ object DiffAnomaly {
         val test = CrossValidate.testFold(indexed, f)
         // ONE train-side pass per fold: model + error-scaler aggregates
         // fused (2 full-data passes → 1 when the model exposes its plan)
-        val (m, sc) = fitModelAndScaler(train, tags, base, scalerKind)
+        val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
         // ONE test-side pass per fold: width-6 thresholds, the smooth
         // window's thresholds, AND the fold metric aggregates over the
         // same scored frame (was 2-3 separate jobs)
@@ -338,28 +366,28 @@ object DiffAnomaly {
         }
         val metricInputs =
           if (foldMetrics.isEmpty) Nil
-          else tags.flatMap(t =>
+          else y.flatMap(t =>
             Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
         val scored = test.select(
           (col("__row") +:
-            scaledMseCol(m, sc, tags).as("__mse") +:
-            (tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
+            scaledMseCol(m, sc, y).as("__mse") +:
+            (y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
               metricInputs)): _*)
         val widths = (6 +: window.toSeq).distinct
         val rolled = Windows.chunkedTrailingMulti(scored, "__row", f.testStart,
           widths.flatMap(w =>
             ("__mse", s"__rmin${w}__mse", "min", w) +:
-              tags.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w))),
+              y.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w))),
           totalRows = f.nTest)
         // A8/M13/M14 fold metric scores reuse this pass — metric over
         // scoring-scaler-transformed y/ŷ, averaged over tags
         // (`build_model.py:274-289,377-446`)
-        val metricAggs = for { (name, fn) <- foldMetrics; t <- tags }
+        val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
           yield fn(scl(col(s"`__y_$t`"), t), scl(col(s"`__p_$t`"), t))
             .as(s"${name}__$t")
         val aggs = widths.flatMap(w =>
           max(col(s"__rmin${w}__mse")).as(s"__agg__$w") +:
-            tags.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
+            y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
           metricAggs
         val row = rolled.agg(aggs.head, aggs.tail: _*).head()
         // a fold shorter than a rolling width has no full frame: pandas
@@ -369,25 +397,25 @@ object DiffAnomaly {
           else row.getAs[Double](name)
         val agg = d("__agg__6")
         perFoldAgg(s"fold-${f.index}") = agg
-        lastFeat = tags.map(t => t -> d(s"__f6__$t")).toMap
+        lastFeat = y.map(t => t -> d(s"__f6__$t")).toMap
         lastAgg = agg
         window.foreach { w =>
-          lastSmoothFeat = Some(tags.map(t => t -> d(s"__f${w}__$t")).toMap)
+          lastSmoothFeat = Some(y.map(t => t -> d(s"__f${w}__$t")).toMap)
           lastSmoothAgg = Some(d(s"__agg__$w"))
         }
         foldMetrics.foreach { case (name, _) =>
-          val avgOverTags = tags
-            .map(t => row.getAs[Double](s"${name}__$t")).sum / tags.size
+          val avgOverTags = y
+            .map(t => row.getAs[Double](s"${name}__$t")).sum / y.size
           perFoldScores.getOrElseUpdate(name,
             scala.collection.mutable.ListBuffer()) += avgOverTags
         }
       }
       val (finalModel, finalScaler) =
-        fitModelAndScaler(indexed, tags, base, scalerKind)
+        fitModelAndScaler(indexed, tags, y, base, scalerKind)
       FittedDetector(finalModel, finalScaler,
         Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
           perFoldAgg.toMap),
-        tags, orderCol, window, smoothingMethod,
+        tags, y, orderCol, window, smoothingMethod,
         perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap)
     } finally { indexed.unpersist(); src.unpersist() }
   }
@@ -406,7 +434,9 @@ object DiffAnomaly {
               base: Reconstructor, scalerKind: String = "minmax",
               nSplits: Int = 5, window: Int = 144,
               smoothingMethod: String = "smm",
-              thresholdPercentile: Double = 0.99): FittedDetector = {
+              thresholdPercentile: Double = 0.99,
+              targetTags: Seq[String] = Nil): FittedDetector = {
+    val y = if (targetTags.isEmpty) tags else targetTags
     val src = wide.persist()
     val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
@@ -418,7 +448,7 @@ object DiffAnomaly {
         val train = indexed.filter(
           col("__row") < f.testStart || col("__row") >= f.testEnd)
         val test = CrossValidate.testFold(indexed, f)
-        val (m, sc) = fitModelAndScaler(train, tags, base, scalerKind)
+        val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
         test.select(
           (col("__row") +:
             scaledMseCol(m, sc, tags).as("__mse") +:
@@ -429,9 +459,9 @@ object DiffAnomaly {
           // pandas ewm(span=window): no NaN prefix, full-history weights
           Ewma.ewmaMulti(scattered, keys = Nil, orderCol = "__row",
             cols = (("__mse" -> "__sm_mse") +:
-              tags.map(t => s"__mae_$t" -> s"__sm_$t")).toMap,
+              y.map(t => s"__mae_$t" -> s"__sm_$t")).toMap,
             span = window.toDouble)
-            .select((col("__sm_mse") +: tags.map(t => qc(s"__sm_$t"))): _*)
+            .select((col("__sm_mse") +: y.map(t => qc(s"__sm_$t"))): _*)
         case method =>
           require(method == "smm" || method == "sma",
             s"unsupported smoothing: $method")
@@ -439,21 +469,21 @@ object DiffAnomaly {
           // single-partition WindowExec however long the series
           Windows.chunkedTrailing(scattered, "__row", 0L, window,
             ("__mse", "__sm_mse", method) +:
-              tags.map(t => (s"__mae_$t", s"__sm_$t", method)),
+              y.map(t => (s"__mae_$t", s"__sm_$t", method)),
             totalRows = n)
-            .select((col("__sm_mse") +: tags.map(t => qc(s"__sm_$t"))): _*)
+            .select((col("__sm_mse") +: y.map(t => qc(s"__sm_$t"))): _*)
       }
       val row = smoothed.agg(
         percentile(col("__sm_mse"), lit(thresholdPercentile)).as("__agg"),
-        tags.map(t => percentile(qc(s"__sm_$t"), lit(thresholdPercentile))
+        y.map(t => percentile(qc(s"__sm_$t"), lit(thresholdPercentile))
           .as(s"__f_$t")): _*).head()
-      val featureTh = tags.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
+      val featureTh = y.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
       val aggTh = row.getAs[Double]("__agg")
       val (finalModel, finalScaler) =
-        fitModelAndScaler(indexed, tags, base, scalerKind)
+        fitModelAndScaler(indexed, tags, y, base, scalerKind)
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
-        tags, orderCol, Some(window), smoothingMethod)
+        tags, y, orderCol, Some(window), smoothingMethod)
     } finally { indexed.unpersist(); src.unpersist() }
   }
 
@@ -468,17 +498,19 @@ object DiffAnomaly {
     * over `df` when the reconstructor exposes its agg plan (all built-in
     * ones do); falls back to two passes otherwise. Identical values —
     * each aggregate has its own buffer, fused or not. */
-  private def fitModelAndScaler(df: DataFrame, tags: Seq[String],
-                                base: Reconstructor,
+  private def fitModelAndScaler(df: DataFrame, xTags: Seq[String],
+                                yTags: Seq[String], base: Reconstructor,
                                 scalerKind: String): (Fitted, FittedScaler) =
-    base.aggPlan(tags, t => qc(t).cast("double")) match {
+    base.aggPlan(xTags, yTags, t => qc(t).cast("double")) match {
       case Some((mAggs, mDec)) =>
-        val (sAggs, sDec) = Scalers.aggPlan(scalerKind, tags)
+        // the error scaler fits on y (`diff.py:173` scaler.fit(y))
+        val (sAggs, sDec) = Scalers.aggPlan(scalerKind, yTags)
         val all = mAggs ++ sAggs
         val row = df.agg(all.head, all.tail: _*).head()
         (mDec(row), sDec(row))
       case None =>
-        (base.fit(df, tags), fitScaler(scalerKind, df, tags))
+        (base.fit(df, xTags, yTags, t => qc(t).cast("double")),
+          fitScaler(scalerKind, df, yTags))
     }
 
   /** Scaled MSE per timestep (`diff.py:268-293`): mean over tags of
@@ -499,26 +531,32 @@ object DiffAnomaly {
       (col(fd.orderCol).as("start") +:
         (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
         fd.tags.map(t => qc(t).as(s"model-input.$t"))) ++
-        fd.tags.map(t => fd.model.predictCol(t).as(s"model-output.$t")): _*)
+        fd.targets.map(t => fd.model.predictCol(t).as(s"model-output.$t")): _*)
 
   /** The anomaly frame (`diff.py:310-458` + `model/utils.py:102-133`):
     * start/end interval stamps plus the full derived column set, all in
     * one row-local select. `resolutionSec` gives the `end` offset (F4). */
   def anomaly(fd: FittedDetector, wide: DataFrame,
               resolutionSec: Long): DataFrame = {
-    val tags = fd.tags
+    val tags = fd.targets
     val m = fd.model
     val sc = fd.scaler
     def scaled(c: Column, t: String): Column = {
       val (ctr, s0) = sc.stats(t); val s = if (s0 == 0.0) 1.0 else s0
       (c - lit(ctr)) / lit(s)
     }
+    val extraTargets = tags.filterNot(fd.tags.contains)
     val base = wide.select(
       (col(fd.orderCol).as("start") +:
         (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
-        tags.map(t => qc(t).as(s"model-input.$t"))) ++
-        tags.map(t => m.predictCol(t).as(s"model-output.$t")): _*)
-    def in(t: String) = col(s"`model-input.$t`")
+        fd.tags.map(t => qc(t).as(s"model-input.$t"))) ++
+        tags.map(t => m.predictCol(t).as(s"model-output.$t")) ++
+        extraTargets.map(t => qc(t).as(s"__target.$t")): _*)
+    // error columns compare model-output against the TARGET tag values;
+    // when a target is not among the X inputs its raw value rides along
+    // under an internal alias
+    def in(t: String) =
+      if (fd.tags.contains(t)) col(s"`model-input.$t`") else col(s"`__target.$t`")
     def out(t: String) = col(s"`model-output.$t`")
     val withScores = base
       .withColumns(tags.map(t =>
@@ -547,6 +585,7 @@ object DiffAnomaly {
           th.featureThresholds(t))).toMap)
       .withColumn("total-anomaly-confidence",
         overThreshold(col("`total-anomaly-scaled`"), th.aggregateThreshold))
+      .drop(extraTargets.map(t => s"__target.$t"): _*)
   }
 
   /** The (input → smooth output) column-name pairs for smoothing. */
@@ -565,7 +604,7 @@ object DiffAnomaly {
     fd.smoothingMethod match {
       case "ewma" =>
         Ewma.ewmaMulti(df, keys = Nil, orderCol = "start",
-          cols = smoothPairs(fd.tags).toMap, span = width.toDouble)
+          cols = smoothPairs(fd.targets).toMap, span = width.toDouble)
       case method =>
         require(method == "smm" || method == "sma",
           s"unsupported smoothing: $method")
@@ -574,7 +613,7 @@ object DiffAnomaly {
         Windows.chunkedTrailing(
           CrossValidate.withRowIndex(df, Seq(col("start"))),
           "__row", 0L, width,
-          smoothPairs(fd.tags).map { case (in, out) => (in, out, method) })
+          smoothPairs(fd.targets).map { case (in, out) => (in, out, method) })
           .drop("__row")
     }
 }

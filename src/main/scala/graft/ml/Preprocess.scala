@@ -191,11 +191,14 @@ object Preprocess {
   class Reconstructor(inner: DiffAnomaly.Reconstructor,
                       specs: List[StageSpec])
       extends DiffAnomaly.Reconstructor {
-    def fit(train: org.apache.spark.sql.DataFrame, tags: Seq[String],
-            feature: String => Column): DiffAnomaly.Fitted = {
-      val prep = fitStages(train, tags, specs, feature)
+    def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
+            yTags: Seq[String], feature: String => Column): DiffAnomaly.Fitted = {
+      // the chain fits per-tag stats over X ∪ y: X feeds the model in
+      // transformed space; a y-only target needs its own affine stats so
+      // its transformed-space prediction inverts back to raw units
+      val prep = fitStages(train, (xTags ++ yTags).distinct, specs, feature)
       PreprocessedFitted(
-        inner.fit(train, tags, t => prep.preFrom(t, feature(t))), prep)
+        inner.fit(train, xTags, yTags, t => prep.preFrom(t, feature(t))), prep)
     }
   }
 }

@@ -110,10 +110,55 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** `target_tag_list` end-to-end: X = [click, view], y = [view] — the
+    * reference's tag_list → target_tag_list split (`build_model.py:74`,
+    * `diff.py:345`). model-input columns cover X; model-output, anomaly,
+    * and confidence columns cover the single target. */
+  def configDrivenTargetBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val yaml =
+      """
+        |name: graft-q49-machine
+        |dataset:
+        |  tag_list: [click, view]
+        |  target_tag_list: [view]
+        |  resolution: 1H
+        |  interpolation_limit: 6H
+        |  train_start_date: 2024-01-01T00:00:00Z
+        |  train_end_date: 2024-02-01T00:00:00Z
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasAutoEncoder:
+        |        kind: feedforward_hourglass
+        |evaluation:
+        |  cv:
+        |    sklearn.model_selection.TimeSeriesSplit:
+        |      n_splits: 3
+        |""".stripMargin
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q49").toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(yaml),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("graft-project"))
+    val wide = TimeSeries.getData(long, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(res.spec))
+    val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),
     "q41_config_build" -> (configDrivenBuild _),
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
+    "q49_target_tags_build" -> (configDrivenTargetBuild _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -323,6 +368,96 @@ object AnomalyQueries {
         |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
         |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame, th
+        |ORDER BY start""".stripMargin,
+    "q49_target_tags_build" ->
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+        |ww AS (SELECT bucket_ts, click, view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        | WHERE click IS NOT NULL AND view IS NOT NULL),
+        |idx AS (SELECT bucket_ts, click, view,
+        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM ww),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |fm AS (SELECT
+        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
+        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
+        |    s_v
+        |  FROM (SELECT count(*) AS n,
+        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
+        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
+        |      max(view) - min(view) AS s_v
+        |    FROM tr)),
+        |te AS (SELECT i.rn, i.view,
+        |    a_v + b_v * i.click AS p_v, s_v,
+        |    row_number() OVER (ORDER BY i.rn) AS trn
+        |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn,
+        |    pow((p_v - view) / s_v, 2) / 1.0 AS mse,
+        |    abs(view - p_v) AS mae_v
+        |  FROM te),
+        |roll AS (SELECT trn,
+        |    min(mse) OVER f AS rmin_mse,
+        |    min(mae_v) OVER f AS rmin_v
+        |  FROM sc
+        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_v) AS th_v
+        |  FROM roll WHERE trn >= 6),
+        |fin AS (SELECT
+        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
+        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
+        |    s_v
+        |  FROM (SELECT count(*) AS n,
+        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
+        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
+        |      CASE WHEN max(view) = min(view) THEN 1.0
+        |           ELSE max(view) - min(view) END AS s_v
+        |    FROM idx)),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.click AS mic, i.view AS miv,
+        |    a_v + b_v * i.click AS mov,
+        |    abs((a_v + b_v * i.click - i.view) / s_v) AS tasv,
+        |    abs(a_v + b_v * i.click - i.view) AS tauv
+        |  FROM idx i, fin)
+        |SELECT start, "end",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
+        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
+        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor((tasv*tasv/1.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor((tauv*tauv/1.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor(((tasv*tasv/1.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin,
     "q43_pca_anomaly" ->
