@@ -82,4 +82,80 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  /** Deterministic resize stand-in: stride-subsample the payload to
+    * exactly `w*h` bytes (short payloads pad with 0). A real kernel
+    * would decode → scale → re-encode; the plumbing — payload in,
+    * payload out, meta width/height updated, partition-local, no
+    * shuffle — is identical. */
+  def resizeStub(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (content.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = content((i.toLong * content.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize every payload to `w`×`h` (batch kernel; meta records the new
+    * dimensions). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val contentIdx = media.schema.fieldIndex("content")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getAs[Row](metaIdx)
+        Row(r.get(idIdx), resizeStub(bytes, w, h),
+          Row(meta.get(0), w, h, meta.get(3)))
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  /** Deterministic frame-sample stand-in for video payloads: one frame
+    * of `frameBytes` consecutive bytes every `intervalMs`, duration from
+    * meta (falling back to 1 ms per byte). A real kernel would seek the
+    * container and decode keyframes; the fan-out shape — one input row →
+    * N bounded frame rows, flatMap inside the partition, no shuffle —
+    * is identical. */
+  def sampleFrames(media: DataFrame, intervalMs: Long,
+                   frameBytes: Int = 64): DataFrame = {
+    require(intervalMs > 0, "intervalMs must be positive")
+    val contentIdx = media.schema.fieldIndex("content")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getAs[Row](metaIdx)
+        val durationMs =
+          if (meta != null && !meta.isNullAt(3)) meta.getLong(3)
+          else bytes.length.toLong
+        val id = r.getLong(idIdx)
+        val n = (durationMs / intervalMs).toInt + (if (durationMs > 0) 1 else 0)
+        (0 until n).iterator.map { f =>
+          val tsMs = f * intervalMs
+          val off =
+            if (durationMs == 0) 0
+            else ((tsMs.toDouble / durationMs) * bytes.length).toInt
+          val frame = bytes.slice(off, math.min(off + frameBytes, bytes.length))
+          Row(id, f, tsMs, frame)
+        }
+      }
+    }(Encoders.row(frameSchema))
+  }
 }

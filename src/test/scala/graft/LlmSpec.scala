@@ -157,6 +157,26 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (got=$got brute=$brute)")
   }
 
+  test("multimodal resize and frame-sample keep the media plumbing shape") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("id", "payload"),
+      "id", "payload", "image/png")
+    val resized = Multimodal.resize(media, 4, 2)
+    assert(resized.schema == Multimodal.mediaSchema)
+    val r1 = resized.filter($"media_id" === 1L).head()
+    assert(r1.getAs[Array[Byte]]("content").length == 8)
+    assert(r1.getAs[org.apache.spark.sql.Row]("meta").getInt(1) == 4)
+    // deterministic stride subsample: byte 0 stays first
+    assert(r1.getAs[Array[Byte]]("content")(0) == '0'.toByte)
+
+    val frames = Multimodal.sampleFrames(media, intervalMs = 5, frameBytes = 4)
+    assert(frames.schema == Multimodal.frameSchema)
+    val f1 = frames.filter($"media_id" === 1L).orderBy($"frame_idx").collect()
+    // 16-byte payload → 16 "ms" → frames at 0, 5, 10, 15
+    assert(f1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(f1.head.getAs[Array[Byte]]("frame").toSeq == "0123".getBytes.toSeq)
+  }
+
   test("prefix-filtered candidates are lossless vs direct jaccard pairs") {
     val docs = Tables(spark, sf, "documents")
     val shDf = TextDedup.withShingles(docs, "doc_id", "text").persist()
