@@ -170,3 +170,87 @@ object SimHash {
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 }
+
+/** Native winnowing kernel: distinct selected fingerprints of a document
+  * (character k-gram md5s, sliding window of `w` hashes, RIGHTMOST
+  * minimum per window — Schleimer/Wilkerson/Aiken).
+  *
+  * Exact parity with the declarative form (`min` over a window frame of
+  * `md5hex || sortable-position-suffix` strings): hex lexicographic
+  * order equals unsigned digest order, and the suffix's rightmost-on-tie
+  * rule collapses to "pop while the new digest compares ≤ the back of
+  * the deque" — a textbook monotonic-deque sliding minimum, one pass per
+  * document instead of ~|text| interpreted lambda md5s plus an exploded
+  * window/distinct. Texts shorter than k+w−1 yield an empty array. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.catalogString}")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(hexDigits((bytes(i) >> 4) & 0xf))
+      sb.append(hexDigits(bytes(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val str = v.asInstanceOf[UTF8String].toString
+    val len = str.length
+    if (len < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val ng = len - k + 1
+    val md = MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](ng)
+    var i = 0
+    while (i < ng) {
+      md.reset()
+      digests(i) = md.digest(str.substring(i, i + k).getBytes("UTF-8"))
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[String]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var j = 0
+    while (j < ng) {
+      // new key ≤ back key ⟺ digest ≤ (equal digest → later index wins)
+      while (!deque.isEmpty &&
+        java.util.Arrays.compareUnsigned(digests(j), digests(deque.peekLast())) <= 0)
+        deque.pollLast()
+      deque.addLast(j)
+      if (j >= w - 1) {
+        while (deque.peekFirst() < j - w + 1) deque.pollFirst()
+        selected.add(hex(digests(deque.peekFirst())))
+      }
+      j += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object Winnow {
+  /** Distinct winnowing fingerprints of a text column. */
+  def fingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+}

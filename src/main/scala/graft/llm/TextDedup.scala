@@ -230,6 +230,23 @@ object TextDedup {
       .distinct()
   }
 
+  /** Winnowing document fingerprints (the rolling-hash fingerprint
+    * family, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every character
+    * k-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum (RIGHTMOST minimum on ties — the winnowing rule),
+    * emit the distinct selected hashes per document. Guarantees every
+    * shared substring of length ≥ w+k−1 contributes a shared
+    * fingerprint. Hashes are md5 hex (lexicographic order, engine-
+    * portable); the tie-break rides in a sortable suffix. Plan shape:
+    * per-doc explode → window partitioned BY DOCUMENT (high-cardinality
+    * key) → distinct — no global order anywhere. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 8): DataFrame =
+    // no distinct needed: the kernel emits each doc's fingerprint set
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.Winnow.fingerprints(col(textCol), k, w))
+        .as("fp"))
+
   /** Dup-cluster materialization (the dedup WRITE side): group by a
     * content key expression (exact md5 or the order-insensitive
     * fingerprint), keep the smallest id as the cluster representative,

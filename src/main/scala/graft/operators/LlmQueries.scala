@@ -176,7 +176,20 @@ object LlmQueries {
       .orderBy($"fingerprint")
   }
 
+  /** Winnowing fingerprints (rolling-hash family, SIGMOD'03): windowed
+    * minima over character 5-gram hashes, window 8, rightmost-min
+    * tie-break — every shared substring of length ≥ 12 yields a shared
+    * fingerprint. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextDedup.winnowingFingerprints(Tables(spark, dir, "documents"),
+      "doc_id", "text", k = 5, w = 8)
+      .select($"id".as("doc_id"), $"fp")
+      .orderBy($"doc_id", $"fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_winnowing" -> (winnowing _),
     "q42_embedding_neardup" -> (embeddingNearDups _),
     "q30_text_stats" -> (textStats _),
     "q31_quality_scores" -> (qualityScores _),
@@ -246,6 +259,20 @@ object LlmQueries {
     .mkString("[", ",\n          ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "q50_winnowing" ->
+      """WITH g0 AS (SELECT doc_id, length(text) - 4 AS ng, text
+        |  FROM documents WHERE length(text) >= 12),
+        |g AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS i, text FROM g0),
+        |g2 AS (SELECT doc_id, ng, i,
+        |    md5(substr(text, i, 5)) || lpad(CAST(999999 - i AS VARCHAR), 6, '0') AS hk
+        |  FROM g),
+        |sel AS (SELECT doc_id, ng, i,
+        |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+        |  FROM g2)
+        |SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+        |FROM sel WHERE i <= ng - 7
+        |ORDER BY doc_id, fp""".stripMargin,
     "q42_embedding_neardup" -> {
       val tableBuckets = (0 until 4).map(t =>
         s"'$t' || '#' || ${bucketSqlFor(6, t)}").mkString("[",

@@ -194,6 +194,20 @@ class LlmSpec extends AnyFunSuite {
     assert(viaCands == direct)
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared substrings") {
+    val shared = "the common stretch of text both documents contain"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"another beginning $shared and another ending"),
+      (3L, "totally unrelated content with no overlap whatsoever")).toDF("id", "text")
+    val fps = TextDedup.winnowingFingerprints(df, "id", "text", k = 5, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // shared substring length >= w + k - 1 = 12 → guaranteed overlap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+
   test("fingerprint dup groups collapse word-order copies") {
     val df = Seq(
       (1L, "alpha beta gamma"),
