@@ -220,10 +220,13 @@ object Config {
       case Some(l: List[_]) => l.map(_.toString)
       case _ => throw new ConfigException("dataset needs tag_list")
     }
-    // y columns (`target_tag_list`); empty → y = X
+    // y columns (`target_tag_list`); absent/null → y = X. A malformed
+    // (non-list) value is a config ERROR, not a silent autoencoder
     val targetTags = ds.get("target_tag_list").filter(_ != null) match {
       case Some(l: List[_]) => l.map(_.toString)
-      case _ => Nil
+      case Some(other) =>
+        throw new ConfigException(s"target_tag_list must be a list: $other")
+      case None => Nil
     }
     val periods = ds.get("known_filter_periods") match {
       case Some(l: List[_]) => l.map {

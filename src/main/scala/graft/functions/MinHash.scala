@@ -209,8 +209,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val str = v.asInstanceOf[UTF8String].toString
-    val len = str.length
+    // CODE POINTS, not UTF-16 units: SQL length()/substr() count code
+    // points in both engines, and a k-gram must never split a surrogate
+    // pair (it would md5 replacement bytes and break oracle parity)
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val len = cps.length
     if (len < k + w - 1) return new GenericArrayData(Array.empty[Any])
     val ng = len - k + 1
     val md = MessageDigest.getInstance("MD5")
@@ -218,7 +221,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     var i = 0
     while (i < ng) {
       md.reset()
-      digests(i) = md.digest(str.substring(i, i + k).getBytes("UTF-8"))
+      digests(i) = md.digest(new String(cps, i, k).getBytes("UTF-8"))
       i += 1
     }
     val selected = new java.util.LinkedHashSet[String]()

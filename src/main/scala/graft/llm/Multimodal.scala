@@ -112,8 +112,9 @@ object Multimodal {
           if (r.isNullAt(contentIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](contentIdx)
         val meta = r.getAs[Row](metaIdx)
-        Row(r.get(idIdx), resizeStub(bytes, w, h),
-          Row(meta.get(0), w, h, meta.get(3)))
+        val (mime, dur) =
+          if (meta == null) (null, null) else (meta.get(0), meta.get(3))
+        Row(r.get(idIdx), resizeStub(bytes, w, h), Row(mime, w, h, dur))
       }
     }(Encoders.row(mediaSchema))
   }
@@ -146,7 +147,11 @@ object Multimodal {
           if (meta != null && !meta.isNullAt(3)) meta.getLong(3)
           else bytes.length.toLong
         val id = r.getLong(idIdx)
-        val n = (durationMs / intervalMs).toInt + (if (durationMs > 0) 1 else 0)
+        // frames strictly WITHIN [0, duration): a duration that divides
+        // evenly must not emit a phantom empty frame at ts == duration
+        val n =
+          if (durationMs <= 0) 0
+          else ((durationMs - 1) / intervalMs).toInt + 1
         (0 until n).iterator.map { f =>
           val tsMs = f * intervalMs
           val off =

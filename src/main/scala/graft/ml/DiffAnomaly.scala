@@ -111,8 +111,10 @@ object DiffAnomaly {
       val allCols = (lit(1.0) +: xTags.map(t => feature(t).cast("double"))) ++
         extraY.map(t => feature(t).cast("double"))
       val nAll = allCols.size - 1
+      // pairs with BOTH indices in the y-only block are never read by the
+      // decoder (features stop at index m) — skip those aggregates
       val aggs = for {
-        i <- 0 to nAll; j <- i to nAll
+        i <- 0 to m; j <- i to nAll
       } yield sum(allCols(i) * allCols(j)).as(s"g_${i}_$j")
       Some((aggs, row => {
         def gram(i: Int, j: Int): Double =
@@ -451,8 +453,8 @@ object DiffAnomaly {
         val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
         test.select(
           (col("__row") +:
-            scaledMseCol(m, sc, tags).as("__mse") +:
-            tags.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+            scaledMseCol(m, sc, y).as("__mse") +:
+            y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
       }.reduce(_ unionByName _)
       val smoothed = smoothingMethod match {
         case "ewma" =>

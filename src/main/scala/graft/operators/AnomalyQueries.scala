@@ -46,15 +46,38 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** Shared config-driven build+score plumbing for q41/q49: parse the
+    * machine YAML, build (assembly, compile, CV, persistence), reload
+    * from the model dir, score, round for the oracle. */
+  private def buildAndScore(spark: SparkSession, dir: String,
+                            yaml: String, tmpPrefix: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(yaml),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("graft-project"))
+    val wide = TimeSeries.getData(long, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(res.spec))
+    val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   /** M15/S1/M1/M11 composed — the COMPLETE product path, config-driven:
     * YAML machine config → ModelBuilder (getData assembly, registry
     * compile, CV thresholds, persistence) → score() from the saved model
     * dir. The base estimator is the cross-tag ridge reconstruction,
     * whose 2-tag closed form the oracle recomputes as plain
     * regr_slope/intercept between the tags. */
-  def configDrivenBuild(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val yaml =
+  def configDrivenBuild(spark: SparkSession, dir: String): DataFrame =
+    buildAndScore(spark, dir,
       """
         |name: graft-q41-machine
         |dataset:
@@ -72,24 +95,7 @@ object AnomalyQueries {
         |  cv:
         |    sklearn.model_selection.TimeSeriesSplit:
         |      n_splits: 3
-        |""".stripMargin
-    val long = Tables(spark, dir, "events")
-      .select($"event_type".as("tag"), $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q41").toString
-    val res = graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"))
-    val wide = TimeSeries.getData(long, "tag", "ts", "value",
-      graft.config.Config.datasetConfig(res.spec))
-    val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)
-    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
-    frame.select(
-      (col("start") +: col("end") +:
-        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
-      .orderBy($"start")
-  }
+        |""".stripMargin, "graft-q41")
 
   /** M4/M5 analog gated end-to-end: the PCA(1) linear autoencoder as the
     * base estimator over the same 2-tag frame — fit (covariance +
@@ -114,9 +120,8 @@ object AnomalyQueries {
     * reference's tag_list → target_tag_list split (`build_model.py:74`,
     * `diff.py:345`). model-input columns cover X; model-output, anomaly,
     * and confidence columns cover the single target. */
-  def configDrivenTargetBuild(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val yaml =
+  def configDrivenTargetBuild(spark: SparkSession, dir: String): DataFrame =
+    buildAndScore(spark, dir,
       """
         |name: graft-q49-machine
         |dataset:
@@ -135,24 +140,7 @@ object AnomalyQueries {
         |  cv:
         |    sklearn.model_selection.TimeSeriesSplit:
         |      n_splits: 3
-        |""".stripMargin
-    val long = Tables(spark, dir, "events")
-      .select($"event_type".as("tag"), $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q49").toString
-    val res = graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"))
-    val wide = TimeSeries.getData(long, "tag", "ts", "value",
-      graft.config.Config.datasetConfig(res.spec))
-    val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)
-    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
-    frame.select(
-      (col("start") +: col("end") +:
-        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
-      .orderBy($"start")
-  }
+        |""".stripMargin, "graft-q49")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),

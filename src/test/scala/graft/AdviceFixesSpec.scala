@@ -214,6 +214,23 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(full != head)
   }
 
+  test("fitKfcv honors target_tag_list (review fix)") {
+    val wide = graft.data.TimeSeries.getData(dottedLong, "tag", "ts", "value",
+      Config.datasetConfig(Config.machineFromConfig(
+        Config.parseYaml(yamlFor(bareRidge)), Some("p"), Config.defaultGlobals)))
+    val fd = graft.ml.DiffAnomaly.fitKfcv(wide,
+      Seq("plant.tag-a.PV", "plant.tag-b.PV"), "bucket_ts",
+      new graft.ml.DiffAnomaly.RidgeReconstructor(), nSplits = 3, window = 6,
+      targetTags = Seq("plant.tag-b.PV"))
+    assert(fd.targets == Seq("plant.tag-b.PV"))
+    assert(fd.thresholds.featureThresholds.keySet == Set("plant.tag-b.PV"))
+    val frame = graft.ml.DiffAnomaly.anomaly(fd, wide, 600L)
+    assert(frame.columns.contains("model-input.plant.tag-a.PV"))
+    assert(frame.columns.contains("model-output.plant.tag-b.PV"))
+    assert(!frame.columns.contains("model-output.plant.tag-a.PV"))
+    assert(frame.count() > 0)
+  }
+
   test("scoring_scaler dispatches on the configured class (advice: low)") {
     val wide = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 4.0, 40.0))
       .toDF("bucket_ts", "a", "b")

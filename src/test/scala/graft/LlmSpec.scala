@@ -175,6 +175,12 @@ class LlmSpec extends AnyFunSuite {
     // 16-byte payload → 16 "ms" → frames at 0, 5, 10, 15
     assert(f1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
     assert(f1.head.getAs[Array[Byte]]("frame").toSeq == "0123".getBytes.toSeq)
+    // an exactly-divisible duration must NOT emit a phantom frame at
+    // ts == duration (10 "ms" / 5 → frames at 0 and 5 only)
+    val even = Multimodal.sampleFrames(Multimodal.asMedia(
+      Seq((9L, "0123456789")).toDF("id", "payload"), "id", "payload",
+      "video/mp4"), intervalMs = 5, frameBytes = 4)
+    assert(even.select($"frame_ts_ms").as[Long].collect().toSeq == Seq(0L, 5L))
   }
 
   test("prefix-filtered candidates are lossless vs direct jaccard pairs") {
