@@ -55,7 +55,28 @@ object DiffAnomaly {
     def aggPlan(xTags: Seq[String], yTags: Seq[String],
                 feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = None
+    /** Segmented-fit protocol: when defined, the CV driver computes ONE
+      * segmented stats pass over the whole frame and derives EVERY fold's
+      * fit by merging segment buffers on the driver (fold train sets are
+      * unions of row segments: prefixes for TimeSeriesSplit, complements
+      * for KFold). Turns CV from O(n_folds) full-data train passes into
+      * O(1). Merging re-associates floating-point reductions, so values
+      * can differ from a flat fit in the last bits — same class of
+      * difference as changing the partition count. */
+    def segPlan(xTags: Seq[String], yTags: Seq[String],
+                feature: String => Column): Option[SegPlan[Fitted]] = None
   }
+
+  /** Mergeable per-segment statistics: `aggs` compute one segment's
+    * buffer (one row of a `groupBy(segment)` aggregation), `fromRow`
+    * extracts it, `merge` combines two segments' buffers (must be
+    * associative), `decode` turns a merged buffer into the fitted
+    * result. */
+  case class SegPlan[A](
+      aggs: Seq[Column],
+      fromRow: org.apache.spark.sql.Row => Map[String, Double],
+      merge: (Map[String, Double], Map[String, Double]) => Map[String, Double],
+      decode: Map[String, Double] => A)
 
   trait Fitted {
     /** Column expression reconstructing `tag` from the current row. */
@@ -69,22 +90,59 @@ object DiffAnomaly {
     * correctness-gate reconstruction model (SURVEY §7.3(c)). */
   class TrendReconstructor(orderCol: String, epoch0: Long) extends Reconstructor {
     private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
+    private def fittedOf(ab: Map[String, (Double, Double)]): Fitted =
+      new Fitted {
+        def predictCol(tag: String): Column =
+          lit(ab(tag)._1) + lit(ab(tag)._2) * x
+        def params: Map[String, Double] =
+          ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
+      }
+    /** Per-segment buffer: n, mean(x), central co-moments Cxx and Cxy per
+      * target — regr_slope = Cxy/Cxx and regr_intercept = ȳ − slope·x̄
+      * are exactly the ratios Spark's REGR_* aggregates compute, and the
+      * co-moments merge with the standard pairwise (Chan et al.) update,
+      * the same formula Spark uses to combine partition buffers. */
+    override def segPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column): Option[SegPlan[Fitted]] =
+      Some(SegPlan(
+        count(lit(1)).cast("double").as("tr_n") +:
+          avg(x).as("tr_mx") +: var_pop(x).as("tr_vx") +:
+          yTags.flatMap(t => Seq(
+            avg(feature(t)).as(s"tr_my_$t"),
+            covar_pop(feature(t), x).as(s"tr_cxy_$t"))),
+        row => {
+          val n = row.getAs[Double]("tr_n")
+          Map("n" -> n, "mx" -> row.getAs[Double]("tr_mx"),
+            "cxx" -> row.getAs[Double]("tr_vx") * n) ++
+            yTags.flatMap(t => Seq(
+              s"my_$t" -> row.getAs[Double](s"tr_my_$t"),
+              s"cxy_$t" -> row.getAs[Double](s"tr_cxy_$t") * n))
+        },
+        (a, b) => {
+          val (n1, n2) = (a("n"), b("n"))
+          val n = n1 + n2
+          val k = n1 * n2 / n
+          val dx = b("mx") - a("mx")
+          Map("n" -> n, "mx" -> (a("mx") + dx * n2 / n),
+            "cxx" -> (a("cxx") + b("cxx") + dx * dx * k)) ++
+            yTags.flatMap { t =>
+              val dy = b(s"my_$t") - a(s"my_$t")
+              Seq(s"my_$t" -> (a(s"my_$t") + dy * n2 / n),
+                s"cxy_$t" -> (a(s"cxy_$t") + b(s"cxy_$t") + dx * dy * k))
+            }
+        },
+        buf => fittedOf(yTags.map { t =>
+          val slope = buf(s"cxy_$t") / buf("cxx")
+          t -> (buf(s"my_$t") - slope * buf("mx"), slope)
+        }.toMap)))
     override def aggPlan(xTags: Seq[String], yTags: Seq[String],
                          feature: String => Column)
         : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = Some((
       yTags.flatMap(t => Seq(
         regr_slope(feature(t), x).as(s"b_$t"),
         regr_intercept(feature(t), x).as(s"a_$t"))),
-      row => {
-        val ab = yTags.map(t =>
-          t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap
-        new Fitted {
-          def predictCol(tag: String): Column =
-            lit(ab(tag)._1) + lit(ab(tag)._2) * x
-          def params: Map[String, Double] =
-            ab.flatMap { case (t, (a, b)) => Seq(s"a_$t" -> a, s"b_$t" -> b) }
-        }
-      }))
+      row => fittedOf(yTags.map(t =>
+        t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap)))
     def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
       val (aggs, dec) = aggPlan(xTags, yTags, feature).get
@@ -116,32 +174,56 @@ object DiffAnomaly {
       val aggs = for {
         i <- 0 to m; j <- i to nAll
       } yield sum(allCols(i) * allCols(j)).as(s"g_${i}_$j")
-      Some((aggs, row => {
-        def gram(i: Int, j: Int): Double =
-          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}")
-        def yIdx(t: String): Int = {
-          val xi = xTags.indexOf(t)
-          if (xi >= 0) xi + 1 else m + 1 + extraY.indexOf(t)
+      Some((aggs,
+        row => decodeGram((i, j) =>
+          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"),
+          xTags, yTags, allCols)))
+    }
+    /** Segmented fit: Gram-product sums merge by plain addition. */
+    override def segPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column): Option[SegPlan[Fitted]] = {
+      val (aggs, _) = aggPlan(xTags, yTags, feature).get
+      val m = xTags.size
+      val extraY = yTags.filterNot(xTags.contains)
+      val allCols = (lit(1.0) +: xTags.map(t => feature(t).cast("double"))) ++
+        extraY.map(t => feature(t).cast("double"))
+      val names = for { i <- 0 to m; j <- i to (m + extraY.size) }
+        yield s"g_${i}_$j"
+      Some(SegPlan(
+        aggs,
+        row => names.map(n => n -> row.getAs[Double](n)).toMap,
+        (a, b) => names.map(n => n -> (a(n) + b(n))).toMap,
+        buf => decodeGram((i, j) =>
+          buf(s"g_${math.min(i, j)}_${math.max(i, j)}"),
+          xTags, yTags, allCols)))
+    }
+    /** Normal-equation solve from any Gram lookup; weights per target
+      * over features (1, xTags != target) — a target present among the
+      * inputs is excluded from its own features. */
+    private def decodeGram(gram: (Int, Int) => Double, xTags: Seq[String],
+                           yTags: Seq[String], allCols: Seq[Column]): Fitted = {
+      val m = xTags.size
+      val extraY = yTags.filterNot(xTags.contains)
+      def yIdx(t: String): Int = {
+        val xi = xTags.indexOf(t)
+        if (xi >= 0) xi + 1 else m + 1 + extraY.indexOf(t)
+      }
+      val weights: Map[String, Seq[(Int, Double)]] = yTags.map { t =>
+        val ti = yIdx(t)
+        val fIdx = (0 to m).filterNot(_ == ti)
+        val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
+          gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
         }
-        // weights per target over features (1, xTags != target): a target
-        // present among the inputs is excluded from its own features
-        val weights: Map[String, Seq[(Int, Double)]] = yTags.map { t =>
-          val ti = yIdx(t)
-          val fIdx = (0 to m).filterNot(_ == ti)
-          val a = Array.tabulate(fIdx.size, fIdx.size) { (i, j) =>
-            gram(fIdx(i), fIdx(j)) + (if (i == j) lambda else 0.0)
-          }
-          val b = fIdx.map(gram(_, ti)).toArray
-          t -> fIdx.zip(solve(a, b))
-        }.toMap
-        new Fitted {
-          def predictCol(tag: String): Column =
-            weights(tag).map { case (fi, wi) => allCols(fi) * lit(wi) }.reduce(_ + _)
-          def params: Map[String, Double] = weights.flatMap { case (t, w) =>
-            w.map { case (fi, v) => s"w_${t}_$fi" -> v }
-          }
+        val b = fIdx.map(gram(_, ti)).toArray
+        t -> fIdx.zip(solve(a, b))
+      }.toMap
+      new Fitted {
+        def predictCol(tag: String): Column =
+          weights(tag).map { case (fi, wi) => allCols(fi) * lit(wi) }.reduce(_ + _)
+        def params: Map[String, Double] = weights.flatMap { case (t, w) =>
+          w.map { case (fi, v) => s"w_${t}_$fi" -> v }
         }
-      }))
+      }
     }
     def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
@@ -204,6 +286,49 @@ object DiffAnomaly {
       val (aggs, dec) = aggPlan(xTags, yTags, feature).get
       dec(train.agg(aggs.head, aggs.tail: _*).head())
     }
+    /** Segmented fit: buffer = (n, means, central co-moments C = cov·n);
+      * means and co-moments merge with the pairwise (Chan et al.) update
+      * — the same combine Spark's covar_pop uses across partitions. */
+    override def segPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column): Option[SegPlan[Fitted]] = {
+      require(xTags == yTags,
+        "PCA reconstruction is an autoencoder: target_tag_list must equal tag_list")
+      val tags = xTags
+      val m = tags.size
+      val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
+      val (aggs, _) = aggPlan(xTags, yTags, feature).get
+      Some(SegPlan(
+        count(lit(1)).cast("double").as("pc_n") +: aggs,
+        row => {
+          val n = row.getAs[Double]("pc_n")
+          (Seq("n" -> n) ++
+            tags.zipWithIndex.map { case (t, i) =>
+              s"mu_$i" -> row.getAs[Double](s"mu_$t") } ++
+            pairs.map { case (i, j) =>
+              s"C_${i}_$j" -> row.getAs[Double](s"c_${i}_$j") * n }).toMap
+        },
+        (a, b) => {
+          val (n1, n2) = (a("n"), b("n"))
+          val n = n1 + n2
+          val k = n1 * n2 / n
+          val d = Array.tabulate(m)(i => b(s"mu_$i") - a(s"mu_$i"))
+          (Seq("n" -> n) ++
+            (0 until m).map(i =>
+              s"mu_$i" -> (a(s"mu_$i") + d(i) * n2 / n)) ++
+            pairs.map { case (i, j) =>
+              s"C_${i}_$j" -> (a(s"C_${i}_$j") + b(s"C_${i}_$j") + d(i) * d(j) * k)
+            }).toMap
+        },
+        buf => {
+          val n = buf("n")
+          val mu = Array.tabulate(m)(i => buf(s"mu_$i"))
+          val cov = Array.tabulate(m, m) { (i, j) =>
+            val (a, b) = if (i <= j) (i, j) else (j, i)
+            buf(s"C_${a}_$b") / n
+          }
+          decodeStats(mu, cov, tags, feature)
+        }))
+    }
     private def decode(row: org.apache.spark.sql.Row, tags: Seq[String],
                        feature: String => Column): Fitted = {
       val m = tags.size
@@ -212,6 +337,12 @@ object DiffAnomaly {
         val (a, b) = if (i <= j) (i, j) else (j, i)
         row.getAs[Double](s"c_${a}_$b")
       }
+      decodeStats(mu, cov, tags, feature)
+    }
+    private def decodeStats(mu: Array[Double], cov: Array[Array[Double]],
+                            tags: Seq[String],
+                            feature: String => Column): Fitted = {
+      val m = tags.size
       val (vals, vecs) = jacobiEigen(cov)
       val sorted = vals.sorted(Ordering[Double].reverse)
       // sklearn float n_components: smallest k whose cumulative explained
@@ -326,7 +457,15 @@ object DiffAnomaly {
     * rolling(6).min().max() of the scaled MSE (aggregate) and per-tag
     * absolute error (feature) — with pandas NaN-prefix semantics (first 5
     * rolling values are NaN; max skips them → only full frames count).
-    * Then refit model+scaler on the full series. */
+    * Then refit model+scaler on the full series.
+    *
+    * When the base model and scaler expose [[SegPlan]]s (all built-ins
+    * do), the whole CV runs as TWO distributed passes regardless of
+    * nSplits: one segmented stats pass (fold train sets are prefixes =
+    * unions of segments, merged on the driver) and one grouped test pass
+    * (every fold's rolling thresholds and metrics, grouped by fold).
+    * Otherwise (preprocessing pipelines, robust error scaler) it falls
+    * back to the per-fold loop — 2 passes per fold. */
   def fit(wide: DataFrame, tags: Seq[String], orderCol: String,
           base: Reconstructor, scalerKind: String = "minmax",
           nSplits: Int = 3, window: Option[Int] = None,
@@ -344,6 +483,129 @@ object DiffAnomaly {
     try {
       val n = indexed.count()
       val folds = CrossValidate.timeSeriesSplit(n, nSplits)
+      val feat: String => Column = t => qc(t).cast("double")
+      val widths = (6 +: window.toSeq).distinct
+      def scl(c: Column, t: String): Column = scoringScaler match {
+        case Some(s) =>
+          val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
+          (c - lit(ctr)) / lit(sv)
+        case None => c
+      }
+      val rollSpecs = widths.flatMap(w =>
+        ("__mse", s"__rmin${w}__mse", "min", w) +:
+          y.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w)))
+      // A8/M13/M14 fold metric scores ride the same test pass — metric
+      // over scoring-scaler-transformed y/ŷ, averaged over tags
+      // (`build_model.py:274-289,377-446`)
+      val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
+        yield fn(scl(col(s"`__y_$t`"), t), scl(col(s"`__p_$t`"), t))
+          .as(s"${name}__$t")
+      val testAggs = widths.flatMap(w =>
+        max(col(s"__rmin${w}__mse")).as(s"__agg__$w") +:
+          y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
+        metricAggs
+      // a fold shorter than a rolling width has no full frame: pandas
+      // rolling().min() is all-NaN and .max() of that is NaN — mirror it
+      def getterOf(row: org.apache.spark.sql.Row): String => Double =
+        name => if (row.isNullAt(row.fieldIndex(name))) Double.NaN
+                else row.getAs[Double](name)
+
+      val fusedPlan = for {
+        mp <- base.segPlan(tags, y, feat)
+        sp <- Scalers.segPlan(scalerKind, y)
+      } yield (mp, sp)
+
+      val (results, finalModel, finalScaler) = fusedPlan match {
+        case Some((mp, sp)) =>
+          // ---- segments: [0, ts0) then each fold's test span; ONE
+          // stats pass, fold k's train fit = merge of segments 0..k ----
+          val segOf = folds.zipWithIndex.foldLeft(
+            when(col("__row") < folds.head.testStart, lit(0))) {
+            case (acc, (f, i)) => acc.when(col("__row") < f.testEnd, lit(i + 1))
+          }
+          val aggsAll = mp.aggs ++ sp.aggs
+          val segRows = indexed.groupBy(segOf.as("__seg"))
+            .agg(aggsAll.head, aggsAll.tail: _*)
+            .collect().sortBy(_.getAs[Int]("__seg"))
+          require(segRows.length == folds.size + 1,
+            s"expected ${folds.size + 1} CV segments, got ${segRows.length}")
+          val mBufs = segRows.map(mp.fromRow)
+          val sBufs = segRows.map(sp.fromRow)
+          var mAcc = mBufs(0)
+          var sAcc = sBufs(0)
+          val fits = folds.map { f =>
+            if (f.index > 0) {
+              mAcc = mp.merge(mAcc, mBufs(f.index))
+              sAcc = sp.merge(sAcc, sBufs(f.index))
+            }
+            f -> ((mp.decode(mAcc), sp.decode(sAcc)))
+          }
+          mAcc = mp.merge(mAcc, mBufs(folds.size))
+          sAcc = sp.merge(sAcc, sBufs(folds.size))
+
+          // ---- ONE grouped test pass: per-row expressions dispatch on
+          // the fold id; rolling frames reset per fold; final aggregates
+          // group by fold ----
+          def byFold(e: ((Fitted, FittedScaler)) => Column): Column =
+            fits.tail.foldLeft(
+              when(col("__fold") === lit(fits.head._1.index), e(fits.head._2))) {
+              case (acc, (f, ms)) =>
+                acc.when(col("__fold") === lit(f.index), e(ms))
+            }
+          val foldOf = folds.tail.foldLeft(
+            when(col("__row") < folds.head.testEnd, lit(0))) {
+            (acc, f) => acc.when(col("__row") < f.testEnd, lit(f.index))
+          }
+          val metricInputs =
+            if (foldMetrics.isEmpty) Nil
+            else y.flatMap(t => Seq(qc(t).as(s"__y_$t"),
+              byFold { case (m, _) => m.predictCol(t) }.as(s"__p_$t")))
+          val scored = indexed.filter(col("__row") >= folds.head.testStart)
+            .withColumn("__fold", foldOf)
+            .select(
+              (col("__row") +: col("__fold") +:
+                byFold { case (m, sc) => scaledMseCol(m, sc, y) }.as("__mse") +:
+                (y.map(t => byFold { case (m, _) => abs(qc(t) - m.predictCol(t)) }
+                  .as(s"__mae_$t")) ++ metricInputs)): _*)
+          val relOf = fits.tail.foldLeft(
+            when(col("__fold") === lit(fits.head._1.index),
+              col("__row") - lit(fits.head._1.testStart))) {
+            case (acc, (f, _)) =>
+              acc.when(col("__fold") === lit(f.index),
+                col("__row") - lit(f.testStart))
+          }
+          val rolled = Windows.chunkedTrailingMultiGrouped(scored, "__row",
+            "__fold", relOf, rollSpecs, boundedRows = folds.map(_.nTest).max)
+          val rows = rolled.groupBy(col("__fold"))
+            .agg(testAggs.head, testAggs.tail: _*)
+            .collect().map(r => r.getAs[Int]("__fold") -> r).toMap
+          (folds.map(f => f -> getterOf(rows(f.index))),
+            mp.decode(mAcc), sp.decode(sAcc))
+
+        case None =>
+          // ---- per-fold loop: 2 passes per fold (model+scaler fused
+          // into one train agg; thresholds+metrics into one test agg) ----
+          val res = folds.map { f =>
+            val train = CrossValidate.trainFold(indexed, f)
+            val test = CrossValidate.testFold(indexed, f)
+            val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
+            val metricInputs =
+              if (foldMetrics.isEmpty) Nil
+              else y.flatMap(t =>
+                Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
+            val scored = test.select(
+              (col("__row") +:
+                scaledMseCol(m, sc, y).as("__mse") +:
+                (y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
+                  metricInputs)): _*)
+            val rolled = Windows.chunkedTrailingMulti(scored, "__row",
+              f.testStart, rollSpecs, totalRows = f.nTest)
+            f -> getterOf(rolled.agg(testAggs.head, testAggs.tail: _*).head())
+          }
+          val (fm, fs) = fitModelAndScaler(indexed, tags, y, base, scalerKind)
+          (res, fm, fs)
+      }
+
       var lastFeat: Map[String, Double] = Map.empty
       var lastAgg = Double.NaN
       var lastSmoothFeat: Option[Map[String, Double]] = None
@@ -351,69 +613,21 @@ object DiffAnomaly {
       val perFoldAgg = scala.collection.mutable.LinkedHashMap[String, Double]()
       val perFoldScores = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.ListBuffer[Double]]()
-      folds.foreach { f =>
-        val train = CrossValidate.trainFold(indexed, f)
-        val test = CrossValidate.testFold(indexed, f)
-        // ONE train-side pass per fold: model + error-scaler aggregates
-        // fused (2 full-data passes → 1 when the model exposes its plan)
-        val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
-        // ONE test-side pass per fold: width-6 thresholds, the smooth
-        // window's thresholds, AND the fold metric aggregates over the
-        // same scored frame (was 2-3 separate jobs)
-        def scl(c: Column, t: String): Column = scoringScaler match {
-          case Some(s) =>
-            val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
-            (c - lit(ctr)) / lit(sv)
-          case None => c
-        }
-        val metricInputs =
-          if (foldMetrics.isEmpty) Nil
-          else y.flatMap(t =>
-            Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
-        val scored = test.select(
-          (col("__row") +:
-            scaledMseCol(m, sc, y).as("__mse") +:
-            (y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
-              metricInputs)): _*)
-        val widths = (6 +: window.toSeq).distinct
-        val rolled = Windows.chunkedTrailingMulti(scored, "__row", f.testStart,
-          widths.flatMap(w =>
-            ("__mse", s"__rmin${w}__mse", "min", w) +:
-              y.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w))),
-          totalRows = f.nTest)
-        // A8/M13/M14 fold metric scores reuse this pass — metric over
-        // scoring-scaler-transformed y/ŷ, averaged over tags
-        // (`build_model.py:274-289,377-446`)
-        val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
-          yield fn(scl(col(s"`__y_$t`"), t), scl(col(s"`__p_$t`"), t))
-            .as(s"${name}__$t")
-        val aggs = widths.flatMap(w =>
-          max(col(s"__rmin${w}__mse")).as(s"__agg__$w") +:
-            y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
-          metricAggs
-        val row = rolled.agg(aggs.head, aggs.tail: _*).head()
-        // a fold shorter than a rolling width has no full frame: pandas
-        // rolling().min() is all-NaN and .max() of that is NaN — mirror it
-        def d(name: String): Double =
-          if (row.isNullAt(row.fieldIndex(name))) Double.NaN
-          else row.getAs[Double](name)
-        val agg = d("__agg__6")
+      results.foreach { case (f, get) =>
+        val agg = get("__agg__6")
         perFoldAgg(s"fold-${f.index}") = agg
-        lastFeat = y.map(t => t -> d(s"__f6__$t")).toMap
+        lastFeat = y.map(t => t -> get(s"__f6__$t")).toMap
         lastAgg = agg
         window.foreach { w =>
-          lastSmoothFeat = Some(y.map(t => t -> d(s"__f${w}__$t")).toMap)
-          lastSmoothAgg = Some(d(s"__agg__$w"))
+          lastSmoothFeat = Some(y.map(t => t -> get(s"__f${w}__$t")).toMap)
+          lastSmoothAgg = Some(get(s"__agg__$w"))
         }
         foldMetrics.foreach { case (name, _) =>
-          val avgOverTags = y
-            .map(t => row.getAs[Double](s"${name}__$t")).sum / y.size
+          val avgOverTags = y.map(t => get(s"${name}__$t")).sum / y.size
           perFoldScores.getOrElseUpdate(name,
             scala.collection.mutable.ListBuffer()) += avgOverTags
         }
       }
-      val (finalModel, finalScaler) =
-        fitModelAndScaler(indexed, tags, y, base, scalerKind)
       FittedDetector(finalModel, finalScaler,
         Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
           perFoldAgg.toMap),
@@ -444,18 +658,61 @@ object DiffAnomaly {
     try {
       val n = indexed.count()
       val folds = CrossValidate.kFold(n, nSplits)
+      val feat: String => Column = t => qc(t).cast("double")
+      val fusedPlan = for {
+        mp <- base.segPlan(tags, y, feat)
+        sp <- Scalers.segPlan(scalerKind, y)
+      } yield (mp, sp)
       // per-fold: fit on the complement, score the fold's span; union =
-      // every row scored exactly once by the model that did NOT see it
-      val scattered = folds.map { f =>
-        val train = indexed.filter(
-          col("__row") < f.testStart || col("__row") >= f.testEnd)
-        val test = CrossValidate.testFold(indexed, f)
-        val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
-        test.select(
-          (col("__row") +:
-            scaledMseCol(m, sc, y).as("__mse") +:
-            y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
-      }.reduce(_ unionByName _)
+      // every row scored exactly once by the model that did NOT see it.
+      // With SegPlans, every complement fit comes from ONE segmented
+      // stats pass (segments = the folds themselves; complement = merge
+      // of the other folds' buffers) and the scoring is ONE pass whose
+      // expressions dispatch on the fold id — O(1) full-data scans.
+      val (scattered, finalFit) = fusedPlan match {
+        case Some((mp, sp)) =>
+          val foldOf = folds.tail.foldLeft(
+            when(col("__row") < folds.head.testEnd, lit(0))) {
+            (acc, f) => acc.when(col("__row") < f.testEnd, lit(f.index))
+          }
+          val aggsAll = mp.aggs ++ sp.aggs
+          val segRows = indexed.groupBy(foldOf.as("__seg"))
+            .agg(aggsAll.head, aggsAll.tail: _*)
+            .collect().sortBy(_.getAs[Int]("__seg"))
+          require(segRows.length == folds.size,
+            s"expected ${folds.size} KFold segments, got ${segRows.length}")
+          val mBufs = segRows.map(mp.fromRow)
+          val sBufs = segRows.map(sp.fromRow)
+          val fits = folds.map { f =>
+            val others = folds.indices.filterNot(_ == f.index)
+            f -> ((mp.decode(others.map(mBufs).reduce(mp.merge)),
+              sp.decode(others.map(sBufs).reduce(sp.merge))))
+          }
+          def byFold(e: ((Fitted, FittedScaler)) => Column): Column =
+            fits.tail.foldLeft(
+              when(col("__fold") === lit(fits.head._1.index), e(fits.head._2))) {
+              case (acc, (f, ms)) =>
+                acc.when(col("__fold") === lit(f.index), e(ms))
+            }
+          val scat = indexed.withColumn("__fold", foldOf).select(
+            (col("__row") +:
+              byFold { case (m, sc) => scaledMseCol(m, sc, y) }.as("__mse") +:
+              y.map(t => byFold { case (m, _) => abs(qc(t) - m.predictCol(t)) }
+                .as(s"__mae_$t"))): _*)
+          (scat, Some((mp.decode(folds.indices.map(mBufs).reduce(mp.merge)),
+            sp.decode(folds.indices.map(sBufs).reduce(sp.merge)))))
+        case None =>
+          (folds.map { f =>
+            val train = indexed.filter(
+              col("__row") < f.testStart || col("__row") >= f.testEnd)
+            val test = CrossValidate.testFold(indexed, f)
+            val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
+            test.select(
+              (col("__row") +:
+                scaledMseCol(m, sc, y).as("__mse") +:
+                y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+          }.reduce(_ unionByName _), None)
+      }
       val smoothed = smoothingMethod match {
         case "ewma" =>
           // pandas ewm(span=window): no NaN prefix, full-history weights
@@ -481,8 +738,8 @@ object DiffAnomaly {
           .as(s"__f_$t")): _*).head()
       val featureTh = y.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
       val aggTh = row.getAs[Double]("__agg")
-      val (finalModel, finalScaler) =
-        fitModelAndScaler(indexed, tags, y, base, scalerKind)
+      val (finalModel, finalScaler) = finalFit.getOrElse(
+        fitModelAndScaler(indexed, tags, y, base, scalerKind))
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
         tags, y, orderCol, Some(window), smoothingMethod)

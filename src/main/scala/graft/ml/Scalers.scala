@@ -63,6 +63,30 @@ object Scalers {
       case k => throw new IllegalArgumentException(s"unknown scaler: $k")
     }
 
+  /** Segmented-fit protocol (see [[DiffAnomaly.SegPlan]]): per-segment
+    * min/max buffers merge exactly (order-free), so every CV fold's
+    * scaler fit can come from one segmented pass. Robust scaling has no
+    * mergeable sufficient statistic (exact percentiles don't compose) —
+    * callers fall back to per-fold fits. */
+  def segPlan(kind: String, cols: Seq[String])
+      : Option[DiffAnomaly.SegPlan[FittedScaler]] = kind match {
+    case "minmax" =>
+      val (aggs, _) = aggPlan("minmax", cols)
+      Some(DiffAnomaly.SegPlan[FittedScaler](
+        aggs,
+        row => cols.flatMap(c => Seq(
+          s"min_$c" -> row.getAs[Double](s"__min_$c"),
+          s"max_$c" -> row.getAs[Double](s"__max_$c"))).toMap,
+        (a, b) => cols.flatMap(c => Seq(
+          s"min_$c" -> math.min(a(s"min_$c"), b(s"min_$c")),
+          s"max_$c" -> math.max(a(s"max_$c"), b(s"max_$c")))).toMap,
+        buf => FittedScaler("minmax", cols.map { c =>
+          val lo = buf(s"min_$c")
+          c -> (lo, buf(s"max_$c") - lo)
+        }.toMap)))
+    case _ => None
+  }
+
   private def fitVia(kind: String, df: DataFrame, cols: Seq[String]): FittedScaler = {
     val (aggs, dec) = aggPlan(kind, cols)
     dec(df.agg(aggs.head, aggs.tail: _*).head())

@@ -107,6 +107,52 @@ object Windows {
     withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry")
   }
 
+  /** Grouped variant: trailing frames RESET at group boundaries (each CV
+    * fold's test span rolls independently, fused into one pass). `relCol`
+    * must evaluate to a dense 0-based index within the row's group; rows
+    * with `rel < width−1` get null (the per-group pandas NaN prefix).
+    * `boundedRows`, when ≥ 0, caller-proves every group's span ≤ its
+    * value — a group partition is then already bounded and the carry
+    * machinery is skipped. */
+  def chunkedTrailingMultiGrouped(df: DataFrame, idxCol: String,
+                                  groupCol: String, relCol: Column,
+                                  cols: Seq[(String, String, String, Int)],
+                                  chunkSize: Int = 4096,
+                                  boundedRows: Long = -1L): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.forall(_._4 >= 1), s"widths must be >= 1: ${cols.map(_._4)}")
+    val maxWidth = cols.map(_._4).max
+    val c = math.max(chunkSize, 2 * maxWidth)
+    def aggOf(kind: String, in: String, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      kind match {
+        case "min" => min(qc(in)).over(w)
+        case "sma" => avg(qc(in)).over(w)
+        case "smm" => percentile(qc(in), lit(0.5)).over(w)
+        case k => throw new IllegalArgumentException(s"unsupported kind: $k")
+      }
+    val withRel = df.withColumn("__wrel", relCol)
+    if (boundedRows >= 0 && boundedRows <= c) {
+      val part = Window.partitionBy(col(groupCol)).orderBy(col(idxCol))
+      return cols.foldLeft(withRel) { case (d, (in, out, kind, width)) =>
+        d.withColumn(out, when(col("__wrel") >= width - 1,
+          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
+      }.drop("__wrel")
+    }
+    val base = withRel.withColumn("__wck", (col("__wrel") / c).cast("long"))
+      .withColumn("__wcarry", lit(false))
+    val carry = withRel.filter(col("__wrel") % c >= c - (maxWidth - 1))
+      .withColumn("__wck", (col("__wrel") / c).cast("long") + 1)
+      .withColumn("__wcarry", lit(true))
+    val part = Window.partitionBy(col(groupCol), col("__wck"))
+      .orderBy(col(idxCol))
+    val withAggs = cols.foldLeft(base.unionByName(carry)) {
+      case (d, (in, out, kind, width)) =>
+        d.withColumn(out, when(col("__wrel") >= width - 1,
+          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
+    }
+    withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry", "__wrel")
+  }
+
   /** M9: hourglass layer-dimension calculus, ported exactly from
     * `gordo/machine/model/factories/utils.py:7-41` (including Python's
     * round-half-to-even via rint). */

@@ -111,6 +111,65 @@ class DiffAnomalySpec extends AnyFunSuite {
     assert(!kfcv.thresholds.aggregateThreshold.isNaN)
   }
 
+  test("fused segmented CV matches the per-fold loop for every reconstructor") {
+    // wrapper hiding segPlan: forces the per-fold fallback loop
+    class NoSeg(inner: DiffAnomaly.Reconstructor) extends DiffAnomaly.Reconstructor {
+      def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
+              yTags: Seq[String],
+              feature: String => org.apache.spark.sql.Column): DiffAnomaly.Fitted =
+        inner.fit(train, xTags, yTags, feature)
+      override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                           feature: String => org.apache.spark.sql.Column) =
+        inner.aggPlan(xTags, yTags, feature)
+    }
+    // noisy series so thresholds/metrics are non-trivial
+    val noisy = (0 until 60).map { i =>
+      (i * 600L, 10.0 + i + math.sin(i * 0.9) * 3.0,
+        25.0 + 2.0 * i + math.cos(i * 1.3) * 4.0)
+    }.toDF("bucket_ts", "tx", "ty")
+    val metrics = Seq[(String, (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column)](
+      "mse" -> ((yt, yp) => avg((yt - yp) * (yt - yp))))
+    def close(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a))
+    for (base <- Seq[DiffAnomaly.Reconstructor](
+        new TrendReconstructor("bucket_ts", 0L),
+        new RidgeReconstructor(),
+        new DiffAnomaly.PcaReconstructor(1))) {
+      val fused = DiffAnomaly.fit(noisy, Seq("tx", "ty"), "bucket_ts", base,
+        nSplits = 3, window = Some(12), foldMetrics = metrics)
+      val looped = DiffAnomaly.fit(noisy, Seq("tx", "ty"), "bucket_ts",
+        new NoSeg(base), nSplits = 3, window = Some(12), foldMetrics = metrics)
+      assert(close(fused.thresholds.aggregateThreshold,
+        looped.thresholds.aggregateThreshold), s"agg threshold: $base")
+      for (t <- Seq("tx", "ty")) {
+        assert(close(fused.thresholds.featureThresholds(t),
+          looped.thresholds.featureThresholds(t)), s"feature $t")
+        assert(close(fused.thresholds.smoothFeatureThresholds.get(t),
+          looped.thresholds.smoothFeatureThresholds.get(t)), s"smooth $t")
+      }
+      assert(close(fused.thresholds.smoothAggregateThreshold.get,
+        looped.thresholds.smoothAggregateThreshold.get))
+      fused.thresholds.perFoldAggregate.foreach { case (k, v) =>
+        assert(close(v, looped.thresholds.perFoldAggregate(k)), s"perFold $k") }
+      fused.foldScores("mse").zip(looped.foldScores("mse")).foreach {
+        case (a, b) => assert(close(a, b), "fold mse") }
+      fused.model.params.foreach { case (k, v) =>
+        assert(close(v, looped.model.params(k)), s"final param $k") }
+    }
+    // KFCV: same equivalence through the complement-merge path
+    val base = new TrendReconstructor("bucket_ts", 0L)
+    val fusedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
+      base, nSplits = 5, window = 12)
+    val loopedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
+      new NoSeg(base), nSplits = 5, window = 12)
+    assert(close(fusedK.thresholds.aggregateThreshold,
+      loopedK.thresholds.aggregateThreshold))
+    for (t <- Seq("tx", "ty"))
+      assert(close(fusedK.thresholds.featureThresholds(t),
+        loopedK.thresholds.featureThresholds(t)))
+  }
+
   test("smooth columns appear with window and are null for the NaN prefix") {
     val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
       new TrendReconstructor("bucket_ts", 0L), nSplits = 3,
