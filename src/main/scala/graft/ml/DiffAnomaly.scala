@@ -159,9 +159,12 @@ object DiffAnomaly {
     * — the Spark shape for "fit collects the modest per-machine matrix"
     * (SURVEY §3.1). */
   class RidgeReconstructor(lambda: Double = 1e-8) extends Reconstructor {
-    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+    /** Shared Gram construction: (aggregates, their alias names, the
+      * column vector) — single source of truth for aggPlan AND segPlan,
+      * so the alias set can never desync between the two. */
+    private def gramPlan(xTags: Seq[String], yTags: Seq[String],
                          feature: String => Column)
-        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
+        : (Seq[Column], Seq[String], Seq[Column]) = {
       val m = xTags.size
       // column vector = (1, xTags..., y-only targets...): the Gram over
       // all pairs carries both XᵀX and the XᵀY cross terms
@@ -171,9 +174,15 @@ object DiffAnomaly {
       val nAll = allCols.size - 1
       // pairs with BOTH indices in the y-only block are never read by the
       // decoder (features stop at index m) — skip those aggregates
-      val aggs = for {
-        i <- 0 to m; j <- i to nAll
-      } yield sum(allCols(i) * allCols(j)).as(s"g_${i}_$j")
+      val pairs = for { i <- 0 to m; j <- i to nAll } yield (i, j)
+      (pairs.map { case (i, j) => sum(allCols(i) * allCols(j)).as(s"g_${i}_$j") },
+        pairs.map { case (i, j) => s"g_${i}_$j" },
+        allCols)
+    }
+    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
+      val (aggs, _, allCols) = gramPlan(xTags, yTags, feature)
       Some((aggs,
         row => decodeGram((i, j) =>
           row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"),
@@ -182,13 +191,7 @@ object DiffAnomaly {
     /** Segmented fit: Gram-product sums merge by plain addition. */
     override def segPlan(xTags: Seq[String], yTags: Seq[String],
                          feature: String => Column): Option[SegPlan[Fitted]] = {
-      val (aggs, _) = aggPlan(xTags, yTags, feature).get
-      val m = xTags.size
-      val extraY = yTags.filterNot(xTags.contains)
-      val allCols = (lit(1.0) +: xTags.map(t => feature(t).cast("double"))) ++
-        extraY.map(t => feature(t).cast("double"))
-      val names = for { i <- 0 to m; j <- i to (m + extraY.size) }
-        yield s"g_${i}_$j"
+      val (aggs, names, allCols) = gramPlan(xTags, yTags, feature)
       Some(SegPlan(
         aggs,
         row => names.map(n => n -> row.getAs[Double](n)).toMap,
@@ -515,20 +518,61 @@ object DiffAnomaly {
         sp <- Scalers.segPlan(scalerKind, y)
       } yield (mp, sp)
 
-      val (results, finalModel, finalScaler) = fusedPlan match {
-        case Some((mp, sp)) =>
+      // ---- per-fold loop: 2 passes per fold (model+scaler fused into
+      // one train agg; thresholds+metrics into one test agg). Used when
+      // the base/scaler has no mergeable statistics (preprocessing
+      // pipelines, robust scaler) or the frame fails the null check ----
+      def loopPath(): (Seq[(CrossValidate.Fold, String => Double)],
+          Fitted, FittedScaler) = {
+        val res = folds.map { f =>
+          val train = CrossValidate.trainFold(indexed, f)
+          val test = CrossValidate.testFold(indexed, f)
+          val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
+          val metricInputs =
+            if (foldMetrics.isEmpty) Nil
+            else y.flatMap(t =>
+              Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
+          val scored = test.select(
+            (col("__row") +:
+              scaledMseCol(m, sc, y).as("__mse") +:
+              (y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
+                metricInputs)): _*)
+          val rolled = Windows.chunkedTrailingMulti(scored, "__row",
+            f.testStart, rollSpecs, totalRows = f.nTest)
+          f -> getterOf(rolled.agg(testAggs.head, testAggs.tail: _*).head())
+        }
+        val (fm, fs) = fitModelAndScaler(indexed, tags, y, base, scalerKind)
+        (res, fm, fs)
+      }
+
+      def fusedPath(mp: SegPlan[Fitted], sp: SegPlan[FittedScaler])
+          : (Seq[(CrossValidate.Fold, String => Double)], Fitted, FittedScaler) = {
           // ---- segments: [0, ts0) then each fold's test span; ONE
           // stats pass, fold k's train fit = merge of segments 0..k ----
           val segOf = folds.zipWithIndex.foldLeft(
             when(col("__row") < folds.head.testStart, lit(0))) {
             case (acc, (f, i)) => acc.when(col("__row") < f.testEnd, lit(i + 1))
           }
-          val aggsAll = mp.aggs ++ sp.aggs
+          // null-integrity counts ride the same pass: the mergeable
+          // statistics weight segments by row count, which only equals
+          // the aggregates' (null-skipping) population on null-free
+          // data — any null falls back to the per-fold loop, whose
+          // pairwise-deletion semantics match the flat fit exactly
+          val checkCols = (tags ++ y).distinct
+          val nullAggs = count(lit(1)).as("__n_all") +:
+            count(col(orderCol)).as("__n_ord") +:
+            checkCols.zipWithIndex.map { case (t, i) =>
+              count(feat(t)).as(s"__n_$i") }
+          val aggsAll = nullAggs ++ mp.aggs ++ sp.aggs
           val segRows = indexed.groupBy(segOf.as("__seg"))
             .agg(aggsAll.head, aggsAll.tail: _*)
             .collect().sortBy(_.getAs[Int]("__seg"))
-          require(segRows.length == folds.size + 1,
-            s"expected ${folds.size + 1} CV segments, got ${segRows.length}")
+          val clean = segRows.length == folds.size + 1 && segRows.forall { r =>
+            val na = r.getAs[Long]("__n_all")
+            r.getAs[Long]("__n_ord") == na &&
+              checkCols.indices.forall(i => r.getAs[Long](s"__n_$i") == na)
+          }
+          if (!clean) return loopPath()
           val mBufs = segRows.map(mp.fromRow)
           val sBufs = segRows.map(sp.fromRow)
           var mAcc = mBufs(0)
@@ -575,35 +619,17 @@ object DiffAnomaly {
                 col("__row") - lit(f.testStart))
           }
           val rolled = Windows.chunkedTrailingMultiGrouped(scored, "__row",
-            "__fold", relOf, rollSpecs, boundedRows = folds.map(_.nTest).max)
+            col("__fold"), relOf, rollSpecs, boundedRows = folds.map(_.nTest).max)
           val rows = rolled.groupBy(col("__fold"))
             .agg(testAggs.head, testAggs.tail: _*)
             .collect().map(r => r.getAs[Int]("__fold") -> r).toMap
           (folds.map(f => f -> getterOf(rows(f.index))),
             mp.decode(mAcc), sp.decode(sAcc))
+      }
 
-        case None =>
-          // ---- per-fold loop: 2 passes per fold (model+scaler fused
-          // into one train agg; thresholds+metrics into one test agg) ----
-          val res = folds.map { f =>
-            val train = CrossValidate.trainFold(indexed, f)
-            val test = CrossValidate.testFold(indexed, f)
-            val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
-            val metricInputs =
-              if (foldMetrics.isEmpty) Nil
-              else y.flatMap(t =>
-                Seq(qc(t).as(s"__y_$t"), m.predictCol(t).as(s"__p_$t")))
-            val scored = test.select(
-              (col("__row") +:
-                scaledMseCol(m, sc, y).as("__mse") +:
-                (y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t")) ++
-                  metricInputs)): _*)
-            val rolled = Windows.chunkedTrailingMulti(scored, "__row",
-              f.testStart, rollSpecs, totalRows = f.nTest)
-            f -> getterOf(rolled.agg(testAggs.head, testAggs.tail: _*).head())
-          }
-          val (fm, fs) = fitModelAndScaler(indexed, tags, y, base, scalerKind)
-          (res, fm, fs)
+      val (results, finalModel, finalScaler) = fusedPlan match {
+        case Some((mp, sp)) => fusedPath(mp, sp)
+        case None => loopPath()
       }
 
       var lastFeat: Map[String, Double] = Map.empty
@@ -669,49 +695,72 @@ object DiffAnomaly {
       // stats pass (segments = the folds themselves; complement = merge
       // of the other folds' buffers) and the scoring is ONE pass whose
       // expressions dispatch on the fold id — O(1) full-data scans.
-      val (scattered, finalFit) = fusedPlan match {
-        case Some((mp, sp)) =>
-          val foldOf = folds.tail.foldLeft(
-            when(col("__row") < folds.head.testEnd, lit(0))) {
-            (acc, f) => acc.when(col("__row") < f.testEnd, lit(f.index))
-          }
-          val aggsAll = mp.aggs ++ sp.aggs
-          val segRows = indexed.groupBy(foldOf.as("__seg"))
-            .agg(aggsAll.head, aggsAll.tail: _*)
-            .collect().sortBy(_.getAs[Int]("__seg"))
-          require(segRows.length == folds.size,
-            s"expected ${folds.size} KFold segments, got ${segRows.length}")
-          val mBufs = segRows.map(mp.fromRow)
-          val sBufs = segRows.map(sp.fromRow)
-          val fits = folds.map { f =>
-            val others = folds.indices.filterNot(_ == f.index)
-            f -> ((mp.decode(others.map(mBufs).reduce(mp.merge)),
-              sp.decode(others.map(sBufs).reduce(sp.merge))))
-          }
-          def byFold(e: ((Fitted, FittedScaler)) => Column): Column =
-            fits.tail.foldLeft(
-              when(col("__fold") === lit(fits.head._1.index), e(fits.head._2))) {
-              case (acc, (f, ms)) =>
-                acc.when(col("__fold") === lit(f.index), e(ms))
-            }
-          val scat = indexed.withColumn("__fold", foldOf).select(
+      def loopScattered(): (DataFrame, Option[(Fitted, FittedScaler)]) =
+        (folds.map { f =>
+          val train = indexed.filter(
+            col("__row") < f.testStart || col("__row") >= f.testEnd)
+          val test = CrossValidate.testFold(indexed, f)
+          val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
+          test.select(
             (col("__row") +:
-              byFold { case (m, sc) => scaledMseCol(m, sc, y) }.as("__mse") +:
-              y.map(t => byFold { case (m, _) => abs(qc(t) - m.predictCol(t)) }
-                .as(s"__mae_$t"))): _*)
-          (scat, Some((mp.decode(folds.indices.map(mBufs).reduce(mp.merge)),
-            sp.decode(folds.indices.map(sBufs).reduce(sp.merge)))))
-        case None =>
-          (folds.map { f =>
-            val train = indexed.filter(
-              col("__row") < f.testStart || col("__row") >= f.testEnd)
-            val test = CrossValidate.testFold(indexed, f)
-            val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
-            test.select(
-              (col("__row") +:
-                scaledMseCol(m, sc, y).as("__mse") +:
-                y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
-          }.reduce(_ unionByName _), None)
+              scaledMseCol(m, sc, y).as("__mse") +:
+              y.map(t => abs(qc(t) - m.predictCol(t)).as(s"__mae_$t"))): _*)
+        }.reduce(_ unionByName _), None)
+
+      def fusedScattered(mp: SegPlan[Fitted], sp: SegPlan[FittedScaler])
+          : (DataFrame, Option[(Fitted, FittedScaler)]) = {
+        val foldOf = folds.tail.foldLeft(
+          when(col("__row") < folds.head.testEnd, lit(0))) {
+          (acc, f) => acc.when(col("__row") < f.testEnd, lit(f.index))
+        }
+        // null-integrity counts (see fit): mergeable statistics assume a
+        // null-free frame — fall back to the per-fold loop otherwise
+        val checkCols = (tags ++ y).distinct
+        val nullAggs = count(lit(1)).as("__n_all") +:
+          count(col(orderCol)).as("__n_ord") +:
+          checkCols.zipWithIndex.map { case (t, i) =>
+            count(feat(t)).as(s"__n_$i") }
+        val aggsAll = nullAggs ++ mp.aggs ++ sp.aggs
+        val segRows = indexed.groupBy(foldOf.as("__seg"))
+          .agg(aggsAll.head, aggsAll.tail: _*).collect()
+        val clean = segRows.forall { r =>
+          val na = r.getAs[Long]("__n_all")
+          r.getAs[Long]("__n_ord") == na &&
+            checkCols.indices.forall(i => r.getAs[Long](s"__n_$i") == na)
+        }
+        if (!clean) return loopScattered()
+        // n < nSplits leaves trailing folds empty (sklearn still yields
+        // them): empty segments have no stats row — skip them in the
+        // complement merges; they contribute no scored rows either
+        val mBufs = segRows.map(r => r.getAs[Int]("__seg") -> mp.fromRow(r)).toMap
+        val sBufs = segRows.map(r => r.getAs[Int]("__seg") -> sp.fromRow(r)).toMap
+        val present = folds.indices.filter(mBufs.contains).sorted
+        // with a single non-empty fold its complement is empty — nothing
+        // to train on; let the loop path surface that degenerate case
+        if (present.size < 2) return loopScattered()
+        val fits = folds.filter(f => mBufs.contains(f.index)).map { f =>
+          val others = present.filterNot(_ == f.index)
+          f -> ((mp.decode(others.map(mBufs).reduce(mp.merge)),
+            sp.decode(others.map(sBufs).reduce(sp.merge))))
+        }
+        def byFold(e: ((Fitted, FittedScaler)) => Column): Column =
+          fits.tail.foldLeft(
+            when(col("__fold") === lit(fits.head._1.index), e(fits.head._2))) {
+            case (acc, (f, ms)) =>
+              acc.when(col("__fold") === lit(f.index), e(ms))
+          }
+        val scat = indexed.withColumn("__fold", foldOf).select(
+          (col("__row") +:
+            byFold { case (m, sc) => scaledMseCol(m, sc, y) }.as("__mse") +:
+            y.map(t => byFold { case (m, _) => abs(qc(t) - m.predictCol(t)) }
+              .as(s"__mae_$t"))): _*)
+        (scat, Some((mp.decode(present.map(mBufs).reduce(mp.merge)),
+          sp.decode(present.map(sBufs).reduce(sp.merge)))))
+      }
+
+      val (scattered, finalFit) = fusedPlan match {
+        case Some((mp, sp)) => fusedScattered(mp, sp)
+        case None => loopScattered()
       }
       val smoothed = smoothingMethod match {
         case "ewma" =>

@@ -63,49 +63,19 @@ object Windows {
   /** Multi-width variant: each output column carries its own trailing
     * width (the CV fold loop computes the width-6 thresholds AND the
     * width-144 smooth thresholds in ONE pass — carry rows cover the
-    * largest width; narrower frames are correct a fortiori). */
+    * largest width; narrower frames are correct a fortiori).
+    *
+    * Implemented as the grouped variant with a single constant group:
+    * `pmod(idx, 1)` ≡ 0 but is NOT foldable — a literal partition key
+    * would be constant-folded away, reintroducing the unpartitioned-
+    * window shape (and its warning) the bounded fast path is proven
+    * safe from. */
   def chunkedTrailingMulti(df: DataFrame, idxCol: String, idxOffset: Long,
                            cols: Seq[(String, String, String, Int)],
                            chunkSize: Int = 4096,
-                           totalRows: Long = -1L): DataFrame = {
-    require(cols.nonEmpty, "need at least one column")
-    require(cols.forall(_._4 >= 1), s"widths must be >= 1: ${cols.map(_._4)}")
-    val maxWidth = cols.map(_._4).max
-    val c = math.max(chunkSize, 2 * maxWidth)
-    val rel = col(idxCol) - lit(idxOffset)
-    def aggOf(kind: String, in: String, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-      kind match {
-        case "min" => min(qc(in)).over(w)
-        case "sma" => avg(qc(in)).over(w)
-        case "smm" => percentile(qc(in), lit(0.5)).over(w)
-        case k => throw new IllegalArgumentException(s"unsupported kind: $k")
-      }
-    // caller-proven bounded frame (≤ one chunk): a single constant-key
-    // partition is already bounded — skip the union/carry machinery
-    if (totalRows >= 0 && totalRows <= c) {
-      // pmod(idx, 1) ≡ 0 but is NOT foldable — a literal partition key
-      // would be constant-folded away, reintroducing the unpartitioned-
-      // window shape (and its warning) this fast path is proven safe from
-      val part = Window.partitionBy(pmod(col(idxCol), lit(1L)))
-        .orderBy(col(idxCol))
-      return cols.foldLeft(df) { case (d, (in, out, kind, width)) =>
-        d.withColumn(out, when(rel >= width - 1,
-          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
-      }
-    }
-    val base = df.withColumn("__wck", (rel / c).cast("long"))
-      .withColumn("__wcarry", lit(false))
-    val carry = df.filter(rel % c >= c - (maxWidth - 1))
-      .withColumn("__wck", (rel / c).cast("long") + 1)
-      .withColumn("__wcarry", lit(true))
-    val part = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
-    val withAggs = cols.foldLeft(base.unionByName(carry)) {
-      case (d, (in, out, kind, width)) =>
-        d.withColumn(out, when(rel >= width - 1,
-          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
-    }
-    withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry")
-  }
+                           totalRows: Long = -1L): DataFrame =
+    chunkedTrailingMultiGrouped(df, idxCol, pmod(col(idxCol), lit(1L)),
+      col(idxCol) - lit(idxOffset), cols, chunkSize, boundedRows = totalRows)
 
   /** Grouped variant: trailing frames RESET at group boundaries (each CV
     * fold's test span rolls independently, fused into one pass). `relCol`
@@ -115,7 +85,7 @@ object Windows {
     * value — a group partition is then already bounded and the carry
     * machinery is skipped. */
   def chunkedTrailingMultiGrouped(df: DataFrame, idxCol: String,
-                                  groupCol: String, relCol: Column,
+                                  groupCol: Column, relCol: Column,
                                   cols: Seq[(String, String, String, Int)],
                                   chunkSize: Int = 4096,
                                   boundedRows: Long = -1L): DataFrame = {
@@ -132,7 +102,7 @@ object Windows {
       }
     val withRel = df.withColumn("__wrel", relCol)
     if (boundedRows >= 0 && boundedRows <= c) {
-      val part = Window.partitionBy(col(groupCol)).orderBy(col(idxCol))
+      val part = Window.partitionBy(groupCol).orderBy(col(idxCol))
       return cols.foldLeft(withRel) { case (d, (in, out, kind, width)) =>
         d.withColumn(out, when(col("__wrel") >= width - 1,
           aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
@@ -143,7 +113,7 @@ object Windows {
     val carry = withRel.filter(col("__wrel") % c >= c - (maxWidth - 1))
       .withColumn("__wck", (col("__wrel") / c).cast("long") + 1)
       .withColumn("__wcarry", lit(true))
-    val part = Window.partitionBy(col(groupCol), col("__wck"))
+    val part = Window.partitionBy(groupCol, col("__wck"))
       .orderBy(col(idxCol))
     val withAggs = cols.foldLeft(base.unionByName(carry)) {
       case (d, (in, out, kind, width)) =>

@@ -157,17 +157,79 @@ class DiffAnomalySpec extends AnyFunSuite {
       fused.model.params.foreach { case (k, v) =>
         assert(close(v, looped.model.params(k)), s"final param $k") }
     }
-    // KFCV: same equivalence through the complement-merge path
+    // KFCV: same equivalence through the complement-merge path, for
+    // every reconstructor (PCA exercises the co-moment merge, ridge the
+    // Gram-sum merge)
+    for (base <- Seq[DiffAnomaly.Reconstructor](
+        new TrendReconstructor("bucket_ts", 0L),
+        new RidgeReconstructor(),
+        new DiffAnomaly.PcaReconstructor(1))) {
+      val fusedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
+        base, nSplits = 5, window = 12)
+      val loopedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
+        new NoSeg(base), nSplits = 5, window = 12)
+      assert(close(fusedK.thresholds.aggregateThreshold,
+        loopedK.thresholds.aggregateThreshold), s"kfcv agg: $base")
+      for (t <- Seq("tx", "ty"))
+        assert(close(fusedK.thresholds.featureThresholds(t),
+          loopedK.thresholds.featureThresholds(t)), s"kfcv $t: $base")
+    }
+    // target outside tag_list: ridge's extraY alias block (X=[tx], y=[ty])
+    locally {
+      val base = new RidgeReconstructor()
+      val fusedT = DiffAnomaly.fit(noisy, Seq("tx"), "bucket_ts", base,
+        nSplits = 3, targetTags = Seq("ty"))
+      val loopedT = DiffAnomaly.fit(noisy, Seq("tx"), "bucket_ts",
+        new NoSeg(base), nSplits = 3, targetTags = Seq("ty"))
+      assert(close(fusedT.thresholds.aggregateThreshold,
+        loopedT.thresholds.aggregateThreshold), "extraY agg")
+      assert(close(fusedT.thresholds.featureThresholds("ty"),
+        loopedT.thresholds.featureThresholds("ty")), "extraY ty")
+      fusedT.model.params.foreach { case (k, v) =>
+        assert(close(v, loopedT.model.params(k)), s"extraY param $k") }
+    }
+  }
+
+  test("fused CV falls back to the loop on frames containing nulls") {
+    // count(*)-weighted segment merges would diverge from null-skipping
+    // aggregates; the null-integrity check must route to the loop path,
+    // making fused and NoSeg results IDENTICAL (not just close)
+    val withNull = (0 until 60).map { i =>
+      (i * 600L, 10.0 + i + math.sin(i * 0.9) * 3.0,
+        if (i == 7) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(25.0 + 2.0 * i + math.cos(i * 1.3) * 4.0))
+    }.toDF("bucket_ts", "tx", "ty")
+    class NoSeg(inner: DiffAnomaly.Reconstructor) extends DiffAnomaly.Reconstructor {
+      def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
+              yTags: Seq[String],
+              feature: String => org.apache.spark.sql.Column): DiffAnomaly.Fitted =
+        inner.fit(train, xTags, yTags, feature)
+      override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                           feature: String => org.apache.spark.sql.Column) =
+        inner.aggPlan(xTags, yTags, feature)
+    }
     val base = new TrendReconstructor("bucket_ts", 0L)
-    val fusedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
-      base, nSplits = 5, window = 12)
-    val loopedK = DiffAnomaly.fitKfcv(noisy, Seq("tx", "ty"), "bucket_ts",
-      new NoSeg(base), nSplits = 5, window = 12)
-    assert(close(fusedK.thresholds.aggregateThreshold,
-      loopedK.thresholds.aggregateThreshold))
-    for (t <- Seq("tx", "ty"))
-      assert(close(fusedK.thresholds.featureThresholds(t),
-        loopedK.thresholds.featureThresholds(t)))
+    val a = DiffAnomaly.fit(withNull, Seq("tx", "ty"), "bucket_ts", base,
+      nSplits = 3)
+    val b = DiffAnomaly.fit(withNull, Seq("tx", "ty"), "bucket_ts",
+      new NoSeg(base), nSplits = 3)
+    assert(a.thresholds.aggregateThreshold == b.thresholds.aggregateThreshold)
+    assert(a.thresholds.featureThresholds == b.thresholds.featureThresholds)
+    assert(a.model.params == b.model.params)
+    val ak = DiffAnomaly.fitKfcv(withNull, Seq("tx", "ty"), "bucket_ts",
+      base, nSplits = 5)
+    val bk = DiffAnomaly.fitKfcv(withNull, Seq("tx", "ty"), "bucket_ts",
+      new NoSeg(base), nSplits = 5)
+    assert(ak.thresholds.aggregateThreshold == bk.thresholds.aggregateThreshold)
+  }
+
+  test("kfcv with more splits than rows tolerates empty folds") {
+    val tiny = (0 until 4)
+      .map(i => (i * 600L, 10.0 + i, 25.0 + 2.0 * i))
+      .toDF("bucket_ts", "tx", "ty")
+    val fitted = DiffAnomaly.fitKfcv(tiny, Seq("tx", "ty"), "bucket_ts",
+      new TrendReconstructor("bucket_ts", 0L), nSplits = 5, window = 2)
+    assert(fitted.thresholds.featureThresholds.keySet == Set("tx", "ty"))
   }
 
   test("smooth columns appear with window and are null for the NaN prefix") {
