@@ -10,7 +10,7 @@ import graft.ml.DiffAnomaly.FittedDetector
   * request/response-score; the streaming-native equivalent scores
   * arriving sensor windows incrementally.
   *
-  * Two pieces:
+  * Three pieces:
   *  - [[resampleStream]]: A1 as a watermarked tumbling-window aggregation
   *    (`readStream → withWatermark → groupBy(window(ts, resolution))`),
   *    late data bounded by the watermark (the reference has no late-data
@@ -18,9 +18,11 @@ import graft.ml.DiffAnomaly.FittedDetector
   *  - [[scoreStream]]: the anomaly frame's row-local derivations applied
   *    to a (micro-batch) stream. Everything except smooth-* is stateless
   *    per row, so the same fitted detector scores batch and stream
-  *    identically; smoothing needs `window` rows of history, which the
-  *    reference's own docs tell clients to supply
-  *    (`docs/ml/model_output.rst:77-103`) — batch path covers it.
+  *    identically;
+  *  - [[smoothStream]]: the smooth-* columns as a
+  *    `flatMapGroupsWithState` stateful operator — each machine key
+  *    keeps the trailing `width` values (bounded state), emitting
+  *    batch-identical rolling smm/sma.
   */
 object StreamingScoring {
 
@@ -43,6 +45,75 @@ object StreamingScoring {
                   resolutionSec: Long): DataFrame = {
     val stateless = fd.copy(window = None)
     DiffAnomaly.anomaly(stateless, wide, resolutionSec)
+  }
+
+  /** Bounded per-key state for [[smoothStream]]: the last `width` values
+    * of each smoothed column (ring kept by truncation) plus nothing else
+    * — state size is width × columns doubles per machine, constant in
+    * stream length. */
+  case class SmoothState(hist: Seq[Seq[Double]])
+
+  /** Stateful streaming smoothing (the smooth-* trailing windows of
+    * W1–W3 applied to an arriving per-machine score stream) via
+    * `flatMapGroupsWithState` — the custom-state streaming shape the
+    * batch path expresses as window frames. Each machine key carries the
+    * last `width−1` values per column; a row emits null until its key
+    * has seen a full window (the pandas rolling NaN prefix), then the
+    * rolling mean (`sma`) or linearly-interpolated median (`smm`) of the
+    * trailing `width` values — identical numbers to the batch
+    * `Windows.chunkedTrailing`.
+    *
+    * Rows are sorted by `orderCol` within each micro-batch; across
+    * batches, per-key in-order delivery is assumed — the shape
+    * [[resampleStream]] produces, where a bucket is emitted once the
+    * watermark finalizes it (and the same contract the reference's docs
+    * put on clients, `docs/ml/model_output.rst:77-103`: supply `window`
+    * rows of ordered history). Returns (key, order, smooth…) rows. */
+  def smoothStream(scored: DataFrame, keyCol: String, orderCol: String,
+                   cols: Seq[(String, String)], width: Int,
+                   method: String = "smm"): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    require(method == "smm" || method == "sma",
+      s"unsupported streaming smoothing: $method")
+    require(cols.nonEmpty, "need at least one column")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val packed = scored.select(
+      col(keyCol).cast("string"),
+      col(orderCol).cast("long"),
+      array(cols.map { case (in, _) => col(s"`$in`").cast("double") }: _*))
+      .as[(String, Long, Seq[Double])]
+    val smoothed = packed.groupByKey(_._1)
+      .flatMapGroupsWithState[SmoothState, (String, Long, Seq[Option[Double]])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val hist: Array[Vector[Double]] =
+            if (state.exists) state.get.hist.map(_.toVector).toArray
+            else Array.fill(cols.size)(Vector.empty[Double])
+          val out = rows.toSeq.sortBy(_._2).map { case (_, t, vals) =>
+            val sm = vals.zipWithIndex.map { case (v, i) =>
+              hist(i) = (hist(i) :+ v).takeRight(width)
+              if (hist(i).size < width) None
+              else Some(method match {
+                case "sma" => hist(i).sum / width
+                case "smm" =>
+                  // exact percentile(0.5) with linear interpolation,
+                  // matching the batch window's `percentile` exactly
+                  val s = hist(i).sorted
+                  if (width % 2 == 1) s(width / 2)
+                  else (s(width / 2 - 1) + s(width / 2)) / 2.0
+              })
+            }
+            (key, t, sm)
+          }
+          state.update(SmoothState(hist.toSeq.map(_.toSeq)))
+          out.iterator
+      }
+    smoothed.toDF("__k", "__t", "__sm").select(
+      (col("__k").as(keyCol) +: col("__t").as(orderCol) +:
+        cols.zipWithIndex.map { case ((_, out), i) =>
+          col("__sm")(i).as(out) }): _*)
   }
 
   /** Streaming exact dedup for an arriving document stream: the first

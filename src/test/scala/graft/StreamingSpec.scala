@@ -77,6 +77,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming smoothing matches batch rolling windows across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two machines, interleaved; values chosen so smm interpolation
+    // (even width) and sma are both non-trivial
+    def series(key: String): Seq[(String, Long, Double)] =
+      (0 until 12).map(i => (key,
+        i * 600L, (if (key == "m1") 1.0 else 100.0) + i * 3.0 + (i % 3) * 7.0))
+    val all = series("m1") ++ series("m2")
+    for (method <- Seq("smm", "sma"); width <- Seq(3, 4)) {
+      val input = MemoryStream[(String, Long, Double)]
+      val stream = input.toDF().toDF("machine", "bucket_ts", "err")
+      val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+        Seq("err" -> "smooth_err"), width, method)
+        .writeStream.format("memory").queryName(s"sm_${method}_$width")
+        .outputMode("append").start()
+      try {
+        // split mid-series: state must carry the trailing window across
+        // the micro-batch boundary
+        val (b1, b2) = all.partition(_._2 < 5 * 600L)
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+        val got = spark.sql(
+          s"SELECT machine, bucket_ts, smooth_err FROM sm_${method}_$width " +
+            "ORDER BY machine, bucket_ts").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        // scala oracle: trailing window over each ordered series
+        val exp = Seq("m1", "m2").flatMap { k =>
+          val vs = series(k).map(_._3)
+          vs.zipWithIndex.map { case (_, i) =>
+            val sm =
+              if (i < width - 1) None
+              else {
+                val w = vs.slice(i - width + 1, i + 1)
+                Some(method match {
+                  case "sma" => w.sum / width
+                  case "smm" =>
+                    val s = w.sorted
+                    if (width % 2 == 1) s(width / 2)
+                    else (s(width / 2 - 1) + s(width / 2)) / 2.0
+                })
+              }
+            (k, i * 600L, sm)
+          }
+        }
+        assert(got.toSeq == exp, s"method=$method width=$width")
+      } finally q.stop()
+    }
+  }
+
   test("streaming exact dedup keeps first occurrences only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
