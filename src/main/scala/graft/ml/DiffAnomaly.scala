@@ -480,8 +480,12 @@ object DiffAnomaly {
     val y = if (targetTags.isEmpty) tags else targetTags
     // persist the assembled frame FIRST: withRowIndex runs two small jobs
     // (chunk bounds + counts) before the fold loop, which would otherwise
-    // recompute the upstream resample/align per job
-    val src = wide.persist()
+    // recompute the upstream resample/align per job. A caller-cached
+    // frame (ModelBuilder) is left alone — re-persisting warns and the
+    // unpersist would yank the caller's cache out from under it.
+    val callerCached =
+      wide.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (callerCached) wide else wide.persist()
     val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
@@ -659,7 +663,7 @@ object DiffAnomaly {
           perFoldAgg.toMap),
         tags, y, orderCol, window, smoothingMethod,
         perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap)
-    } finally { indexed.unpersist(); src.unpersist() }
+    } finally { indexed.unpersist(); if (!callerCached) src.unpersist() }
   }
 
   /** M12 `DiffBasedKFCVAnomalyDetector` (`diff.py:461-635`): KFold CV,
@@ -679,7 +683,9 @@ object DiffAnomaly {
               thresholdPercentile: Double = 0.99,
               targetTags: Seq[String] = Nil): FittedDetector = {
     val y = if (targetTags.isEmpty) tags else targetTags
-    val src = wide.persist()
+    val callerCached =
+      wide.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (callerCached) wide else wide.persist()
     val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
@@ -792,7 +798,7 @@ object DiffAnomaly {
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
         tags, y, orderCol, Some(window), smoothingMethod)
-    } finally { indexed.unpersist(); src.unpersist() }
+    } finally { indexed.unpersist(); if (!callerCached) src.unpersist() }
   }
 
   private def fitScaler(kind: String, df: DataFrame, tags: Seq[String]): FittedScaler =
