@@ -208,6 +208,7 @@ object Persistence {
         }
         def params: Map[String, Double] = p
       }
+      case "mlp" => graft.ml.Mlp.fittedFromParams(p, tags, feature)
       case other => throw new IllegalStateException(s"unknown model impl: $other")
     }
     if (prep.isEmpty) inner

@@ -83,7 +83,16 @@ object ModelRegistry {
       Imputer(kw.getOrElse("strategy", "minmax").toString,
         num(kw.getOrElse("delta", 2.0)))
     case "gordo.machine.model.models.KerasAutoEncoder" =>
-      Reconstruction("ridge", kw.getOrElse("kind", "feedforward_hourglass").toString)
+      // hourglass (the reference default) keeps the closed-form ridge
+      // stand-in — its fits are DuckDB-replayable, which is what the
+      // correctness gates need (SURVEY §7.3(c)); the other feedforward
+      // factories get the real in-house MLP autoencoder (§7.3(b))
+      val kind = kw.getOrElse("kind", "feedforward_hourglass").toString
+      val impl =
+        if (kind.startsWith("feedforward_") && kind != "feedforward_hourglass")
+          "mlp"
+        else "ridge"
+      Reconstruction(impl, kind)
     case "gordo.machine.model.models.KerasLSTMAutoEncoder" |
          "gordo.machine.model.models.KerasLSTMForecast" =>
       Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString)
@@ -205,6 +214,7 @@ object ModelRegistry {
   def reconstructorOf(stage: Stage, orderCol: String, epoch0: Long): DiffAnomaly.Reconstructor =
     stage match {
       case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
+      case Reconstruction("mlp", _) => new graft.ml.Mlp.AutoReconstructor()
       case Reconstruction("pca", k) =>
         if (k == "all") new DiffAnomaly.PcaReconstructor(Int.MaxValue)
         else if (k.contains('.'))

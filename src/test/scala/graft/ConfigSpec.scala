@@ -149,7 +149,10 @@ class ConfigSpec extends AnyFunSuite {
         |  smoothing_method: sma
         |""".stripMargin))
     d match {
-      case Detector(Reconstruction("ridge", "feedforward_symmetric"),
+      // non-hourglass feedforward kinds compile to the in-house MLP
+      // autoencoder (SURVEY §7.3(b)); hourglass keeps the closed-form
+      // oracle-replayable stand-in
+      case Detector(Reconstruction("mlp", "feedforward_symmetric"),
           Scaler("robust"), Some(144), Some("sma"), false) => ()
       case other => fail(s"unexpected: $other")
     }

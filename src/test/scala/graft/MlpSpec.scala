@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{DiffAnomaly, Mlp}
+
+class MlpSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 80-row 2-tag frame on a noisy line — an autoencoder with a width-2
+    * bottleneck can reconstruct it well. */
+  private def wide = (0 until 80).map { i =>
+    (i * 600L, 10.0 + i * 0.5 + math.sin(i * 0.7),
+      25.0 + i * 1.0 + math.cos(i * 0.9))
+  }.toDF("bucket_ts", "tx", "ty")
+
+  test("MLP fit is bit-deterministic for a fixed seed") {
+    val r = new Mlp.MlpReconstructor(Seq(2), seed = 0L, epochs = 50)
+    val a = r.fit(wide, Seq("tx", "ty")).params
+    val b = r.fit(wide, Seq("tx", "ty")).params
+    assert(a == b)
+    val c = new Mlp.MlpReconstructor(Seq(2), seed = 1L, epochs = 50)
+      .fit(wide, Seq("tx", "ty")).params
+    assert(a != c)
+  }
+
+  test("MLP learns: training reduces reconstruction error vs the init") {
+    def mse(epochs: Int): Double = {
+      val m = new Mlp.MlpReconstructor(Seq(2), seed = 0L, epochs = epochs)
+        .fit(wide, Seq("tx", "ty"))
+      wide.select(avg(
+        pow(m.predictCol("tx") - $"tx", 2) +
+          pow(m.predictCol("ty") - $"ty", 2))).head().getDouble(0)
+    }
+    val trained = mse(400)
+    assert(trained < mse(1) / 10.0,
+      s"training barely improved: ${mse(1)} -> $trained")
+    // a 2-wide tanh AE on a noisy line should reconstruct well in raw
+    // units: per-tag variance is ~130/~530, so mse < 10 means the
+    // reconstruction explains > 98% of it
+    assert(trained < 10.0, s"absolute reconstruction error too high: $trained")
+  }
+
+  test("MLP round-trips through model persistence bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mlp").toString
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new Mlp.MlpReconstructor(Seq(2), seed = 0L, epochs = 100), nSplits = 3)
+    graft.build.Persistence.save(tmp,
+      graft.build.Persistence.stateOf(fitted, "mlp", 0L))
+    val loaded = graft.build.Persistence.load(tmp)
+    val a = DiffAnomaly.anomaly(fitted, wide, 600L)
+      .agg(sum($"`model-output.tx`"), sum($"`total-anomaly-unscaled`")).head()
+    val b = DiffAnomaly.anomaly(loaded, wide, 600L)
+      .agg(sum($"`model-output.tx`"), sum($"`total-anomaly-unscaled`")).head()
+    assert(a == b)
+  }
+
+  test("config-driven build with a non-hourglass feedforward kind trains the MLP") {
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mlpb").toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(
+        """
+          |name: mlp-machine
+          |dataset:
+          |  tag_list: [tx, ty]
+          |  resolution: 10T
+          |model:
+          |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |    base_estimator:
+          |      gordo.machine.model.models.KerasAutoEncoder:
+          |        kind: feedforward_symmetric
+          |""".stripMargin),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("mlp-project"))
+    assert(res.fitted.model.params.contains("nin"))
+    // serve path: load and score
+    val frame = graft.build.ModelBuilder.score(s"$tmp/model",
+      graft.data.TimeSeries.getData(long, "tag", "ts", "value",
+        graft.config.Config.datasetConfig(res.spec)), 600L)
+    assert(frame.count() == 80)
+    assert(frame.filter($"`model-output.tx`".isNull).count() == 0)
+  }
+}
