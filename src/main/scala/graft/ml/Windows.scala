@@ -123,6 +123,41 @@ object Windows {
     withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry", "__wrel")
   }
 
+  /** Exact lag columns over a dense 0-based index WITHOUT a single-
+    * partition window: the chunk+carry machinery of
+    * [[chunkedTrailingMulti]] applied to `lag` — each chunk receives the
+    * previous chunk's last `maxLag` rows as carry, so every row's k
+    * predecessors are in its partition. Rows with fewer than k global
+    * predecessors get null (the sequence-model J3 offset rows). `lags`
+    * maps (input, output, k). */
+  def chunkedLag(df: DataFrame, idxCol: String,
+                 lags: Seq[(String, String, Int)],
+                 chunkSize: Int = 4096, totalRows: Long = -1L): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    require(lags.forall(_._3 >= 1), s"lags must be >= 1: ${lags.map(_._3)}")
+    val maxLag = lags.map(_._3).max
+    val c = math.max(chunkSize, 2 * maxLag)
+    val rel = col(idxCol)
+    // caller-proven bounded frame: single constant-key partition
+    // (pmod(idx, 1) ≡ 0 but not foldable — see chunkedTrailingMulti)
+    if (totalRows >= 0 && totalRows <= c) {
+      val part = Window.partitionBy(pmod(col(idxCol), lit(1L)))
+        .orderBy(col(idxCol))
+      return lags.foldLeft(df) { case (d, (in, out, k)) =>
+        d.withColumn(out, lag(qc(in), k).over(part))
+      }
+    }
+    val base = df.withColumn("__wck", (rel / c).cast("long"))
+      .withColumn("__wcarry", lit(false))
+    val carry = df.filter(rel % c >= c - maxLag)
+      .withColumn("__wck", (rel / c).cast("long") + 1)
+      .withColumn("__wcarry", lit(true))
+    val part = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
+    lags.foldLeft(base.unionByName(carry)) { case (d, (in, out, k)) =>
+      d.withColumn(out, lag(qc(in), k).over(part))
+    }.filter(!col("__wcarry")).drop("__wck", "__wcarry")
+  }
+
   /** M9: hourglass layer-dimension calculus, ported exactly from
     * `gordo/machine/model/factories/utils.py:7-41` (including Python's
     * round-half-to-even via rint). */

@@ -142,11 +142,42 @@ object AnomalyQueries {
         |      n_splits: 3
         |""".stripMargin, "graft-q49")
 
+  /** M6/M10 forecast analog (the KerasLSTMForecast data flow): a
+    * lookback window of 2 materialized as lag FEATURE columns (W5's
+    * input tensor flattened wide, built scale-safely by
+    * `Windows.chunkedLag`), the J3 model offset as an explicit drop of
+    * the first `lookback` rows, ridge forecasting click_t from
+    * (click_{t−1}, click_{t−2}), TimeSeriesSplit CV thresholds, and the
+    * full anomaly frame over the forecast errors. The RNN cell itself
+    * stays out of correctness-gate scope (SURVEY §7.4: no NN
+    * nondeterminism in gates) — the linear AR(2) stand-in preserves
+    * every structural piece: window → forecast → trailing alignment →
+    * errors → thresholds (`gordo/machine/model/models.py:463-710`). */
+  def lstmForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = wideClickView(spark, dir).select($"bucket_ts", $"click")
+    val indexed = graft.ml.CrossValidate.withRowIndex(wide, Seq($"bucket_ts"))
+    val lagged = graft.ml.Windows.chunkedLag(indexed, "__row",
+      Seq(("click", "click_lag1", 1), ("click", "click_lag2", 2)))
+      .filter($"click_lag2".isNotNull) // J3: first lookback rows drop
+      .drop("__row")
+    val fitted = DiffAnomaly.fit(lagged, Seq("click_lag1", "click_lag2"),
+      "bucket_ts", new DiffAnomaly.RidgeReconstructor(), nSplits = 3,
+      targetTags = Seq("click"))
+    val frame = DiffAnomaly.anomaly(fitted, lagged, resolutionSec = 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),
     "q41_config_build" -> (configDrivenBuild _),
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
+    "q51_lstm_forecast" -> (lstmForecast _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -248,6 +279,94 @@ object AnomalyQueries {
         |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
         |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame, th
+        |ORDER BY start""".stripMargin,
+    // AR(2) ridge forecast replay: 3×3 normal equations (intercept +
+    // two lags, λ=1e-8 on the diagonal) solved by Cramer's rule; only
+    // the LAST fold matters for thresholds (final = last fold).
+    "q51_lstm_forecast" ->
+      """WITH w AS (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |               avg(value) AS value
+        |        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+        |  GROUP BY bucket_ts),
+        |cw AS (SELECT bucket_ts, click FROM w
+        |       WHERE click IS NOT NULL AND view IS NOT NULL),
+        |lg AS (SELECT bucket_ts, click,
+        |    lag(click, 1) OVER (ORDER BY bucket_ts) AS l1,
+        |    lag(click, 2) OVER (ORDER BY bucket_ts) AS l2
+        |  FROM cw),
+        |idx AS (SELECT bucket_ts, click, l1, l2,
+        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn
+        |  FROM lg WHERE l2 IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |trs AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
+        |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
+        |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
+        |    sum(l2*click) AS s2y, max(click) - min(click) AS s_c
+        |  FROM tr),
+        |fm AS (SELECT s_c,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) / det AS w0,
+        |    (a*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) / det AS w1,
+        |    (a*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) / det AS w2
+        |  FROM (SELECT *,
+        |      a*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |        + s2*(s1*s12 - s11*s2) AS det
+        |    FROM trs)),
+        |te AS (SELECT i.rn, i.click,
+        |    w0 + w1*i.l1 + w2*i.l2 AS p, s_c,
+        |    row_number() OVER (ORDER BY i.rn) AS trn
+        |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn, pow((p - click) / s_c, 2) AS mse,
+        |    abs(click - p) AS mae FROM te),
+        |roll AS (SELECT trn, min(mse) OVER f AS rmin_mse,
+        |    min(mae) OVER f AS rmin_c
+        |  FROM sc
+        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c
+        |  FROM roll WHERE trn >= 6),
+        |fns AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
+        |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
+        |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
+        |    sum(l2*click) AS s2y,
+        |    CASE WHEN max(click) = min(click) THEN 1.0
+        |         ELSE max(click) - min(click) END AS s_c
+        |  FROM idx),
+        |fin AS (SELECT s_c,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) / det AS w0,
+        |    (a*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) / det AS w1,
+        |    (a*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) / det AS w2
+        |  FROM (SELECT *,
+        |      a*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |        + s2*(s1*s12 - s11*s2) AS det
+        |    FROM fns)),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.l1 AS mi1, i.l2 AS mi2,
+        |    w0 + w1*i.l1 + w2*i.l2 AS mo,
+        |    abs((w0 + w1*i.l1 + w2*i.l2 - i.click) / s_c) AS tas,
+        |    abs(w0 + w1*i.l1 + w2*i.l2 - i.click) AS tau
+        |  FROM idx i, fin)
+        |SELECT start, "end",
+        |  floor(mi1*10000 + 0.5)/10000 AS "model-input.click_lag1",
+        |  floor(mi2*10000 + 0.5)/10000 AS "model-input.click_lag2",
+        |  floor(mo*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(tas*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(tau*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor((tas*tas)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor((tau*tau)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor((tau/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor(((tas*tas)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin,
     "q41_config_build" ->

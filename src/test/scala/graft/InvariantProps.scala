@@ -154,6 +154,25 @@ object InvariantProps extends Properties("graft") {
         }
     }
 
+  property("chunked lag equals the single-partition lag") =
+    forAll(seriesGen, Gen.choose(1, 4)) { (rows, k) =>
+      rows.nonEmpty ==> {
+        val df = rows.zipWithIndex
+          .map { case ((_, v), i) => (i.toLong, v) }
+          .toDF("__row", "v")
+        // tiny chunkSize forces the multi-chunk carry path
+        val chunked = Windows.chunkedLag(df, "__row",
+          Seq(("v", "out", k)), chunkSize = math.max(2 * k, 4))
+          .orderBy($"__row").select($"out").collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"__row")
+        val global = df.withColumn("out", lag($"v", k).over(w))
+          .orderBy($"__row").select($"out").collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        Prop(chunked.toSeq == global.toSeq) :| s"lag=$k"
+      }
+    }
+
   property("value-chunked row index equals the global row_number") =
     forAll(seriesGen, Gen.oneOf(0L, 4096L)) { (rows, threshold) =>
       rows.nonEmpty ==> {
