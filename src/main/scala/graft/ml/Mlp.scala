@@ -60,29 +60,32 @@ object Mlp {
     val yIdx = yKeys.map(t => t -> p(s"yidx_$t").toInt).toMap
     val ymu = p.filter(_._1.startsWith("ymu_")).map { case (k, v) => k.drop(4) -> v }
     val ysd = p.filter(_._1.startsWith("ysd_")).map { case (k, v) => k.drop(4) -> v }
-    val nout = p("nout").toInt
-    val forwardUdf = udf((xs: Seq[Double]) => {
-      val std = Array.tabulate(nin)(i => (xs(i) - xmu(i)) / xsd(i))
-      var act = std
-      var l = 0
-      while (l < weights.length) {
-        val w = weights(l); val b = biases(l)
-        val next = new Array[Double](b.length)
-        var j = 0
-        while (j < b.length) {
-          var s = b(j)
-          var i = 0
-          while (i < act.length) { s += act(i) * w(i)(j); i += 1 }
-          // tanh hidden stack, linear output layer
-          next(j) = if (l < weights.length - 1) math.tanh(s) else s
-          j += 1
+    // boxed inputs: a null model-input value yields a null prediction
+    // for the row (exactly like the ridge/pca/trend column expressions),
+    // instead of crashing the task on deserialization
+    val forwardUdf = udf((xs: Seq[java.lang.Double]) => {
+      if (xs == null || xs.exists(_ == null)) null
+      else {
+        var act = Array.tabulate(nin)(i => (xs(i) - xmu(i)) / xsd(i))
+        var l = 0
+        while (l < weights.length) {
+          val w = weights(l); val b = biases(l)
+          val next = new Array[Double](b.length)
+          var j = 0
+          while (j < b.length) {
+            var s = b(j)
+            var i = 0
+            while (i < act.length) { s += act(i) * w(i)(j); i += 1 }
+            // tanh hidden stack, linear output layer
+            next(j) = if (l < weights.length - 1) math.tanh(s) else s
+            j += 1
+          }
+          act = next
+          l += 1
         }
-        act = next
-        l += 1
+        act.toSeq
       }
-      act.toSeq
     })
-    val capturedP = p
     new Fitted {
       private def forwardCol: Column =
         forwardUdf(array(xTags.map(t => feature(t).cast("double")): _*))
@@ -92,7 +95,7 @@ object Mlp {
         // un-standardize back to raw units
         element_at(forwardCol, j + 1) * lit(ysd(tag)) + lit(ymu(tag))
       }
-      def params: Map[String, Double] = capturedP
+      def params: Map[String, Double] = p
     }
   }
 
@@ -113,11 +116,13 @@ object Mlp {
     def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
             yTags: Seq[String], feature: String => Column): Fitted = {
       // the single collect of the per-machine matrix (SURVEY §3.1) —
-      // X and y columns in one pass
+      // X and y columns in one pass. Rows with any null are dropped
+      // (row-wise deletion — the standard NN treatment; the builder path
+      // already drops gap rows, this covers direct callers)
       val cols = xTags.map(t => feature(t).cast("double")) ++
         yTags.map(t => feature(t).cast("double"))
-      val rows = train.select(cols: _*).collect()
-      require(rows.nonEmpty, "MLP fit on an empty frame")
+      val rows = train.select(cols: _*).na.drop("any").collect()
+      require(rows.nonEmpty, "MLP fit on an empty (or all-null) frame")
       val n = rows.length
       val nin = xTags.size
       val nout = yTags.size
@@ -138,8 +143,10 @@ object Mlp {
       val ys = Array.tabulate(n, nout)((r, j) => (yv(r)(j) - ymu(j)) / ysd(j))
 
       // hidden stack = encoder ++ mirrored decoder (feedforward_model
-      // with decoding_dim = encoding_dim reversed), linear out
-      val hidden = encodingDims ++ encodingDims.reverse.drop(1)
+      // with decoding_dim = encoding_dim reversed, so the bottleneck
+      // width appears twice — e.g. dims (256,128,64) builds the
+      // reference's 256,128,64,64,128,256 stack), linear out
+      val hidden = encodingDims ++ encodingDims.reverse
       val sizes = (nin +: hidden :+ nout).toArray
       val rnd = new java.util.Random(seed)
       val w = Array.tabulate(sizes.length - 1) { l =>
@@ -261,15 +268,6 @@ object Mlp {
       fittedFromParams(params.result(), xTags, feature)
     }
   }
-
-  /** The hourglass factory: dims from [[Windows.hourglassDims]] (M9,
-    * exact port incl. half-even rounding). */
-  def hourglass(nFeatures: Int, compressionFactor: Double = 0.5,
-                encodingLayers: Int = 3, seed: Long = 0L,
-                epochs: Int = 300, lr: Double = 0.01): MlpReconstructor =
-    new MlpReconstructor(
-      Windows.hourglassDims(compressionFactor, encodingLayers, nFeatures),
-      seed, epochs, lr)
 
   /** Dim-at-fit-time reconstructor for the config path: hourglass dims
     * derived from the ACTUAL feature count (the reference's fixed

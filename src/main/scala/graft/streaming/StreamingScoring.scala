@@ -48,10 +48,11 @@ object StreamingScoring {
   }
 
   /** Bounded per-key state for [[smoothStream]]: the last `width` values
-    * of each smoothed column (ring kept by truncation) plus nothing else
-    * — state size is width × columns doubles per machine, constant in
-    * stream length. */
-  case class SmoothState(hist: Seq[Seq[Double]])
+    * of each smoothed column (ring kept by truncation; None = a null
+    * score, which the aggregates skip exactly like the batch window
+    * functions) — state size is width × columns per machine, constant
+    * in stream length. */
+  case class SmoothState(hist: Seq[Seq[Option[Double]]])
 
   /** Stateful streaming smoothing (the smooth-* trailing windows of
     * W1–W3 applied to an arriving per-machine score stream) via
@@ -79,30 +80,41 @@ object StreamingScoring {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = scored.sparkSession
     import spark.implicits._
+    // boxed score values: a null score rides as None and is SKIPPED by
+    // the aggregates, exactly like the batch window functions — a plain
+    // Seq[Double] encoder would kill the streaming query on the first
+    // null (NOT_NULL_ASSERT_VIOLATION at deserialization)
     val packed = scored.select(
-      col(keyCol).cast("string"),
-      col(orderCol).cast("long"),
-      array(cols.map { case (in, _) => col(s"`$in`").cast("double") }: _*))
-      .as[(String, Long, Seq[Double])]
+      graft.Cols.q(keyCol).cast("string"),
+      graft.Cols.q(orderCol).cast("long"),
+      array(cols.map { case (in, _) => graft.Cols.q(in).cast("double") }: _*))
+      .as[(String, Long, Seq[Option[Double]])]
     val smoothed = packed.groupByKey(_._1)
       .flatMapGroupsWithState[SmoothState, (String, Long, Seq[Option[Double]])](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key, rows, state) =>
-          val hist: Array[Vector[Double]] =
+          val hist: Array[Vector[Option[Double]]] =
             if (state.exists) state.get.hist.map(_.toVector).toArray
-            else Array.fill(cols.size)(Vector.empty[Double])
+            else Array.fill(cols.size)(Vector.empty[Option[Double]])
           val out = rows.toSeq.sortBy(_._2).map { case (_, t, vals) =>
             val sm = vals.zipWithIndex.map { case (v, i) =>
               hist(i) = (hist(i) :+ v).takeRight(width)
-              if (hist(i).size < width) None
+              val defined = hist(i).flatten
+              // pandas NaN prefix: null until the key has seen `width`
+              // ROWS; within a full frame, nulls are skipped like the
+              // batch min/avg/percentile
+              if (hist(i).size < width || defined.isEmpty) None
               else Some(method match {
-                case "sma" => hist(i).sum / width
+                case "sma" => defined.sum / defined.size
                 case "smm" =>
-                  // exact percentile(0.5) with linear interpolation,
-                  // matching the batch window's `percentile` exactly
-                  val s = hist(i).sorted
-                  if (width % 2 == 1) s(width / 2)
-                  else (s(width / 2 - 1) + s(width / 2)) / 2.0
+                  // exact percentile(0.5) with linear interpolation
+                  // over the non-null frame values, matching the batch
+                  // window's `percentile`
+                  val s = defined.sorted
+                  val pos = (s.size - 1) * 0.5
+                  val lo = s(pos.toInt)
+                  val hi = s(math.ceil(pos).toInt)
+                  lo + (hi - lo) * (pos - pos.toInt)
               })
             }
             (key, t, sm)

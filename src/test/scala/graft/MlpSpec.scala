@@ -43,6 +43,22 @@ class MlpSpec extends AnyFunSuite {
     assert(trained < 10.0, s"absolute reconstruction error too high: $trained")
   }
 
+  test("MLP tolerates nulls: fit drops null rows, predict yields null") {
+    val withNull = (0 until 40).map { i =>
+      (i * 600L,
+        if (i == 5) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(10.0 + i * 0.5),
+        java.lang.Double.valueOf(25.0 + i * 1.0))
+    }.toDF("bucket_ts", "tx", "ty")
+    val m = new Mlp.MlpReconstructor(Seq(2), seed = 0L, epochs = 50)
+      .fit(withNull, Seq("tx", "ty"))
+    // row 5 has a null input → null prediction (not a task crash)
+    val preds = withNull.select($"bucket_ts", m.predictCol("tx").as("p"))
+      .orderBy($"bucket_ts").collect()
+    assert(preds.count(_.isNullAt(1)) == 1)
+    assert(preds(5).isNullAt(1))
+  }
+
   test("MLP round-trips through model persistence bit-for-bit") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mlp").toString
     val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",

@@ -81,13 +81,15 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // two machines, interleaved; values chosen so smm interpolation
-    // (even width) and sma are both non-trivial
-    def series(key: String): Seq[(String, Long, Double)] =
-      (0 until 12).map(i => (key,
-        i * 600L, (if (key == "m1") 1.0 else 100.0) + i * 3.0 + (i % 3) * 7.0))
+    // (even width) and sma are both non-trivial; m1 has a NULL score
+    // mid-series (the aggregates must skip it like the batch windows)
+    def series(key: String): Seq[(String, Long, Option[Double])] =
+      (0 until 12).map(i => (key, i * 600L,
+        if (key == "m1" && i == 6) None
+        else Some((if (key == "m1") 1.0 else 100.0) + i * 3.0 + (i % 3) * 7.0)))
     val all = series("m1") ++ series("m2")
     for (method <- Seq("smm", "sma"); width <- Seq(3, 4)) {
-      val input = MemoryStream[(String, Long, Double)]
+      val input = MemoryStream[(String, Long, Option[Double])]
       val stream = input.toDF().toDF("machine", "bucket_ts", "err")
       val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
         Seq("err" -> "smooth_err"), width, method)
@@ -106,20 +108,24 @@ class StreamingSpec extends AnyFunSuite {
             "ORDER BY machine, bucket_ts").collect()
           .map(r => (r.getString(0), r.getLong(1),
             if (r.isNullAt(2)) None else Some(r.getDouble(2))))
-        // scala oracle: trailing window over each ordered series
+        // scala oracle: trailing window over each ordered series, nulls
+        // skipped inside a full frame (batch min/avg/percentile do)
         val exp = Seq("m1", "m2").flatMap { k =>
           val vs = series(k).map(_._3)
           vs.zipWithIndex.map { case (_, i) =>
             val sm =
               if (i < width - 1) None
               else {
-                val w = vs.slice(i - width + 1, i + 1)
-                Some(method match {
-                  case "sma" => w.sum / width
+                val w = vs.slice(i - width + 1, i + 1).flatten
+                if (w.isEmpty) None
+                else Some(method match {
+                  case "sma" => w.sum / w.size
                   case "smm" =>
                     val s = w.sorted
-                    if (width % 2 == 1) s(width / 2)
-                    else (s(width / 2 - 1) + s(width / 2)) / 2.0
+                    val pos = (s.size - 1) * 0.5
+                    val lo = s(pos.toInt)
+                    val hi = s(math.ceil(pos).toInt)
+                    lo + (hi - lo) * (pos - pos.toInt)
                 })
               }
             (k, i * 600L, sm)
