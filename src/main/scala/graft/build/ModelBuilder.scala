@@ -85,6 +85,18 @@ object ModelBuilder {
     val base =
       if (prepSpecs.isEmpty) base0
       else new graft.ml.Preprocess.Reconstructor(base0, prepSpecs)
+    // M6 sequence models: materialize the lookback window as lag feature
+    // columns (J3 offset rows dropped); the model's X becomes the lag
+    // columns while y stays the raw target tags — and the SAME surgery
+    // is recorded in the model state so the serve path re-applies it
+    val windowSpec = ModelRegistry.windowOf(detector.base)
+    val (fitFrame, xTags, yTagsForFit) = windowSpec match {
+      case Some(wd) =>
+        val (w2, lagTags) = graft.ml.Windows.withLookback(
+          wide, dsCfg.tags, "bucket_ts", wd.lookback, wd.lookahead)
+        (w2, lagTags, dsCfg.effectiveTargets)
+      case None => (wide, dsCfg.tags, dsCfg.targetTags)
+    }
     val nSplits = spec.evaluation.get("cv") match {
       case Some(cv: Map[_, _]) =>
         ModelRegistry.compile(cv.asInstanceOf[Map[String, Any]]) match {
@@ -126,26 +138,28 @@ object ModelBuilder {
       }
 
     val t1 = System.nanoTime()
-    val fitted = DiffAnomaly.fit(wide, dsCfg.tags, "bucket_ts", base,
+    val fitted = DiffAnomaly.fit(fitFrame, xTags, "bucket_ts", base,
       scalerKind = detector.scaler.kind, nSplits = nSplits,
       window = detector.window,
       smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
       foldMetrics = foldMetrics, scoringScaler = scoringScaler,
-      targetTags = dsCfg.targetTags)
+      targetTags = yTagsForFit)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     val scores = fitted.foldScores.map { case (name, vals) =>
       name.replace("_", "-") -> CrossValidate.aggregateScores(vals)
     }
 
-    // model offset (J3, `build_model.py:448-471`): expression models are
-    // row-aligned, so input length == output length
-    val offset = 0
+    // model offset (J3, `build_model.py:448-471`): row-local expression
+    // models emit input length == output length; windowed sequence
+    // models drop the head rows with incomplete windows
+    val offset = windowSpec.map(_.offset).getOrElse(0)
 
     // resolve like reconstructorOf does — a Pipeline[..., PCA] base must
     // persist as "pca", or the saved params are unloadable
     def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
+      case ModelRegistry.Windowed(_, _, inner) => implOf(inner)
       case ModelRegistry.PipelineOf(steps) if steps.nonEmpty => implOf(steps.last)
       case _ => "ridge"
     }
@@ -173,18 +187,34 @@ object ModelBuilder {
       case _ => Nil
     }
     Persistence.save(outputDir,
-      Persistence.stateOf(fitted, implName, epoch0, prepOut), metadata)
+      Persistence.stateOf(fitted, implName, epoch0, prepOut,
+        windowSpec.map(wd => (dsCfg.tags, wd.lookback, wd.lookahead))),
+      metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
     } finally wide.unpersist()
   }
 
+  /** Re-apply a persisted model's windowing to a raw serve-time frame
+    * (M6): the saved lag feature columns are rebuilt from the base tags
+    * exactly as at fit time; row-local models pass through. */
+  private def serveFrame(modelDir: String,
+                         fd: graft.ml.DiffAnomaly.FittedDetector,
+                         wide: DataFrame): DataFrame =
+    Persistence.loadWindowing(modelDir) match {
+      case Some((baseTags, lb, la)) =>
+        graft.ml.Windows.withLookback(wide, baseTags, fd.orderCol, lb, la)._1
+      case None => wide
+    }
+
   /** §3.3 `/prediction` equivalent: model-input/output only, no targets
     * or residuals (`gordo/server/blueprints/base.py:30-113`). */
   def predict(modelDir: String, wide: DataFrame,
-              resolutionSec: Long): DataFrame =
-    graft.ml.DiffAnomaly.predictFrame(Persistence.load(modelDir), wide,
+              resolutionSec: Long): DataFrame = {
+    val fd = Persistence.load(modelDir)
+    graft.ml.DiffAnomaly.predictFrame(fd, serveFrame(modelDir, fd, wide),
       resolutionSec)
+  }
 
   /** §3.3 batch scoring entry: load a model dir and produce the anomaly
     * frame for an input wide frame (the serve-path equivalent of
@@ -192,7 +222,8 @@ object ModelBuilder {
   def score(modelDir: String, wide: DataFrame, resolutionSec: Long,
             allColumns: Boolean = false): DataFrame = {
     val fd = Persistence.load(modelDir)
-    val frame = DiffAnomaly.anomaly(fd, wide, resolutionSec)
+    val frame = DiffAnomaly.anomaly(fd, serveFrame(modelDir, fd, wide),
+      resolutionSec)
     // P8: drop smooth-* groups unless all_columns
     // (`gordo/server/blueprints/anomaly.py:56-62`)
     if (allColumns) frame

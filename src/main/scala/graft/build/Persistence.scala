@@ -77,14 +77,19 @@ object Persistence {
       window: Option[Int], smoothingMethod: String,
       /** Fitted base-estimator preprocessing chain specs
         * ([[graft.ml.Preprocess]]); empty when the base is bare. */
-      preprocess: List[Map[String, Any]] = Nil)
+      preprocess: List[Map[String, Any]] = Nil,
+      /** Sequence-model windowing (M6): (base tag names, lookback,
+        * lookahead). The serve path must re-apply the same lag-feature
+        * construction before scoring; None for row-local models. */
+      windowing: Option[(Seq[String], Int, Int)] = None)
 
   def stateOf(fd: FittedDetector, impl: String, epoch0: Long,
-              preprocess: List[Map[String, Any]] = Nil): ModelState =
+              preprocess: List[Map[String, Any]] = Nil,
+              windowing: Option[(Seq[String], Int, Int)] = None): ModelState =
     ModelState(impl, epoch0, fd.orderCol, fd.tags,
       if (fd.targets == fd.tags) Nil else fd.targets,
       fd.model.params, fd.scaler.kind, fd.scaler.stats, fd.thresholds,
-      fd.window, fd.smoothingMethod, preprocess)
+      fd.window, fd.smoothingMethod, preprocess, windowing)
 
   def save(dir: String, state: ModelState,
            metadata: Map[String, Any] = Map.empty): Unit = {
@@ -107,7 +112,10 @@ object Persistence {
       "perFoldAggregate" -> state.thresholds.perFoldAggregate,
       "window" -> state.window.map(_.asInstanceOf[Any]).getOrElse(null),
       "smoothingMethod" -> state.smoothingMethod,
-      "preprocess" -> state.preprocess))
+      "preprocess" -> state.preprocess,
+      "windowing" -> state.windowing.map { case (bt, lb, la) =>
+        Map("baseTags" -> bt, "lookback" -> lb, "lookahead" -> la)
+      }.getOrElse(null)))
     Files.writeString(p.resolve("model.json"), modelJson)
     Files.writeString(p.resolve("metadata.json"), toJson(metadata))
     Files.writeString(p.resolve("info.json"),
@@ -120,6 +128,18 @@ object Persistence {
 
   def loadMetadata(dir: String): Map[String, Any] =
     Config.parseYaml(Files.readString(Paths.get(dir, "metadata.json")))
+
+  /** Sequence-model windowing recorded with the model, if any (M6 serve
+    * path): (base tag names, lookback, lookahead). The scorer must
+    * re-apply `Windows.withLookback` with these before `anomaly`. */
+  def loadWindowing(dir: String): Option[(Seq[String], Int, Int)] = {
+    val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
+    Option(m.getOrElse("windowing", null)).map { v =>
+      val w = v.asInstanceOf[Map[String, Any]]
+      (w("baseTags").asInstanceOf[List[Any]].map(_.toString),
+        w("lookback").toString.toInt, w("lookahead").toString.toInt)
+    }
+  }
 
   /** Rebuild a scoring-ready FittedDetector from a model dir (S5). JSON
     * is a YAML subset, so the config parser reads it. */

@@ -26,6 +26,27 @@ object ModelRegistry {
   case class Multiply(factor: Double) extends Stage
   /** Reconstruction model; `kind` is the factory name (M8/M9 analog). */
   case class Reconstruction(impl: String, kind: String) extends Stage
+
+  /** Sequence-model wrapper (M6/M10): the inner reconstruction consumes
+    * a lookback window materialized as lag feature columns; `lookahead`
+    * 1 = forecast (window strictly precedes the target row), 0 =
+    * autoencoder (window includes it). The windowing itself is frame
+    * surgery the builder applies (`Windows.withLookback`) — the
+    * reconstructor just sees more feature columns. */
+  case class Windowed(lookback: Int, lookahead: Int,
+                      inner: Reconstruction) extends Stage {
+    require(lookback >= 1, s"lookback_window must be >= 1: $lookback")
+    /** J3 model offset: rows dropped at the frame head. */
+    def offset: Int = if (lookahead == 0) lookback - 1 else lookback
+  }
+
+  /** The windowing spec of a base estimator, if any (the model slot of
+    * a Pipeline or the bare base). */
+  def windowOf(base: Stage): Option[Windowed] = base match {
+    case w: Windowed => Some(w)
+    case PipelineOf(steps) => steps.lastOption.flatMap(windowOf)
+    case _ => None
+  }
   case class PipelineOf(steps: List[Stage]) extends Stage
   case class UnionOf(branches: List[Stage]) extends Stage
   case class Detector(base: Stage, scaler: Scaler, window: Option[Int],
@@ -93,9 +114,14 @@ object ModelRegistry {
           "mlp"
         else "ridge"
       Reconstruction(impl, kind)
-    case "gordo.machine.model.models.KerasLSTMAutoEncoder" |
-         "gordo.machine.model.models.KerasLSTMForecast" =>
-      Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString)
+    case "gordo.machine.model.models.KerasLSTMAutoEncoder" =>
+      // lookahead 0: the window INCLUDES the current row (y = current)
+      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 0,
+        Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString))
+    case "gordo.machine.model.models.KerasLSTMForecast" =>
+      // lookahead 1: forecast the current row from the previous window
+      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 1,
+        Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
     case "sklearn.decomposition.PCA" =>
@@ -158,6 +184,10 @@ object ModelRegistry {
       Map("sklearn.decomposition.PCA" -> Map("n_components" -> n))
     case Reconstruction(_, kind) =>
       Map("gordo.machine.model.models.KerasAutoEncoder" -> Map("kind" -> kind))
+    case Windowed(lb, la, Reconstruction(_, kind)) =>
+      Map((if (la == 0) "gordo.machine.model.models.KerasLSTMAutoEncoder"
+           else "gordo.machine.model.models.KerasLSTMForecast") ->
+        Map("kind" -> kind, "lookback_window" -> lb))
     case CvSplit("timeseries", n) =>
       Map("sklearn.model_selection.TimeSeriesSplit" -> Map("n_splits" -> n))
     case CvSplit(_, n) =>
@@ -221,6 +251,7 @@ object ModelRegistry {
           new DiffAnomaly.PcaReconstructor(1, Some(k.toDouble))
         else new DiffAnomaly.PcaReconstructor(k.toInt)
       case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
+      case Windowed(_, _, inner) => reconstructorOf(inner, orderCol, epoch0)
       case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
       case other => throw new CompileException(s"no reconstructor in $other")
     }

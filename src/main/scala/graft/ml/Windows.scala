@@ -158,6 +158,37 @@ object Windows {
     }.filter(!col("__wcarry")).drop("__wck", "__wcarry")
   }
 
+  /** M6 windowing for the build/serve path: materialize the lookback
+    * window as lag feature columns `<tag>__lag<k>` — k = 1..lookback
+    * for the forecast shape (lookahead 1, window strictly precedes the
+    * target row), k = 0..lookback−1 for the autoencoder shape
+    * (lookahead 0, window includes it) — then drop the head rows with
+    * incomplete windows by ROW POSITION (J3's explicit offset: an
+    * interior null value must not shift alignment the way filtering on
+    * lag-nullness would). Returns (frame, lag column names in tag-major
+    * order). Lags run through [[chunkedLag]] — no single-partition
+    * window however long the series. */
+  def withLookback(wide: DataFrame, tags: Seq[String], orderCol: String,
+                   lookback: Int, lookahead: Int): (DataFrame, Seq[String]) = {
+    require(lookback >= 1, s"lookback must be >= 1: $lookback")
+    require(lookahead == 0 || lookahead == 1,
+      s"lookahead must be 0 (autoencoder) or 1 (forecast): $lookahead")
+    val ks = if (lookahead == 0) 0 until lookback else 1 to lookback
+    val names = for { t <- tags; k <- ks } yield s"${t}__lag$k"
+    val offset = if (lookahead == 0) lookback - 1 else lookback
+    val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol)))
+    val lagSpecs = for { t <- tags; k <- ks if k > 0 }
+      yield (t, s"${t}__lag$k", k)
+    val lagged =
+      if (lagSpecs.isEmpty) indexed
+      else chunkedLag(indexed, "__row", lagSpecs)
+    val withZero =
+      if (lookahead == 0)
+        lagged.withColumns(tags.map(t => s"${t}__lag0" -> qc(t)).toMap)
+      else lagged
+    (withZero.filter(col("__row") >= offset).drop("__row"), names)
+  }
+
   /** M9: hourglass layer-dimension calculus, ported exactly from
     * `gordo/machine/model/factories/utils.py:7-41` (including Python's
     * round-half-to-even via rint). */

@@ -73,6 +73,71 @@ class MlpSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("config-driven LSTM forecast windows features through build AND serve") {
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lstm").toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(
+        """
+          |name: lstm-machine
+          |dataset:
+          |  tag_list: [tx, ty]
+          |  resolution: 10T
+          |model:
+          |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |    base_estimator:
+          |      gordo.machine.model.models.KerasLSTMForecast:
+          |        kind: lstm_symmetric
+          |        lookback_window: 2
+          |""".stripMargin),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("lstm-project"))
+    // X = the lag feature columns; y = the raw tags; offset = lookback
+    assert(res.fitted.tags.toSet ==
+      Set("tx__lag1", "tx__lag2", "ty__lag1", "ty__lag2"))
+    assert(res.fitted.targets == Seq("tx", "ty"))
+    assert(res.metadata("model").asInstanceOf[Map[String, Any]](
+      "model_offset") == 2)
+    // serve path: score() re-applies the windowing to the RAW frame
+    val rawWide = graft.data.TimeSeries.getData(long, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(res.spec))
+    val frame = graft.build.ModelBuilder.score(s"$tmp/model", rawWide, 600L)
+    assert(frame.count() == 80 - 2) // J3 offset rows dropped
+    assert(frame.columns.contains("model-input.tx__lag1"))
+    assert(frame.columns.contains("model-output.tx"))
+    assert(frame.filter($"`model-output.tx`".isNull).count() == 0)
+    // the definition round-trips with the LSTM class and lookback intact
+    val defn = res.metadata("model").asInstanceOf[Map[String, Any]](
+      "definition").toString
+    assert(defn.contains("KerasLSTMForecast") && defn.contains("lookback_window"))
+    // autoencoder variant: window includes the current row, offset 1
+    val resAe = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(
+        """
+          |name: lstm-ae-machine
+          |dataset:
+          |  tag_list: [tx, ty]
+          |  resolution: 10T
+          |model:
+          |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |    base_estimator:
+          |      gordo.machine.model.models.KerasLSTMAutoEncoder:
+          |        kind: lstm_hourglass
+          |        lookback_window: 2
+          |""".stripMargin),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model-ae", projectName = Some("lstm-project"))
+    assert(resAe.fitted.tags.toSet ==
+      Set("tx__lag0", "tx__lag1", "ty__lag0", "ty__lag1"))
+    assert(resAe.metadata("model").asInstanceOf[Map[String, Any]](
+      "model_offset") == 1)
+  }
+
   test("config-driven build with a non-hourglass feedforward kind trains the MLP") {
     val long = wide.selectExpr(
       "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
