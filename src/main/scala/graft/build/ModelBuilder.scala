@@ -79,17 +79,22 @@ object ModelBuilder {
     // fold's train span, finally on the full series — exactly sklearn's
     // clone-and-refit pipeline semantics; the reconstruction fits in the
     // transformed space with predictions mapped back to raw units
-    val prepSpecs = ModelRegistry.preprocessSpecs(
-      ModelRegistry.basePreprocess(detector.base))
-    val base0 = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
-    val base =
-      if (prepSpecs.isEmpty) base0
-      else new graft.ml.Preprocess.Reconstructor(base0, prepSpecs)
     // M6 sequence models: materialize the lookback window as lag feature
     // columns (J3 offset rows dropped); the model's X becomes the lag
     // columns while y stays the raw target tags — and the SAME surgery
     // is recorded in the model state so the serve path re-applies it
     val windowSpec = ModelRegistry.windowOf(detector.base)
+    val prepSpecs = ModelRegistry.preprocessSpecs(
+      ModelRegistry.basePreprocess(detector.base))
+    val base0 = ModelRegistry.reconstructorOf(detector.base, "bucket_ts", epoch0)
+    val base =
+      if (prepSpecs.isEmpty) base0
+      else new graft.ml.Preprocess.Reconstructor(base0, prepSpecs,
+        // windowed models fit transform stats ONCE PER RAW TAG (the
+        // reference scales X before the estimator windows it); lag
+        // features share their base tag's stats
+        statTags = windowSpec.map(_ =>
+          (dsCfg.tags ++ dsCfg.effectiveTargets).distinct))
     val (fitFrame, xTags, yTagsForFit) = windowSpec match {
       case Some(wd) =>
         val (w2, lagTags) = graft.ml.Windows.withLookback(
@@ -143,7 +148,10 @@ object ModelBuilder {
       window = detector.window,
       smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
       foldMetrics = foldMetrics, scoringScaler = scoringScaler,
-      targetTags = yTagsForFit)
+      targetTags = yTagsForFit,
+      // reference fold boundaries are computed on the RAW row count;
+      // the windowing dropped `offset` head rows (J3)
+      foldOffset = windowSpec.map(_.offset).getOrElse(0))
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     val scores = fitted.foldScores.map { case (name, vals) =>
@@ -159,6 +167,7 @@ object ModelBuilder {
     // persist as "pca", or the saved params are unloadable
     def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
+      case ModelRegistry.Windowed(_, 0, _) => "window_ae"
       case ModelRegistry.Windowed(_, _, inner) => implOf(inner)
       case ModelRegistry.PipelineOf(steps) if steps.nonEmpty => implOf(steps.last)
       case _ => "ridge"
@@ -198,10 +207,10 @@ object ModelBuilder {
   /** Re-apply a persisted model's windowing to a raw serve-time frame
     * (M6): the saved lag feature columns are rebuilt from the base tags
     * exactly as at fit time; row-local models pass through. */
-  private def serveFrame(modelDir: String,
-                         fd: graft.ml.DiffAnomaly.FittedDetector,
+  private def serveFrame(fd: graft.ml.DiffAnomaly.FittedDetector,
+                         windowing: Option[(Seq[String], Int, Int)],
                          wide: DataFrame): DataFrame =
-    Persistence.loadWindowing(modelDir) match {
+    windowing match {
       case Some((baseTags, lb, la)) =>
         graft.ml.Windows.withLookback(wide, baseTags, fd.orderCol, lb, la)._1
       case None => wide
@@ -211,8 +220,8 @@ object ModelBuilder {
     * or residuals (`gordo/server/blueprints/base.py:30-113`). */
   def predict(modelDir: String, wide: DataFrame,
               resolutionSec: Long): DataFrame = {
-    val fd = Persistence.load(modelDir)
-    graft.ml.DiffAnomaly.predictFrame(fd, serveFrame(modelDir, fd, wide),
+    val (fd, windowing) = Persistence.loadFull(modelDir)
+    graft.ml.DiffAnomaly.predictFrame(fd, serveFrame(fd, windowing, wide),
       resolutionSec)
   }
 
@@ -221,8 +230,8 @@ object ModelBuilder {
     * `POST /anomaly/prediction`). */
   def score(modelDir: String, wide: DataFrame, resolutionSec: Long,
             allColumns: Boolean = false): DataFrame = {
-    val fd = Persistence.load(modelDir)
-    val frame = DiffAnomaly.anomaly(fd, serveFrame(modelDir, fd, wide),
+    val (fd, windowing) = Persistence.loadFull(modelDir)
+    val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
       resolutionSec)
     // P8: drop smooth-* groups unless all_columns
     // (`gordo/server/blueprints/anomaly.py:56-62`)

@@ -132,18 +132,16 @@ object Persistence {
   /** Sequence-model windowing recorded with the model, if any (M6 serve
     * path): (base tag names, lookback, lookahead). The scorer must
     * re-apply `Windows.withLookback` with these before `anomaly`. */
-  def loadWindowing(dir: String): Option[(Seq[String], Int, Int)] = {
-    val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
-    Option(m.getOrElse("windowing", null)).map { v =>
-      val w = v.asInstanceOf[Map[String, Any]]
-      (w("baseTags").asInstanceOf[List[Any]].map(_.toString),
-        w("lookback").toString.toInt, w("lookahead").toString.toInt)
-    }
-  }
+  def loadWindowing(dir: String): Option[(Seq[String], Int, Int)] =
+    loadFull(dir)._2
 
   /** Rebuild a scoring-ready FittedDetector from a model dir (S5). JSON
     * is a YAML subset, so the config parser reads it. */
-  def load(dir: String): FittedDetector = {
+  def load(dir: String): FittedDetector = loadFull(dir)._1
+
+  /** Single-parse load of the detector plus its recorded windowing —
+    * the serve path needs both; parsing model.json once per call. */
+  def loadFull(dir: String): (FittedDetector, Option[(Seq[String], Int, Int)]) = {
     val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
     def dbl(v: Any): Double =
       if (v == null) Double.NaN else v.toString.toDouble
@@ -175,10 +173,15 @@ object Persistence {
         .map(_.asInstanceOf[Map[String, Any]]))
     val fitted = rebuildFitted(m("impl").toString, params, tags, orderCol,
       epoch0, prep)
-    FittedDetector(fitted, FittedScaler(m("scalerKind").toString, stats), th,
+    val windowing = Option(m.getOrElse("windowing", null)).map { v =>
+      val w = v.asInstanceOf[Map[String, Any]]
+      (w("baseTags").asInstanceOf[List[Any]].map(_.toString),
+        w("lookback").toString.toInt, w("lookahead").toString.toInt)
+    }
+    (FittedDetector(fitted, FittedScaler(m("scalerKind").toString, stats), th,
       tags, targets, orderCol,
       Option(m.getOrElse("window", null)).map(_.toString.toInt),
-      m.getOrElse("smoothingMethod", "smm").toString)
+      m.getOrElse("smoothingMethod", "smm").toString), windowing)
   }
 
   /** Reconstruct the prediction expressions from saved weights. The
@@ -192,7 +195,8 @@ object Persistence {
                             epoch0: Long,
                             prep: graft.ml.Preprocess.Fitted): Fitted = {
     def feature(t: String): Column =
-      prep.preFrom(t, graft.Cols.q(t).cast("double"))
+      prep.preFrom(graft.ml.Preprocess.statKey(t),
+        graft.Cols.q(t).cast("double"))
     val inner: Fitted = impl match {
       case "trend" => new Fitted {
         private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")
@@ -209,26 +213,17 @@ object Persistence {
             .reduce(_ + _)
         def params: Map[String, Double] = p
       }
-      case "pca" => new Fitted {
-        private val mu = tags.map(t => p(s"mu_$t")).toArray
-        private val nComp = p.keys.collect {
-          case k if k.startsWith("pc_") => k.split("_")(1).toInt
-        }.foldLeft(-1)(math.max) + 1
-        private val comps = Array.tabulate(nComp, tags.size)((ci, d) => p(s"pc_${ci}_$d"))
-        def predictCol(tag: String): Column = {
-          val ti = tags.indexOf(tag)
-          val centered = tags.zipWithIndex.map { case (t, i) =>
-            feature(t).cast("double") - lit(mu(i))
-          }
-          comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
-            val proj = centered.zip(comp)
-              .map { case (c, w) => c * lit(w) }.reduce(_ + _)
-            acc + lit(comp(ti)) * proj
-          }
-        }
-        def params: Map[String, Double] = p
-      }
+      case "pca" => pcaFitted(p, tags, feature)
       case "mlp" => graft.ml.Mlp.fittedFromParams(p, tags, feature)
+      case "window_ae" =>
+        // PCA over the saved LAG feature tags; targets map to their
+        // current-row feature (the WindowAutoencoder adaptation)
+        val pca = pcaFitted(p, tags, feature)
+        new Fitted {
+          def predictCol(tag: String): Column =
+            pca.predictCol(if (tags.contains(tag)) tag else s"${tag}__lag0")
+          def params: Map[String, Double] = p
+        }
       case other => throw new IllegalStateException(s"unknown model impl: $other")
     }
     if (prep.isEmpty) inner
@@ -236,6 +231,27 @@ object Persistence {
       def predictCol(tag: String): Column = prep.post(tag, inner.predictCol(tag))
       def params: Map[String, Double] = inner.params
     }
+  }
+
+  private def pcaFitted(p: Map[String, Double], tags: Seq[String],
+                        feature: String => Column): Fitted = new Fitted {
+    private val mu = tags.map(t => p(s"mu_$t")).toArray
+    private val nComp = p.keys.collect {
+      case k if k.startsWith("pc_") => k.split("_")(1).toInt
+    }.foldLeft(-1)(math.max) + 1
+    private val comps = Array.tabulate(nComp, tags.size)((ci, d) => p(s"pc_${ci}_$d"))
+    def predictCol(tag: String): Column = {
+      val ti = tags.indexOf(tag)
+      val centered = tags.zipWithIndex.map { case (t, i) =>
+        feature(t).cast("double") - lit(mu(i))
+      }
+      comps.foldLeft(lit(mu(ti)): Column) { (acc, comp) =>
+        val proj = centered.zip(comp)
+          .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+        acc + lit(comp(ti)) * proj
+      }
+    }
+    def params: Map[String, Double] = p
   }
 
   // ---- disk registry (ref: gordo/util/disk_registry.py:18-117) ----

@@ -251,6 +251,13 @@ object ModelRegistry {
           new DiffAnomaly.PcaReconstructor(1, Some(k.toDouble))
         else new DiffAnomaly.PcaReconstructor(k.toInt)
       case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
+      // the AE window shape includes each target's own current value as
+      // a feature (t__lag0): a full-rank fit would learn the identity
+      // and emit zero thresholds, so it gets the bottlenecked window
+      // autoencoder; the forecast shape (lags strictly precede the
+      // target) keeps the inner reconstruction
+      case Windowed(_, 0, _) =>
+        new DiffAnomaly.WindowAutoencoder(t => s"${t}__lag0")
       case Windowed(_, _, inner) => reconstructorOf(inner, orderCol, epoch0)
       case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
       case other => throw new CompileException(s"no reconstructor in $other")

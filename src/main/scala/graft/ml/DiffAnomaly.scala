@@ -429,6 +429,40 @@ object DiffAnomaly {
     }
   }
 
+  /** Window autoencoder for the M6 lookahead-0 shape: a rank-limited
+    * PCA over the LAG feature columns reconstructs the whole window
+    * through the bottleneck; target t's prediction is the reconstruction
+    * of its current-row feature `lagOf(t)` (= `t__lag0`, value-identical
+    * to t). The bottleneck — `rankOf(featureCount)` < feature count — is
+    * what keeps the detector non-degenerate: any full-rank row-local fit
+    * over features that include the target's own current value would
+    * learn the identity and emit zero thresholds (infinite confidences).
+    * This mirrors what the reference's lossy LSTM autoencoder actually
+    * provides: reconstruction error of the current window through a
+    * compressed representation. */
+  class WindowAutoencoder(lagOf: String => String,
+                          rankOf: Int => Int = n => math.max(1, n / 2))
+      extends Reconstructor {
+    private def adapt(f: Fitted): Fitted = new Fitted {
+      def predictCol(tag: String): Column = f.predictCol(lagOf(tag))
+      def params: Map[String, Double] = f.params
+    }
+    private def inner(xTags: Seq[String]): PcaReconstructor =
+      new PcaReconstructor(rankOf(xTags.size))
+    def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
+            feature: String => Column): Fitted =
+      adapt(inner(xTags).fit(train, xTags, xTags, feature))
+    override def aggPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column)
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] =
+      inner(xTags).aggPlan(xTags, xTags, feature)
+        .map { case (aggs, dec) => (aggs, dec.andThen(adapt)) }
+    override def segPlan(xTags: Seq[String], yTags: Seq[String],
+                         feature: String => Column): Option[SegPlan[Fitted]] =
+      inner(xTags).segPlan(xTags, xTags, feature)
+        .map(sp => sp.copy(decode = sp.decode.andThen(adapt)))
+  }
+
   /** CV-derived thresholds (`diff.py:226-264`): final values are the LAST
     * fold's; per-fold values kept for metadata (A8-style). */
   case class Thresholds(
@@ -475,7 +509,8 @@ object DiffAnomaly {
           smoothingMethod: String = "smm",
           foldMetrics: Seq[(String, (Column, Column) => Column)] = Nil,
           scoringScaler: Option[FittedScaler] = None,
-          targetTags: Seq[String] = Nil): FittedDetector = {
+          targetTags: Seq[String] = Nil,
+          foldOffset: Int = 0): FittedDetector = {
     // y columns (`target_tag_list`, diff.py fit(X, y)); empty -> y = X
     val y = if (targetTags.isEmpty) tags else targetTags
     // persist the assembled frame FIRST: withRowIndex runs two small jobs
@@ -489,7 +524,22 @@ object DiffAnomaly {
     val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
     try {
       val n = indexed.count()
-      val folds = CrossValidate.timeSeriesSplit(n, nSplits)
+      // sequence models (M6): the frame holds n raw rows MINUS the
+      // `foldOffset` head rows dropped by the windowing, but the
+      // reference computes fold boundaries on the RAW count and its
+      // estimator re-windows per fold — each fold's first `foldOffset`
+      // test rows are dropped (their windows cross into train) and the
+      // boundaries shift accordingly. Map raw folds onto windowed row
+      // indices (raw row r ↔ windowed r − offset): train [0, ts) →
+      // [0, ts−d), test [ts, te) minus its head → [ts, te−d).
+      val folds =
+        if (foldOffset == 0) CrossValidate.timeSeriesSplit(n, nSplits)
+        else CrossValidate.timeSeriesSplit(n + foldOffset, nSplits).map { f =>
+          require(f.testEnd - foldOffset > f.testStart,
+            s"fold ${f.index} vanishes: test size <= lookback offset $foldOffset")
+          CrossValidate.Fold(f.index, 0, f.testStart - foldOffset,
+            f.testStart, f.testEnd - foldOffset)
+        }
       val feat: String => Column = t => qc(t).cast("double")
       val widths = (6 +: window.toSeq).distinct
       def scl(c: Column, t: String): Column = scoringScaler match {
@@ -551,12 +601,14 @@ object DiffAnomaly {
 
       def fusedPath(mp: SegPlan[Fitted], sp: SegPlan[FittedScaler])
           : (Seq[(CrossValidate.Fold, String => Double)], Fitted, FittedScaler) = {
-          // ---- segments: [0, ts0) then each fold's test span; ONE
-          // stats pass, fold k's train fit = merge of segments 0..k ----
-          val segOf = folds.zipWithIndex.foldLeft(
-            when(col("__row") < folds.head.testStart, lit(0))) {
-            case (acc, (f, i)) => acc.when(col("__row") < f.testEnd, lit(i + 1))
-          }
+          // ---- segments bounded by the fold TRAIN ends (for plain
+          // folds trainEnd == testStart; windowed folds leave a gap of
+          // lag-context rows between them); ONE stats pass, fold k's
+          // train fit = merge of segments 0..k ----
+          val segOf = folds.tail.foldLeft(
+            when(col("__row") < folds.head.trainEnd, lit(0))) {
+            (acc, f) => acc.when(col("__row") < f.trainEnd, lit(f.index))
+          }.otherwise(lit(folds.size))
           // null-integrity counts ride the same pass: the mergeable
           // statistics weight segments by row count, which only equals
           // the aggregates' (null-skipping) population on null-free
@@ -600,16 +652,22 @@ object DiffAnomaly {
               case (acc, (f, ms)) =>
                 acc.when(col("__fold") === lit(f.index), e(ms))
             }
+          // membership is an explicit BETWEEN per fold: windowed folds
+          // have gap rows between one fold's test end and the next's
+          // test start (consumed as lag context), which a boundary-only
+          // chain would misassign
+          def inTest(f: CrossValidate.Fold): Column =
+            col("__row") >= f.testStart && col("__row") < f.testEnd
           val foldOf = folds.tail.foldLeft(
-            when(col("__row") < folds.head.testEnd, lit(0))) {
-            (acc, f) => acc.when(col("__row") < f.testEnd, lit(f.index))
+            when(inTest(folds.head), lit(0))) {
+            (acc, f) => acc.when(inTest(f), lit(f.index))
           }
           val metricInputs =
             if (foldMetrics.isEmpty) Nil
             else y.flatMap(t => Seq(qc(t).as(s"__y_$t"),
               byFold { case (m, _) => m.predictCol(t) }.as(s"__p_$t")))
-          val scored = indexed.filter(col("__row") >= folds.head.testStart)
-            .withColumn("__fold", foldOf)
+          val scored = indexed.withColumn("__fold", foldOf)
+            .filter(col("__fold").isNotNull)
             .select(
               (col("__row") +: col("__fold") +:
                 byFold { case (m, sc) => scaledMseCol(m, sc, y) }.as("__mse") +:

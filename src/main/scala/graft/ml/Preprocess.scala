@@ -180,6 +180,12 @@ object Preprocess {
     def params: Map[String, Double] = inner.params
   }
 
+  /** Stat key for a (possibly lag-derived) column: `tx__lag2` → `tx`.
+    * Sequence models (M6) window tags into lag feature columns, but the
+    * reference fits its preprocessing ONCE PER RAW TAG — every lag of a
+    * tag shares that tag's transform statistics. */
+  def statKey(col: String): String = col.replaceAll("__lag\\d+$", "")
+
   /** Wrap a reconstructor so every `fit` call FIRST fits the
     * preprocessing chain on that call's train frame (sklearn
     * `cross_validate` clones and refits the whole pipeline per fold — a
@@ -187,18 +193,27 @@ object Preprocess {
     * span into its transform statistics), then fits the model on the
     * transformed features with raw-space predictions via the affine
     * inverse. `aggPlan` stays None: stage fitting is sequential (stage k
-    * fits on stage k−1's output), so it cannot fuse into one pass. */
+    * fits on stage k−1's output), so it cannot fuse into one pass.
+    *
+    * `statTags`, when set, names the columns the chain fits its stats
+    * on (the RAW tag columns for windowed sequence models — lag features
+    * then share their base tag's stats via [[statKey]]); None fits per
+    * model feature as before. */
   class Reconstructor(inner: DiffAnomaly.Reconstructor,
-                      specs: List[StageSpec])
+                      specs: List[StageSpec],
+                      statTags: Option[Seq[String]] = None)
       extends DiffAnomaly.Reconstructor {
     def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
             yTags: Seq[String], feature: String => Column): DiffAnomaly.Fitted = {
       // the chain fits per-tag stats over X ∪ y: X feeds the model in
       // transformed space; a y-only target needs its own affine stats so
       // its transformed-space prediction inverts back to raw units
-      val prep = fitStages(train, (xTags ++ yTags).distinct, specs, feature)
+      val st = statTags.getOrElse((xTags ++ yTags).distinct)
+      val prep = fitStages(train, st,
+        specs, t => graft.Cols.q(t).cast("double"))
       PreprocessedFitted(
-        inner.fit(train, xTags, yTags, t => prep.preFrom(t, feature(t))), prep)
+        inner.fit(train, xTags, yTags,
+          t => prep.preFrom(statKey(t), feature(t))), prep)
     }
   }
 }

@@ -114,7 +114,19 @@ class MlpSpec extends AnyFunSuite {
     val defn = res.metadata("model").asInstanceOf[Map[String, Any]](
       "definition").toString
     assert(defn.contains("KerasLSTMForecast") && defn.contains("lookback_window"))
-    // autoencoder variant: window includes the current row, offset 1
+    // autoencoder variant: window includes the current row, offset 1.
+    // NOISY series — the critical property is that the detector is NOT
+    // degenerate: the window includes each target's own current value
+    // (t__lag0), so a full-rank fit would learn the identity and emit
+    // zero thresholds; the bottlenecked window autoencoder must leave
+    // strictly positive residuals
+    val noisyLong = (0 until 80).map { i =>
+      (i * 600L, 10.0 + i * 0.5 + math.sin(i * 1.7) * 4.0,
+        25.0 + i * 1.0 + math.cos(i * 2.3) * 5.0)
+    }.toDF("bucket_ts", "tx", "ty").selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
     val resAe = graft.build.ModelBuilder.build(
       graft.config.Config.parseYaml(
         """
@@ -130,12 +142,67 @@ class MlpSpec extends AnyFunSuite {
           |        lookback_window: 2
           |""".stripMargin),
       globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      long = noisyLong, keyCol = "tag", tsCol = "ts", valueCol = "value",
       outputDir = s"$tmp/model-ae", projectName = Some("lstm-project"))
     assert(resAe.fitted.tags.toSet ==
       Set("tx__lag0", "tx__lag1", "ty__lag0", "ty__lag1"))
     assert(resAe.metadata("model").asInstanceOf[Map[String, Any]](
       "model_offset") == 1)
+    assert(resAe.fitted.thresholds.aggregateThreshold > 1e-6,
+      s"degenerate AE: threshold ${resAe.fitted.thresholds.aggregateThreshold}")
+    // and the AE serves from disk over the raw frame
+    val rawAe = graft.data.TimeSeries.getData(noisyLong, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(resAe.spec))
+    val fAe = graft.build.ModelBuilder.score(s"$tmp/model-ae", rawAe, 600L)
+    assert(fAe.count() == 80 - 1)
+    assert(fAe.filter($"`total-anomaly-confidence`".isNull).count() == 0)
+  }
+
+  test("windowed model with a scaler prefix fits stats per RAW tag and serves") {
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lstm-sc").toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(
+        """
+          |name: lstm-scaled-machine
+          |dataset:
+          |  tag_list: [tx, ty]
+          |  resolution: 10T
+          |model:
+          |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |    base_estimator:
+          |      sklearn.pipeline.Pipeline:
+          |        steps:
+          |          - sklearn.preprocessing.MinMaxScaler
+          |          - gordo.machine.model.models.KerasLSTMForecast:
+          |              kind: lstm_symmetric
+          |              lookback_window: 2
+          |""".stripMargin),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("lstm-project"))
+    // preprocessing stats are keyed by RAW tag (one (min,max) per tag,
+    // shared by its lags), not per lag column
+    val prep = res.fitted.model match {
+      case pf: graft.ml.Preprocess.PreprocessedFitted => pf.prep
+      case other => fail(s"expected preprocessed model, got $other")
+    }
+    val scalerStage = prep.stages.collectFirst {
+      case s: graft.ml.Preprocess.ScalerStage => s
+    }.get
+    assert(scalerStage.stats.keySet == Set("tx", "ty"))
+    // load-then-score round trip through the windowed + scaled path
+    val rawWide = graft.data.TimeSeries.getData(long, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(res.spec))
+    val a = graft.ml.DiffAnomaly.anomaly(res.fitted,
+      graft.ml.Windows.withLookback(rawWide, Seq("tx", "ty"), "bucket_ts", 2, 1)._1, 600L)
+      .agg(sum($"`model-output.tx`")).head().getDouble(0)
+    val b = graft.build.ModelBuilder.score(s"$tmp/model", rawWide, 600L)
+      .agg(sum($"`model-output.tx`")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
   }
 
   test("config-driven build with a non-hourglass feedforward kind trains the MLP") {
