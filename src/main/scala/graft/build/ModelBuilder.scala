@@ -142,26 +142,22 @@ object ModelBuilder {
         }
       }
 
+    // J3 model offset: head rows the windowing dropped; also shifts the
+    // CV fold boundaries back onto the RAW row count like the reference
+    val offset = windowSpec.map(_.offset).getOrElse(0)
+
     val t1 = System.nanoTime()
     val fitted = DiffAnomaly.fit(fitFrame, xTags, "bucket_ts", base,
       scalerKind = detector.scaler.kind, nSplits = nSplits,
       window = detector.window,
       smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
       foldMetrics = foldMetrics, scoringScaler = scoringScaler,
-      targetTags = yTagsForFit,
-      // reference fold boundaries are computed on the RAW row count;
-      // the windowing dropped `offset` head rows (J3)
-      foldOffset = windowSpec.map(_.offset).getOrElse(0))
+      targetTags = yTagsForFit, foldOffset = offset)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     val scores = fitted.foldScores.map { case (name, vals) =>
       name.replace("_", "-") -> CrossValidate.aggregateScores(vals)
     }
-
-    // model offset (J3, `build_model.py:448-471`): row-local expression
-    // models emit input length == output length; windowed sequence
-    // models drop the head rows with incomplete windows
-    val offset = windowSpec.map(_.offset).getOrElse(0)
 
     // resolve like reconstructorOf does — a Pipeline[..., PCA] base must
     // persist as "pca", or the saved params are unloadable

@@ -129,11 +129,6 @@ object Persistence {
   def loadMetadata(dir: String): Map[String, Any] =
     Config.parseYaml(Files.readString(Paths.get(dir, "metadata.json")))
 
-  /** Sequence-model windowing recorded with the model, if any (M6 serve
-    * path): (base tag names, lookback, lookahead). The scorer must
-    * re-apply `Windows.withLookback` with these before `anomaly`. */
-  def loadWindowing(dir: String): Option[(Seq[String], Int, Int)] =
-    loadFull(dir)._2
 
   /** Rebuild a scoring-ready FittedDetector from a model dir (S5). JSON
     * is a YAML subset, so the config parser reads it. */
@@ -195,8 +190,7 @@ object Persistence {
                             epoch0: Long,
                             prep: graft.ml.Preprocess.Fitted): Fitted = {
     def feature(t: String): Column =
-      prep.preFrom(graft.ml.Preprocess.statKey(t),
-        graft.Cols.q(t).cast("double"))
+      prep.preFrom(prep.keyFor(t), graft.Cols.q(t).cast("double"))
     val inner: Fitted = impl match {
       case "trend" => new Fitted {
         private def x: Column = (col(orderCol) - lit(epoch0)).cast("double")

@@ -447,20 +447,37 @@ object DiffAnomaly {
       def predictCol(tag: String): Column = f.predictCol(lagOf(tag))
       def params: Map[String, Double] = f.params
     }
+    private def validate(xTags: Seq[String], yTags: Seq[String]): Unit = {
+      // a single window feature leaves no room for a bottleneck — PCA(1)
+      // over 1 feature IS the identity, the exact degeneracy this class
+      // exists to prevent
+      require(xTags.size >= 2,
+        s"window autoencoder needs >= 2 window features, got $xTags — " +
+          "raise lookback_window or add tags")
+      yTags.foreach(t => require(xTags.contains(lagOf(t)),
+        s"target '$t' has no window feature '${lagOf(t)}' among $xTags — " +
+          "target_tag_list must be a subset of tag_list for autoencoders"))
+    }
     private def inner(xTags: Seq[String]): PcaReconstructor =
-      new PcaReconstructor(rankOf(xTags.size))
+      new PcaReconstructor(math.min(rankOf(xTags.size), xTags.size - 1))
     def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
-            feature: String => Column): Fitted =
+            feature: String => Column): Fitted = {
+      validate(xTags, yTags)
       adapt(inner(xTags).fit(train, xTags, xTags, feature))
+    }
     override def aggPlan(xTags: Seq[String], yTags: Seq[String],
                          feature: String => Column)
-        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] =
+        : Option[(Seq[Column], org.apache.spark.sql.Row => Fitted)] = {
+      validate(xTags, yTags)
       inner(xTags).aggPlan(xTags, xTags, feature)
         .map { case (aggs, dec) => (aggs, dec.andThen(adapt)) }
+    }
     override def segPlan(xTags: Seq[String], yTags: Seq[String],
-                         feature: String => Column): Option[SegPlan[Fitted]] =
+                         feature: String => Column): Option[SegPlan[Fitted]] = {
+      validate(xTags, yTags)
       inner(xTags).segPlan(xTags, xTags, feature)
         .map(sp => sp.copy(decode = sp.decode.andThen(adapt)))
+    }
   }
 
   /** CV-derived thresholds (`diff.py:226-264`): final values are the LAST
