@@ -154,6 +154,29 @@ object LlmQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The LOSSLESS scale path for exact n-gram Jaccard: PPJoin-style
+    * prefix filtering (each doc indexes only its n − ⌈t·n⌉ + 1 globally
+    * rarest shingles; any qualifying pair's first common shingle in that
+    * order falls inside both prefixes) + length filter, then exact
+    * verification of candidates only. Output is PROVABLY identical to
+    * a direct Σ df² join at the same threshold — the oracle replays that
+    * recomputation — while only the `(1−t)·n + 1` rarest shingles per
+    * doc are indexed, so the self-join stays bounded on skewed corpora
+    * where Σ df² is not. Runs at t = 0.8, the realistic near-dup
+    * threshold where the prefix is ~20% of each doc (at the loose
+    * t = 0.3 of the recall-oriented q46 the prefix is ~70% and the
+    * filter buys nothing — threshold choice IS the scale lever). */
+  def ngramJaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
+      "doc_id", "text", ngram = 3)
+      .repartition(col("id")) // shared Exchange for candidates + verify
+    val cands = TextDedup.prefixFilterCandidates(shDf, threshold = 0.8)
+    TextDedup.verifiedPairs(shDf, cands, threshold = 0.8)
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** IVF ANN: 16 deterministic centroids, nprobe=2, top-5 by exact
     * cosine within the probed lists for the first 10 query vectors —
     * the scale path whose candidate set is ~nprobe/C of the corpus. */
@@ -201,6 +224,9 @@ object LlmQueries {
     "q37_multimodal_features" -> (multimodalFeatures _),
     "q45_simhash_neardup" -> (simhashNearDups _),
     "q46_ngram_jaccard" -> (ngramJaccardPairs _),
+    "q52_ngram_jaccard_ppjoin" -> (ngramJaccardPrefixFiltered _),
+    // lossless prefix-filter path: same answer as the direct join by
+    // construction, so the oracle is the same recomputation
     "q47_ann_ivf_topk" -> (annIvfTopK _),
     "q48_fingerprint_dup_groups" -> (fingerprintDupGroups _),
   )
@@ -396,6 +422,25 @@ object LlmQueries {
         |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
         |FROM inter
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // lossless prefix-filter path at the realistic dedup threshold 0.8:
+    // same answer as a direct join at 0.8 by construction, so the
+    // oracle is that recomputation
+    "q52_ngram_jaccard_ppjoin" ->
+      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb, count(*) AS c
+        |  FROM shx x JOIN shx y ON y.s = x.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
+        |FROM inter
+        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q47_ann_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
