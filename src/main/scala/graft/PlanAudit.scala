@@ -12,7 +12,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_select_where", "q04_join_revenue_by_nation",
         "q07_topk_per_group", "q08_rolling_stats", "q21_getdata_composed",
-        "q29_anomaly_frame", "q34_minhash_dup_pairs", "q36_ann_lsh_buckets")
+        "q29_anomaly_frame", "q34_minhash_dup_pairs", "q36_ann_lsh_buckets",
+        "q51_lstm_forecast", "q52_ngram_jaccard_ppjoin")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
