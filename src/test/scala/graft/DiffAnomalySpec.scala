@@ -174,6 +174,31 @@ class DiffAnomalySpec extends AnyFunSuite {
         assert(close(fusedK.thresholds.featureThresholds(t),
           loopedK.thresholds.featureThresholds(t)), s"kfcv $t: $base")
     }
+    // windowed fold geometry (foldOffset > 0): folds computed on the
+    // raw count leave lag-context GAP rows between folds — the fused
+    // path's segment boundaries and test membership must match the
+    // loop's fold filters exactly
+    locally {
+      val base = new RidgeReconstructor()
+      for (d <- Seq(1, 2)) {
+        val fusedW = DiffAnomaly.fit(noisy, Seq("tx", "ty"), "bucket_ts",
+          base, nSplits = 3, window = Some(12), foldMetrics = metrics,
+          foldOffset = d)
+        val loopedW = DiffAnomaly.fit(noisy, Seq("tx", "ty"), "bucket_ts",
+          new NoSeg(base), nSplits = 3, window = Some(12),
+          foldMetrics = metrics, foldOffset = d)
+        assert(close(fusedW.thresholds.aggregateThreshold,
+          loopedW.thresholds.aggregateThreshold), s"offset $d agg")
+        for (t <- Seq("tx", "ty"))
+          assert(close(fusedW.thresholds.featureThresholds(t),
+            loopedW.thresholds.featureThresholds(t)), s"offset $d $t")
+        fusedW.thresholds.perFoldAggregate.foreach { case (k, v) =>
+          assert(close(v, loopedW.thresholds.perFoldAggregate(k)),
+            s"offset $d perFold $k") }
+        fusedW.foldScores("mse").zip(loopedW.foldScores("mse")).foreach {
+          case (a, b) => assert(close(a, b), s"offset $d fold mse") }
+      }
+    }
     // target outside tag_list: ridge's extraY alias block (X=[tx], y=[ty])
     locally {
       val base = new RidgeReconstructor()
