@@ -168,9 +168,14 @@ object LlmQueries {
     * filter buys nothing — threshold choice IS the scale lever). */
   def ngramJaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persist, NOT a repartition barrier: the shingle frame feeds six
+    // subtrees (df counts, prefix ranking, two join sides, two verify
+    // sides) and per-branch filters/pruning push below an Exchange and
+    // de-canonicalize it — ReusedExchange misses and shingling
+    // recomputes per branch (the q34 lesson above)
     val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
       "doc_id", "text", ngram = 3)
-      .repartition(col("id")) // shared Exchange for candidates + verify
+      .persist()
     val cands = TextDedup.prefixFilterCandidates(shDf, threshold = 0.8)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.8)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
@@ -283,6 +288,27 @@ object LlmQueries {
   private val simhashBandsSql = (0 until 4).map(i =>
     s"'$i' || '#' || CAST((sh32 >> ${8 * i}) & 255 AS VARCHAR)")
     .mkString("[", ",\n          ", "]")
+
+  /** Exact word-3-gram Jaccard oracle at `threshold` — one recomputation
+    * shared by q46 (direct join, 0.3) and q52 (lossless prefix-filtered
+    * path, 0.8): the filter is lossless, so both replay the same direct
+    * derivation. */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      |  FROM toks),
+      |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+      |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    any_value(x.n) AS na, any_value(y.n) AS nb, count(*) AS c
+      |  FROM shx x JOIN shx y ON y.s = x.s AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT id_a, id_b,
+      |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
+      |FROM inter
+      |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold
+      |ORDER BY id_a, id_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q50_winnowing" ->
@@ -407,41 +433,11 @@ object LlmQueries {
         |SELECT id_a, id_b, hamming FROM p
         |WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
-    "q46_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
-        |  FROM toks),
-        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
-        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-        |    any_value(x.n) AS na, any_value(y.n) AS nb, count(*) AS c
-        |  FROM shx x JOIN shx y ON y.s = x.s AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
-        |SELECT id_a, id_b,
-        |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
-        |FROM inter
-        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q46_ngram_jaccard" -> jaccardOracleSql(0.3),
     // lossless prefix-filter path at the realistic dedup threshold 0.8:
     // same answer as a direct join at 0.8 by construction, so the
     // oracle is that recomputation
-    "q52_ngram_jaccard_ppjoin" ->
-      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
-        |  FROM toks),
-        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
-        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-        |    any_value(x.n) AS na, any_value(y.n) AS nb, count(*) AS c
-        |  FROM shx x JOIN shx y ON y.s = x.s AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
-        |SELECT id_a, id_b,
-        |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
-        |FROM inter
-        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q52_ngram_jaccard_ppjoin" -> jaccardOracleSql(0.8),
     "q47_ann_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
