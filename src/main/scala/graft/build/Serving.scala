@@ -41,21 +41,30 @@ object Serving {
 
   /** S5: bounded LRU cache of loaded models keyed by model dir (the
     * reference caches 2 models per worker). Thread-safe for parallel
-    * scoring threads on one driver. */
+    * scoring threads on one driver.
+    *
+    * Entries carry the model's recorded windowing (M6): a windowed
+    * sequence model scored on a raw frame without re-applying its lag
+    * surgery would silently mis-resolve — scorers must use [[getFull]]
+    * (or `ModelBuilder.score`, which does) rather than assembling
+    * `anomaly` calls from [[get]] alone. */
   class ModelCache(capacity: Int = 2) {
+    private type Entry = (FittedDetector, Option[(Seq[String], Int, Int)])
     private val cache =
-      new java.util.LinkedHashMap[String, FittedDetector](16, 0.75f, true) {
+      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, FittedDetector]): Boolean =
+            e: java.util.Map.Entry[String, Entry]): Boolean =
           size() > capacity
       }
-    def get(dir: String): FittedDetector = cache.synchronized {
+    /** Detector plus its windowing spec (base tags, lookback, lookahead). */
+    def getFull(dir: String): Entry = cache.synchronized {
       Option(cache.get(dir)).getOrElse {
-        val fd = Persistence.load(dir)
-        cache.put(dir, fd)
-        fd
+        val entry = Persistence.loadFull(dir)
+        cache.put(dir, entry)
+        entry
       }
     }
+    def get(dir: String): FittedDetector = getFull(dir)._1
     def size: Int = cache.synchronized(cache.size())
   }
 }
