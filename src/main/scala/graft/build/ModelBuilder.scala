@@ -36,17 +36,26 @@ object ModelBuilder {
             long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
             outputDir: String,
             registryDir: Option[String] = None,
-            projectName: Option[String] = None): BuildResult =
+            projectName: Option[String] = None,
+            closedForm: Boolean = false): BuildResult =
     buildSpec(Config.machineFromConfig(machineConfig, projectName, globals),
-      long, keyCol, tsCol, valueCol, outputDir, registryDir)
+      long, keyCol, tsCol, valueCol, outputDir, registryDir, closedForm)
 
   /** Build from an already-assembled spec (the project layer's path —
-    * preserves the spec's merged metadata instead of re-deriving it). */
+    * preserves the spec's merged metadata instead of re-deriving it).
+    *
+    * @param closedForm substitute every iteratively-trained MLP node with
+    *   its closed-form ridge stand-in (deterministic, oracle-replayable
+    *   fits). The substitution is recorded in the model metadata
+    *   (`impl_requested` / `impl_substitution`) and keyed into the cache
+    *   key — a closed-form build never aliases a full build.
+    */
   def buildSpec(spec: Config.MachineSpec,
                 long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
                 outputDir: String,
-                registryDir: Option[String] = None): BuildResult = {
-    val key = Persistence.cacheKey(spec)
+                registryDir: Option[String] = None,
+                closedForm: Boolean = false): BuildResult = {
+    val key = Persistence.cacheKey(spec, closedForm)
 
     // cache probe (`build_model.py:104-190`): hit short-circuits the build
     registryDir.flatMap(Persistence.checkCache(_, key)).foreach { dir =>
@@ -63,7 +72,10 @@ object ModelBuilder {
     val querySec = (System.nanoTime() - t0) / 1e9
     try {
 
-    val compiled = ModelRegistry.compile(spec.model)
+    val requested = ModelRegistry.compile(spec.model)
+    val compiled =
+      if (closedForm) ModelRegistry.substituteClosedForm(requested)
+      else requested
     // a model without an explicit detector node (e.g. the reference's
     // canonical top-level Pipeline[MinMaxScaler, KerasAutoEncoder]) is
     // wrapped in a default detector with the WHOLE tree as base — its
@@ -163,12 +175,29 @@ object ModelBuilder {
     // persist as "pca", or the saved params are unloadable
     def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
+      // the MLP window-AE trains the real net over the flattened window;
+      // closed-form impls get the bottlenecked linear window autoencoder
+      case ModelRegistry.Windowed(_, 0, ModelRegistry.Reconstruction("mlp", _)) => "mlp"
       case ModelRegistry.Windowed(_, 0, _) => "window_ae"
       case ModelRegistry.Windowed(_, _, inner) => implOf(inner)
       case ModelRegistry.PipelineOf(steps) if steps.nonEmpty => implOf(steps.last)
       case _ => "ridge"
     }
     val implName = implOf(detector.base)
+    // the estimator family the CONFIG asked for: a substitution must be
+    // visible in metadata, never silent — the definition round-trips the
+    // original class path for config fidelity, so `impl` is the truth
+    // about what actually trained
+    val requestedImpl = implOf(ModelRegistry.detectorOf(requested)
+      .map(_.base).getOrElse(requested))
+    val substitution: Map[String, Any] =
+      if (implName == requestedImpl) Map("impl" -> implName)
+      else Map(
+        "impl" -> implName,
+        "impl_requested" -> requestedImpl,
+        "impl_substitution" ->
+          (s"closed-form '$implName' trained in place of the configured " +
+            s"'$requestedImpl' (deterministic, oracle-replayable fits)"))
     val metadata = Map[String, Any](
       "name" -> spec.name,
       "project_name" -> spec.projectName,
@@ -176,14 +205,14 @@ object ModelBuilder {
       "user_defined" -> spec.metadata,
       "dataset" -> (Config.patchDict(Config.datasetDefaults, spec.dataset) +
         ("query_duration_sec" -> querySec)),
-      "model" -> Map(
+      "model" -> (substitution ++ Map(
         "definition" -> ModelRegistry.intoDefinition(compiled),
         "model_offset" -> offset,
         "model_training_duration_sec" -> trainSec,
         "feature-thresholds" -> fitted.thresholds.featureThresholds,
         "aggregate-threshold" -> fitted.thresholds.aggregateThreshold,
         "aggregate-thresholds-per-fold" -> fitted.thresholds.perFoldAggregate,
-        "cross_validation" -> Map("scores" -> scores)))
+        "cross_validation" -> Map("scores" -> scores))))
 
     // the FINAL model's fitted preprocessing (fit on the full series)
     // goes to disk for the serve path

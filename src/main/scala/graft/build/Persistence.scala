@@ -55,12 +55,17 @@ object Persistence {
 
   /** F9: sha3-512 hex of the canonical JSON of the build-relevant config
     * (`build_model.py:571-631`) — 128 hex chars. */
-  def cacheKey(spec: Config.MachineSpec): String = {
-    val json = toJson(Map(
+  def cacheKey(spec: Config.MachineSpec, closedForm: Boolean = false): String = {
+    val base = Map[String, Any](
       "name" -> spec.name,
       "model_config" -> spec.model,
       "data_config" -> spec.dataset,
-      "evaluation_config" -> spec.evaluation))
+      "evaluation_config" -> spec.evaluation)
+    // a closed-form-substituted build trains a different estimator family
+    // than the full build of the same spec — it must never alias in the
+    // registry. Default builds keep their historical keys.
+    val json = toJson(
+      if (closedForm) base + ("closed_form" -> true) else base)
     MessageDigest.getInstance("SHA3-512")
       .digest(json.getBytes("US-ASCII"))
       .map(b => f"$b%02x").mkString

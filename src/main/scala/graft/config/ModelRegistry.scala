@@ -104,24 +104,27 @@ object ModelRegistry {
       Imputer(kw.getOrElse("strategy", "minmax").toString,
         num(kw.getOrElse("delta", 2.0)))
     case "gordo.machine.model.models.KerasAutoEncoder" =>
-      // hourglass (the reference default) keeps the closed-form ridge
-      // stand-in — its fits are DuckDB-replayable, which is what the
-      // correctness gates need (SURVEY §7.3(c)); the other feedforward
-      // factories get the real in-house MLP autoencoder (§7.3(b))
+      // every feedforward factory — INCLUDING hourglass, the reference
+      // default (`factories/feedforward_autoencoder.py:148-251`) — trains
+      // the in-house seeded MLP autoencoder with the exact hourglass dim
+      // math (§7.3(b)). Oracle-gated builds that need DuckDB-replayable
+      // fits opt into the closed-form ridge via
+      // [[substituteClosedForm]], and the builder records that
+      // substitution in the model metadata — never silent.
       val kind = kw.getOrElse("kind", "feedforward_hourglass").toString
-      val impl =
-        if (kind.startsWith("feedforward_") && kind != "feedforward_hourglass")
-          "mlp"
-        else "ridge"
+      val impl = if (kind.startsWith("feedforward_")) "mlp" else "ridge"
       Reconstruction(impl, kind)
     case "gordo.machine.model.models.KerasLSTMAutoEncoder" =>
-      // lookahead 0: the window INCLUDES the current row (y = current)
+      // lookahead 0: the window INCLUDES the current row (y = current).
+      // The recurrent cell itself stays out of scope (SURVEY §7.4); the
+      // closest in-family stand-in is the bottlenecked MLP over the
+      // flattened window (`models.py:463-710` flattens to windows too)
       Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 0,
-        Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString))
+        Reconstruction("mlp", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "gordo.machine.model.models.KerasLSTMForecast" =>
       // lookahead 1: forecast the current row from the previous window
       Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 1,
-        Reconstruction("ridge", kw.getOrElse("kind", "lstm_hourglass").toString))
+        Reconstruction("mlp", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
     case "sklearn.decomposition.PCA" =>
@@ -147,7 +150,7 @@ object ModelRegistry {
       CvSplit("kfold", kw.getOrElse("n_splits", 5).toString.toInt)
     case "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector" =>
       val base = kw.get("base_estimator").map(compile)
-        .getOrElse(Reconstruction("ridge", "feedforward_hourglass"))
+        .getOrElse(Reconstruction("mlp", "feedforward_hourglass"))
       val scaler = kw.get("scaler").map(compile) match {
         case Some(s: Scaler) => s
         case None => Scaler("minmax")
@@ -158,6 +161,23 @@ object ModelRegistry {
         kw.get("smoothing_method").filter(_ != null).map(_.toString),
         kw.get("shuffle").exists(_.toString.toBoolean))
     case other => throw new CompileException(s"unsupported class path: $other")
+  }
+
+  /** Rewrite every iteratively-trained MLP node to its closed-form ridge
+    * stand-in (DuckDB-replayable fits — what the correctness oracles
+    * need, SURVEY §7.3(c)). Callers that use this MUST surface the
+    * substitution; [[graft.build.ModelBuilder]] records it in the model
+    * metadata (`impl` vs `impl_requested`) so a saved model never
+    * silently claims an estimator family that didn't train. */
+  def substituteClosedForm(stage: Stage): Stage = stage match {
+    case Reconstruction("mlp", kind) => Reconstruction("ridge", kind)
+    case PipelineOf(steps)  => PipelineOf(steps.map(substituteClosedForm))
+    case UnionOf(branches)  => UnionOf(branches.map(substituteClosedForm))
+    case Windowed(lb, la, inner) =>
+      Windowed(lb, la,
+        substituteClosedForm(inner).asInstanceOf[Reconstruction])
+    case d: Detector => d.copy(base = substituteClosedForm(d.base))
+    case other => other
   }
 
   /** M2: inverse compile with defaults materialized. */
@@ -252,10 +272,14 @@ object ModelRegistry {
         else new DiffAnomaly.PcaReconstructor(k.toInt)
       case Reconstruction(impl, _) => new DiffAnomaly.TrendReconstructor(orderCol, epoch0)
       // the AE window shape includes each target's own current value as
-      // a feature (t__lag0): a full-rank fit would learn the identity
-      // and emit zero thresholds, so it gets the bottlenecked window
-      // autoencoder; the forecast shape (lags strictly precede the
-      // target) keeps the inner reconstruction
+      // a feature (t__lag0). For the MLP impl the hourglass bottleneck
+      // already prevents a trivial identity fit, so the real net trains
+      // over the flattened window; for closed-form impls a full-rank fit
+      // WOULD learn the identity and emit zero thresholds, so they get
+      // the bottlenecked window autoencoder. The forecast shape (lags
+      // strictly precede the target) keeps the inner reconstruction.
+      case Windowed(_, 0, Reconstruction("mlp", _)) =>
+        new graft.ml.Mlp.AutoReconstructor()
       case Windowed(_, 0, _) =>
         new DiffAnomaly.WindowAutoencoder(t => s"${t}__lag0")
       case Windowed(_, _, inner) => reconstructorOf(inner, orderCol, epoch0)

@@ -48,7 +48,13 @@ object AnomalyQueries {
 
   /** Shared config-driven build+score plumbing for q41/q49: parse the
     * machine YAML, build (assembly, compile, CV, persistence), reload
-    * from the model dir, score, round for the oracle. */
+    * from the model dir, score, round for the oracle.
+    *
+    * `closedForm = true`: the DuckDB oracle replays the whole fit, so the
+    * hourglass MLP (the default routing) is explicitly substituted with
+    * the closed-form ridge. The builder records the substitution in the
+    * model metadata (`impl`/`impl_requested`) — the fidelity contract is
+    * "never silent", not "never substituted". */
   private def buildAndScore(spark: SparkSession, dir: String,
                             yaml: String, tmpPrefix: String): DataFrame = {
     import spark.implicits._
@@ -59,7 +65,8 @@ object AnomalyQueries {
       graft.config.Config.parseYaml(yaml),
       globals = graft.config.Config.defaultGlobals,
       long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"))
+      outputDir = s"$tmp/model", projectName = Some("graft-project"),
+      closedForm = true)
     val wide = TimeSeries.getData(long, "tag", "ts", "value",
       graft.config.Config.datasetConfig(res.spec))
     val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)

@@ -128,9 +128,18 @@ class ConfigSpec extends AnyFunSuite {
     val m = Config.machineFromConfig(Config.parseYaml(machineYaml), Some("p"))
     val compiled = ModelRegistry.compile(m.model)
     compiled match {
-      case PipelineOf(List(Scaler("minmax"), Reconstruction("ridge", kind))) =>
+      // the reference's default kind trains the real in-house MLP; the
+      // closed-form ridge is only ever an EXPLICIT substitution
+      // (ModelRegistry.substituteClosedForm, recorded in metadata)
+      case PipelineOf(List(Scaler("minmax"), Reconstruction("mlp", kind))) =>
         assert(kind == "feedforward_hourglass")
       case other => fail(s"unexpected compile result: $other")
+    }
+    // the closed-form rewrite swaps exactly the estimator family
+    ModelRegistry.substituteClosedForm(compiled) match {
+      case PipelineOf(List(Scaler("minmax"),
+          Reconstruction("ridge", "feedforward_hourglass"))) => ()
+      case other => fail(s"unexpected substitution result: $other")
     }
     // into_definition → compile is a fixpoint
     assert(ModelRegistry.compile(ModelRegistry.intoDefinition(compiled))
@@ -149,9 +158,8 @@ class ConfigSpec extends AnyFunSuite {
         |  smoothing_method: sma
         |""".stripMargin))
     d match {
-      // non-hourglass feedforward kinds compile to the in-house MLP
-      // autoencoder (SURVEY §7.3(b)); hourglass keeps the closed-form
-      // oracle-replayable stand-in
+      // every feedforward kind compiles to the in-house MLP autoencoder
+      // (SURVEY §7.3(b))
       case Detector(Reconstruction("mlp", "feedforward_symmetric"),
           Scaler("robust"), Some(144), Some("sma"), false) => ()
       case other => fail(s"unexpected: $other")

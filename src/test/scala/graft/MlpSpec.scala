@@ -205,6 +205,67 @@ class MlpSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-9)
   }
 
+  test("default hourglass kind trains the MLP; closed-form substitution is recorded") {
+    // the reference's DEFAULT model kind (`factories/feedforward_
+    // autoencoder.py:148-251`) must train the real in-house net — not a
+    // silently substituted ridge (round-3 verdict item 1)
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val yaml =
+      """
+        |name: hourglass-machine
+        |dataset:
+        |  tag_list: [tx, ty]
+        |  resolution: 10T
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasAutoEncoder:
+        |        kind: feedforward_hourglass
+        |""".stripMargin
+    def buildOnce(out: String, closedForm: Boolean) =
+      graft.build.ModelBuilder.build(
+        graft.config.Config.parseYaml(yaml),
+        globals = graft.config.Config.defaultGlobals,
+        long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+        outputDir = out, projectName = Some("hg-project"),
+        closedForm = closedForm)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hg").toString
+    val a = buildOnce(s"$tmp/a", closedForm = false)
+    def modelMeta(r: graft.build.ModelBuilder.BuildResult) =
+      r.metadata("model").asInstanceOf[Map[String, Any]]
+    // the MLP trained, and metadata says so truthfully
+    assert(modelMeta(a)("impl") == "mlp")
+    assert(!modelMeta(a).contains("impl_substitution"))
+    val p = a.fitted.model.params
+    // hourglass layer dims from the ACTUAL feature count: 2 features,
+    // compression 0.5, 2 encoding layers → encoder (2, 1), mirrored
+    // decoder (1, 2) — hourglassDims semantics of the reference's
+    // factory (`feedforward_autoencoder.py:148-251`)
+    val expectedDims = graft.ml.Windows.hourglassDims(0.5, 2, 2)
+    assert(expectedDims == Seq(2, 1))
+    val hidden = expectedDims ++ expectedDims.reverse
+    assert(p("nhidden").toInt == hidden.size)
+    hidden.zipWithIndex.foreach { case (d, l) =>
+      assert(p(s"dim_$l").toInt == d, s"layer $l") }
+    // bit-deterministic: a second build trains identical weights
+    val b = buildOnce(s"$tmp/b", closedForm = false)
+    assert(b.fitted.model.params == p)
+    // the explicit closed-form path trains ridge AND records it
+    val c = buildOnce(s"$tmp/c", closedForm = true)
+    assert(modelMeta(c)("impl") == "ridge")
+    assert(modelMeta(c)("impl_requested") == "mlp")
+    assert(modelMeta(c)("impl_substitution").toString.contains("closed-form"))
+    // the definition still round-trips the configured class path in both
+    assert(modelMeta(a)("definition").toString.contains("KerasAutoEncoder"))
+    assert(modelMeta(c)("definition").toString.contains("KerasAutoEncoder"))
+    // a closed-form build never aliases the full build in the registry
+    assert(graft.build.Persistence.cacheKey(a.spec) !=
+      graft.build.Persistence.cacheKey(a.spec, closedForm = true))
+  }
+
   test("config-driven build with a non-hourglass feedforward kind trains the MLP") {
     val long = wide.selectExpr(
       "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
