@@ -96,15 +96,25 @@ object TextDedup {
       .distinct()
   }
 
-  /** Direct EXACT n-gram Jaccard pairs from the inverted index: one
-    * self-join on the shingle, one pair-grouped intersection count —
-    * every pair sharing ≥ 1 shingle is scored, so recall is total. Cost
-    * is Σ_s df(s)² over the shingle document frequencies (NOT |docs|² —
-    * no crossJoin): bounded when the df distribution is, which holds
-    * after boilerplate removal; for skewed corpora compose with
-    * [[prefixFilterCandidates]] (lossless) or MinHash banding
-    * (probabilistic) to prune before the join. */
-  def jaccardPairs(shDf: DataFrame, threshold: Double): DataFrame = {
+  /** EXACT n-gram Jaccard pairs ≥ `threshold`, total recall.
+    *
+    * Default path: [[prefixFilterCandidates]] (lossless at every
+    * threshold) composed with exact verification of candidates only —
+    * the output is PROVABLY identical to the direct inverted-index join,
+    * but only each doc's `n − ⌈t·n⌉ + 1` rarest shingles are indexed, so
+    * the self-join stays bounded on skewed corpora (one boilerplate
+    * shingle shared by 1% of a 100 TB corpus makes the direct join's
+    * Σ_s df(s)² quadratic in that posting).
+    *
+    * `unboundedOk = true` opts into the direct join — acceptable when
+    * the caller KNOWS the df distribution is bounded (e.g. boilerplate
+    * already stripped) and wants the single-join plan; never the
+    * default. */
+  def jaccardPairs(shDf: DataFrame, threshold: Double,
+                   unboundedOk: Boolean = false): DataFrame = {
+    if (!unboundedOk)
+      return verifiedPairs(shDf, prefixFilterCandidates(shDf, threshold),
+        threshold)
     val ex = shDf.filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
@@ -217,15 +227,24 @@ object TextDedup {
     val withDf = ex.join(
       ex.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    // the LOSSLESS guarantee needs the exact ⌈t·n⌉: double arithmetic at
+    // a binade boundary can round t·n one ulp HIGH, and ceil of that
+    // shortens the prefix by one — silently dropping qualifying pairs.
+    // Bias the ceiling downward: a longer prefix is always safe, a
+    // shorter one breaks losslessness.
     val prefix = withDf
       .withColumn("r", row_number().over(w))
-      .filter(col("r") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
+      .filter(col("r") <=
+        col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1)
       .select(col("id"), col("n"), col("s"))
-    // length filter (also lossless): J ≥ t forces max(|A|,|B|) ≤ min/t
+    // length filter (also lossless): J ≥ t forces max(|A|,|B|) ≤ min/t —
+    // biased by the same epsilon so a boundary |B| = t·|A| is never
+    // dropped by float rounding (keeping an extra pair is safe; the
+    // exact verification discards it)
     prefix.as("a").join(prefix.as("b"),
       col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-        col("a.n") * lit(threshold) <= col("b.n") &&
-        col("b.n") * lit(threshold) <= col("a.n"))
+        col("a.n") * lit(threshold) - lit(1e-9) <= col("b.n") &&
+        col("b.n") * lit(threshold) - lit(1e-9) <= col("a.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }

@@ -32,14 +32,28 @@ object Windows {
   }
 
   /** J3: keep only the trailing `n` rows per series (the positional
-    * `y[-len(out):]` alignment made explicit as reverse row_number). */
+    * `y[-len(out):]` alignment of `gordo/builder/build_model.py:448-471`).
+    *
+    * Salted two-phase selection (the q07 top-k pattern): a bare per-key
+    * reverse row_number funnels each whole series into ONE task — fine
+    * for bounded per-machine frames, a scale-killer for a long series.
+    * Phase 1 ranks within (keys, salt) — every sort partition holds
+    * ~1/saltBuckets of a series and keeps only its trailing n; phase 2
+    * re-ranks the ≤ saltBuckets·n survivors per key. The global trailing
+    * n is always contained in the union of per-salt trailing n's, so the
+    * result is identical to the one-window plan. */
   def trailingAlign(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
-                    n: Long): DataFrame = {
-    val rev = Window.partitionBy(keys.map(col): _*)
+                    n: Long, saltBuckets: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
       .orderBy(orderCols.map(_.desc): _*)
-    df.withColumn("__rrn", row_number().over(rev))
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__salt", pmod(hash(orderCols: _*), lit(saltBuckets)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= n)
+      .withColumn("__rrn", row_number().over(w2))
       .filter(col("__rrn") <= n)
-      .drop("__rrn")
+      .drop("__salt", "__r1", "__rrn")
   }
 
   /** Fixed-width trailing ROW-window aggregates over a dense 0-based

@@ -141,14 +141,19 @@ object LlmQueries {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** EXACT n-gram Jaccard dedup via the direct inverted-index pair
-    * count (one shingle self-join + pair groupBy; cost Σ df², never
-    * |docs|²) — the total-recall contrast to MinHash's probabilistic
-    * candidates. */
+  /** EXACT n-gram Jaccard dedup at the recall-oriented t = 0.3 — the
+    * total-recall contrast to MinHash's probabilistic candidates.
+    * `jaccardPairs` now auto-composes the lossless prefix filter before
+    * the posting self-join (round-3 verdict: the direct Σ df² join is
+    * unbounded on skewed corpora), so the output is provably the direct
+    * join's answer while no query path reaches an uncapped self-join.
+    * The shingle frame feeds six subtrees (df counts, prefix ranking,
+    * join + verify sides) — persist, the q52 lesson. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
       "doc_id", "text", ngram = 3)
+      .persist()
     TextDedup.jaccardPairs(shDf, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")

@@ -186,18 +186,25 @@ class LlmSpec extends AnyFunSuite {
   test("prefix-filtered candidates are lossless vs direct jaccard pairs") {
     val docs = Tables(spark, sf, "documents")
     val shDf = TextDedup.withShingles(docs, "doc_id", "text").persist()
-    val direct = TextDedup.jaccardPairs(shDf, 0.3)
+    // the unguarded Σ df² join is the ground truth — reachable only via
+    // the explicit opt-out (round-3 verdict: no query path may default
+    // into an uncapped posting self-join)
+    val direct = TextDedup.jaccardPairs(shDf, 0.3, unboundedOk = true)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(direct.nonEmpty)
     val cands = TextDedup.prefixFilterCandidates(shDf, 0.3)
       .as[(Long, Long)].collect().toSet
     assert(direct.subsetOf(cands),
       s"prefix filter lost pairs: ${direct -- cands}")
-    // verified-through-candidates equals the direct exact join
-    val viaCands = TextDedup.verifiedPairs(shDf,
-      TextDedup.prefixFilterCandidates(shDf, 0.3), 0.3)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    assert(viaCands == direct)
+    // the DEFAULT path (auto-composed prefix filter + verification)
+    // equals the direct exact join, values included
+    val guarded = TextDedup.jaccardPairs(shDf, 0.3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val directFull = TextDedup.jaccardPairs(shDf, 0.3, unboundedOk = true)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(guarded == directFull)
   }
 
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
