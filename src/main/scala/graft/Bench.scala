@@ -31,24 +31,32 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // only SUCCESSFUL reps contribute to the min — a fast-failing rep
+      // of an intermittently failing query must not masquerade as its
+      // steady-state time (it already surfaces in `errors`). All-failed
+      // queries record NaN (strict-JSON-quoted below).
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          if (!errors.exists(_._1 == name))
-            errors ::= (name -> Option(e.getMessage)
-              .getOrElse(e.getClass.getName).take(120))
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            if (!errors.exists(_._1 == name))
+              errors ::= (name -> Option(e.getMessage)
+                .getOrElse(e.getClass.getName).take(120))
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.isEmpty) Double.NaN else times.min)
     }
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      jq(k) + ":" + (if (v.isNaN) "\"NaN\"" else v.toString)
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -66,9 +66,14 @@ object ModelBuilder {
     val dsCfg = Config.datasetConfig(spec)
     val t0 = System.nanoTime()
     // the assembled frame feeds every CV fold fit, the final fit, and the
-    // fold-score pass — cache it so resample/grid/interpolate run once
-    val wide = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
-      .persist()
+    // fold-score pass — cache it so resample/grid/interpolate run once.
+    // Ownership-aware: if an identical canonical plan is already cached
+    // (CacheManager matches by plan, not identity), reuse it and leave
+    // the unpersist to its owner.
+    val assembled = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
+    val ownCache =
+      assembled.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val wide = if (ownCache) assembled.persist() else assembled
     val querySec = (System.nanoTime() - t0) / 1e9
     try {
 
@@ -226,7 +231,7 @@ object ModelBuilder {
       metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
-    } finally wide.unpersist()
+    } finally if (ownCache) wide.unpersist()
   }
 
   /** Re-apply a persisted model's windowing to a raw serve-time frame

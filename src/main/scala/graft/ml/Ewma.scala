@@ -31,11 +31,18 @@ object Ewma {
 
   /** Multi-column variant: one streaming pass maintains accumulators for
     * every (input → output) pair in `cols`. Used by the smooth-* anomaly
-    * columns where several series share the same scan. `keys` may be
-    * empty for a single global series (coalesced to one partition —
-    * per-machine frames are bounded). */
+    * columns where several series share the same scan.
+    *
+    * `keys` may be empty for a single global series — that path coalesces
+    * to ONE partition, which is only safe for bounded per-machine frames
+    * (months × 144/day). The guard throws once `maxUnkeyedRows` stream
+    * through the partition, so an unkeyed unbounded series fails loudly
+    * instead of silently single-threading the cluster; key the series (or
+    * raise the bound deliberately) to process more. Counted in-stream —
+    * no extra job. */
   def ewmaMulti(df: DataFrame, keys: Seq[String], orderCol: String,
-                cols: Map[String, String], span: Double): DataFrame = {
+                cols: Map[String, String], span: Double,
+                maxUnkeyedRows: Long = 10_000_000L): DataFrame = {
     require(span >= 1.0, s"span must be >= 1, got $span")
     require(cols.nonEmpty, "need at least one column")
     val alpha = 2.0 / (span + 1.0)
@@ -49,12 +56,21 @@ object Ewma {
       if (keys.isEmpty) df.coalesce(1).sortWithinPartitions(col(orderCol))
       else df.repartition(keys.map(col): _*)
         .sortWithinPartitions((keys :+ orderCol).map(col): _*)
+    val unkeyed = keys.isEmpty
     sorted.mapPartitions { it =>
       val n = vIdx.length
       var curKey: List[Any] = null
+      var seen = 0L
       val num = new Array[Double](n)
       val den = new Array[Double](n)
       it.map { r =>
+        if (unkeyed) {
+          seen += 1
+          if (seen > maxUnkeyedRows) throw new IllegalStateException(
+            s"ewmaMulti with empty keys coalesces to one partition; the " +
+              s"series exceeded maxUnkeyedRows=$maxUnkeyedRows rows — key " +
+              s"the series or raise the bound deliberately")
+        }
         val k = keyIdx.foldRight(List.empty[Any])((i, acc) => r.get(i) :: acc)
         if (k != curKey) {
           curKey = k

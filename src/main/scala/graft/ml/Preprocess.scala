@@ -130,6 +130,16 @@ object Preprocess {
                 specs: List[StageSpec],
                 feature: String => Column): Fitted = {
     var chain = List.empty[Stage]
+    // a tag that is entirely null (or all non-finite under the finite
+    // mask) yields NULL aggregates; getAs[Double] would unbox those to
+    // 0.0 and silently fit bogus stats — fail with the tag named instead
+    def stat(row: org.apache.spark.sql.Row, name: String, tag: String): Double = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) throw new IllegalStateException(
+        s"preprocess fit: aggregate '$name' is null — tag '$tag' has no " +
+          "(finite) values in the training span")
+      row.getDouble(i)
+    }
     specs.foreach { spec =>
       def cur(t: String): Column = Fitted(chain).preFrom(t, feature(t))
       val stage: Stage = spec match {
@@ -139,8 +149,8 @@ object Preprocess {
             Seq(min(cur(t)).as(s"__pmin_$t"), max(cur(t)).as(s"__pmax_$t")))
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           ScalerStage("minmax", tags.map { t =>
-            val lo = row.getAs[Double](s"__pmin_$t")
-            t -> (lo, row.getAs[Double](s"__pmax_$t") - lo)
+            val lo = stat(row, s"__pmin_$t", t)
+            t -> (lo, stat(row, s"__pmax_$t", t) - lo)
           }.toMap)
         case ScalerSpec("robust") =>
           val aggs = tags.flatMap(t => Seq(
@@ -149,8 +159,8 @@ object Preprocess {
             percentile(cur(t), lit(0.75)).as(s"__pq3_$t")))
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           ScalerStage("robust", tags.map { t =>
-            val med = row.getAs[Double](s"__pmed_$t")
-            val iqr = row.getAs[Double](s"__pq3_$t") - row.getAs[Double](s"__pq1_$t")
+            val med = stat(row, s"__pmed_$t", t)
+            val iqr = stat(row, s"__pq3_$t", t) - stat(row, s"__pq1_$t", t)
             t -> (med, iqr)
           }.toMap)
         case ScalerSpec(k) =>
@@ -168,8 +178,8 @@ object Preprocess {
             min(finite(cur(t))).as(s"__pimin_$t")))
           val row = df.agg(aggs.head, aggs.tail: _*).head()
           ImputerStage(tags.map { t =>
-            val hi = row.getAs[Double](s"__pimax_$t")
-            val lo = row.getAs[Double](s"__pimin_$t")
+            val hi = stat(row, s"__pimax_$t", t)
+            val lo = stat(row, s"__pimin_$t", t)
             val pos = if (Double.MaxValue - delta > hi) hi + delta else Double.MaxValue
             val neg = if (Double.MinValue + delta < lo) lo - delta else Double.MinValue
             t -> (pos, neg)

@@ -165,7 +165,8 @@ object AnomalyQueries {
     // persist: the chunked-lag union (base + carry) and the row indexing
     // would each re-derive the resample+pivot; the per-machine frame is
     // bounded, so the cache is the cheap barrier (q34 precedent)
-    val wide = wideClickView(spark, dir).select($"bucket_ts", $"click").persist()
+    val wide = graft.Caching.ensureCached(
+      wideClickView(spark, dir).select($"bucket_ts", $"click"))
     val indexed = graft.ml.CrossValidate.withRowIndex(wide, Seq($"bucket_ts"))
     val lagged = graft.ml.Windows.chunkedLag(indexed, "__row",
       Seq(("click", "click_lag1", 1), ("click", "click_lag2", 2)))

@@ -75,8 +75,10 @@ object LlmQueries {
     // exchange subplans, so ReusedExchange misses and shingles recompute
     // per branch (observed 4x slower). The cache lives for the batch
     // process; long-lived sessions should unpersist after consuming.
-    val shDf = TextDedup.withShingles(docs, "doc_id", "text", ngram = 3)
-      .persist()
+    // ensureCached: q34/q46/q52 derive the SAME canonical shingle plan —
+    // a bare persist on the second one warns and double-books the cache.
+    val shDf = graft.Caching.ensureCached(
+      TextDedup.withShingles(docs, "doc_id", "text", ngram = 3))
     val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
@@ -151,9 +153,9 @@ object LlmQueries {
     * join + verify sides) — persist, the q52 lesson. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
-      "doc_id", "text", ngram = 3)
-      .persist()
+    val shDf = graft.Caching.ensureCached(
+      TextDedup.withShingles(Tables(spark, dir, "documents"),
+        "doc_id", "text", ngram = 3))
     TextDedup.jaccardPairs(shDf, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
@@ -178,9 +180,9 @@ object LlmQueries {
     // sides) and per-branch filters/pruning push below an Exchange and
     // de-canonicalize it — ReusedExchange misses and shingling
     // recomputes per branch (the q34 lesson above)
-    val shDf = TextDedup.withShingles(Tables(spark, dir, "documents"),
-      "doc_id", "text", ngram = 3)
-      .persist()
+    val shDf = graft.Caching.ensureCached(
+      TextDedup.withShingles(Tables(spark, dir, "documents"),
+        "doc_id", "text", ngram = 3))
     val cands = TextDedup.prefixFilterCandidates(shDf, threshold = 0.8)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.8)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))

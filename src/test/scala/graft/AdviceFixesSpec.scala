@@ -268,6 +268,40 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(!mx.isNaN && !mx.isInfinite)
   }
 
+  test("preprocess fit fails loudly on an all-null tag (advice r3: low)") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("bucket_ts", "a")
+      .withColumn("b", lit(null).cast("double"))
+    val e = intercept[IllegalStateException] {
+      graft.ml.Preprocess.fitStages(df, Seq("a", "b"),
+        List(graft.ml.Preprocess.ScalerSpec("minmax")),
+        t => col(s"`$t`").cast("double"))
+    }
+    assert(e.getMessage.contains("'b'"), e.getMessage)
+    // all-non-finite under the imputer's finite mask fails the same way
+    val inf = df.withColumn("b", lit(Double.PositiveInfinity))
+    val e2 = intercept[IllegalStateException] {
+      graft.ml.Preprocess.fitStages(inf, Seq("a", "b"),
+        List(graft.ml.Preprocess.ImputerSpec("minmax", 2.0)),
+        t => col(s"`$t`").cast("double"))
+    }
+    assert(e2.getMessage.contains("'b'"), e2.getMessage)
+  }
+
+  test("ewmaMulti rejects an unkeyed series past the bound (advice r3)") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val ex = intercept[Throwable] {
+      graft.ml.Ewma.ewmaMulti(df, Nil, "t", Map("v" -> "e"), span = 3.0,
+        maxUnkeyedRows = 5L).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxUnkeyedRows")), ex.toString)
+    // under the bound the guard is inert
+    assert(graft.ml.Ewma.ewmaMulti(df, Nil, "t", Map("v" -> "e"),
+      span = 3.0).count() == 10)
+  }
+
   test("FunctionTransformer multiply handles dotted tag names (advice: low)") {
     val df = Seq((1.0, 2.0)).toDF("a.x", "b.y")
     val out = ModelRegistry.fitTransform(df, Seq("a.x", "b.y"),
