@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.build.{Responses, Serving}
+import graft.config.Config
+import graft.data.TimeSeries
+import graft.ml.CrossValidate
+
+/** Oracle gates for the serving/build components that were previously
+  * ScalaTest-only (round-3 verdict item 4): K2 nested JSON responses,
+  * A8 CV score aggregation, P1 serve-time column verification, F8 tag
+  * normalization. Each query drives the REAL component over the test
+  * tables and re-expresses its observable output as rows DuckDB can
+  * recompute independently.
+  */
+object ServingQueries {
+
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  private def hourlyWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+    val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 3600L)
+    TimeSeries.pivotWide(r, "event_type", Seq("click", "view")).na.drop()
+  }
+
+  /** K2: the nested `{group: {tag: {ts: value}}}` JSON response
+    * (`gordo/server/utils.py:86-142`) — a serving-shaped frame runs
+    * through [[Responses.toNestedJson]], and the query emits the PARSED
+    * JSON back as rows. The oracle recomputes the same (group, tag, ts,
+    * value) triples directly, so a dropped column, a mis-split
+    * group/tag, a collapsed single-level column, or a corrupted value
+    * all hash-mismatch. The round trip is driver-side by design —
+    * serving responses are bounded request windows. */
+  def nestedJsonResponse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = hourlyWide(spark, dir)
+    val frame = wide.select(
+      $"bucket_ts".as("start"),
+      r4($"click").as("model-input.click"),
+      r4($"view").as("model-input.view"),
+      // single-level column: splitName must map it to tag "value"
+      r4($"click" + $"view").as("total-mean"))
+    val json = Responses.toNestedJson(frame)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    val rows = for {
+      grp <- scala.jdk.CollectionConverters.IteratorHasAsScala(
+        root.fieldNames()).asScala.toSeq
+      tag <- scala.jdk.CollectionConverters.IteratorHasAsScala(
+        root.get(grp).fieldNames()).asScala.toSeq
+      ts <- scala.jdk.CollectionConverters.IteratorHasAsScala(
+        root.get(grp).get(tag).fieldNames()).asScala.toSeq
+    } yield (grp, tag, ts.toLong, root.get(grp).get(tag).get(ts).asDouble())
+    rows.toDF("grp", "tag", "bucket_ts", "value")
+      .orderBy($"grp", $"tag", $"bucket_ts")
+  }
+
+  /** A8: `aggregateScores` (`gordo/builder/build_model.py:274-289`) over
+    * real per-fold values — TimeSeriesSplit(3) on the hourly click
+    * series, per-fold test-span mean as the metric, then the reference's
+    * mean/std(population)/max/min + raw per-fold map. */
+  def cvScoreAggregation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").filter($"event_type" === "click")
+    val series = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 3600L)
+      .select($"bucket_ts", $"value")
+    val indexed = graft.Caching.ensureCached(
+      CrossValidate.withRowIndex(series, Seq($"bucket_ts")))
+    val n = indexed.count()
+    val folds = CrossValidate.timeSeriesSplit(n, 3)
+    // per-machine orchestration: each fold score is one small agg job
+    val perFold = folds.map(f =>
+      CrossValidate.testFold(indexed, f)
+        .agg(avg($"value")).head().getDouble(0))
+    CrossValidate.aggregateScores(perFold).toSeq
+      .toDF("stat", "raw")
+      .select($"stat", r4($"raw").as("value"))
+      .orderBy($"stat")
+  }
+
+  /** P1: serve-time column verification (`gordo/server/utils.py:208-253`)
+    * — the labeled path reorders by name and drops extras; the unlabeled
+    * path (`_c0`-style wire columns) renames positionally. Both run over
+    * the same lineitem slice and must land on identical bytes. */
+  def verifyColumnsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq("l_orderkey", "l_linenumber", "l_quantity")
+    // wrong order + an extra column the model never saw
+    val base = Tables(spark, dir, "lineitem").filter($"l_orderkey" < 1000)
+      .select($"l_quantity", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val labeled = Serving.verifyColumns(base, expected)
+      .withColumn("mode", lit("labeled"))
+    val unlabeledIn = base.select($"l_orderkey".as("_c0"),
+      $"l_linenumber".as("_c1"), $"l_quantity".as("_c2"))
+    val unlabeled = Serving.verifyColumns(unlabeledIn, expected)
+      .withColumn("mode", lit("unlabeled"))
+    labeled.unionByName(unlabeled)
+      .orderBy($"mode", $"l_orderkey", $"l_linenumber")
+  }
+
+  /** F8: tag normalization (`gordo/utils.py:15-51`) — trim + first-seen-
+    * order dedup over a tag list with planted whitespace variants. The
+    * input is assembled from the events table in event_id order (a
+    * bounded config-surface list; the function is driver-side like the
+    * reference's). */
+  def normalizeTagsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir, "events").filter($"event_id" < 2000)
+      .orderBy($"event_id")
+      .select(when($"event_id" % 2 === 1,
+        concat(lit("  "), $"event_type", lit(" ")))
+        .otherwise($"event_type").as("t"))
+      .as[String].collect().toSeq
+    Config.normalizeTags(raw).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("pos", "tag")
+      .orderBy($"pos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_nested_json" -> (nestedJsonResponse _),
+    "q54_cv_score_agg" -> (cvScoreAggregation _),
+    "q55_verify_columns" -> (verifyColumnsQuery _),
+    "q56_normalize_tags" -> (normalizeTagsQuery _),
+  )
+
+  private val hourlyWideSql =
+    """SELECT bucket_ts,
+      | max(CASE WHEN event_type = 'click' THEN value END) AS click,
+      | max(CASE WHEN event_type = 'view' THEN value END) AS view
+      |FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+      |             avg(value) AS value
+      |      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+      |GROUP BY bucket_ts""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q53_nested_json" ->
+      s"""WITH w AS ($hourlyWideSql),
+        |base AS (SELECT bucket_ts, click, view FROM w
+        |         WHERE click IS NOT NULL AND view IS NOT NULL)
+        |SELECT grp, tag, bucket_ts, value FROM (
+        |  SELECT 'model-input' AS grp, 'click' AS tag, bucket_ts,
+        |         floor(click*10000 + 0.5)/10000 AS value FROM base
+        |  UNION ALL
+        |  SELECT 'model-input', 'view', bucket_ts,
+        |         floor(view*10000 + 0.5)/10000 FROM base
+        |  UNION ALL
+        |  SELECT 'total-mean', 'value', bucket_ts,
+        |         floor((click + view)*10000 + 0.5)/10000 FROM base)
+        |ORDER BY grp, tag, bucket_ts""".stripMargin,
+    "q54_cv_score_agg" ->
+      """WITH r AS (
+        |  SELECT (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, avg(value) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |idx AS (SELECT value, row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM r),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |folds AS (SELECT t.i AS fold,
+        |            n - (3 - t.i)*(n//4) AS test_start,
+        |            n - (2 - t.i)*(n//4) AS test_end
+        |          FROM nn CROSS JOIN (VALUES (0), (1), (2)) AS t(i)),
+        |fm AS (SELECT f.fold, avg(i.value) AS v
+        |       FROM folds f JOIN idx i ON i.rn >= f.test_start AND i.rn < f.test_end
+        |       GROUP BY 1)
+        |SELECT stat, floor(raw*10000 + 0.5)/10000 AS value FROM (
+        |  SELECT 'fold-' || CAST(fold + 1 AS VARCHAR) AS stat, v AS raw FROM fm
+        |  UNION ALL SELECT 'fold-mean', avg(v) FROM fm
+        |  UNION ALL SELECT 'fold-std', stddev_pop(v) FROM fm
+        |  UNION ALL SELECT 'fold-max', max(v) FROM fm
+        |  UNION ALL SELECT 'fold-min', min(v) FROM fm)
+        |ORDER BY stat""".stripMargin,
+    "q55_verify_columns" ->
+      """SELECT mode, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT 'labeled' AS mode, l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT 'unlabeled', l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY mode, l_orderkey, l_linenumber""".stripMargin,
+    "q56_normalize_tags" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 2 = 1 THEN '  ' || event_type || ' '
+        |              ELSE event_type END AS t
+        |  FROM events WHERE event_id < 2000),
+        |f AS (SELECT trim(t) AS tag, min(event_id) AS fid FROM e GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS BIGINT) AS pos, tag
+        |FROM f ORDER BY pos""".stripMargin,
+  )
+}
