@@ -108,4 +108,44 @@ class ProjectSpec2 extends AnyFunSuite {
     val back = rep.read("m1")
     assert(back("machine").asInstanceOf[Map[String, Any]]("model") == "y")
   }
+
+  test("JDBC reporter writes and updates the machine table (K4)") {
+    // embedded Derby from Spark's classpath — derby.system.home keeps
+    // derby.log out of the repo; memory: keeps the DB itself off disk
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby").toString)
+    val rep = new Reporters.JdbcReporter("jdbc:derby:memory:graftdb;create=true")
+    try {
+      def machine(kind: String) = Map[String, Any](
+        "dataset" -> Map("tag_list" -> List("tag-a", "tag-b"),
+          "resolution" -> "10T"),
+        "model" -> Map("gordo.machine.model.models.KerasAutoEncoder" ->
+          Map("kind" -> kind)))
+      rep.report("machine-one", machine("feedforward_hourglass"),
+        Map("build" -> 1))
+      // a second machine coexists
+      rep.report("machine-two", machine("feedforward_symmetric"),
+        Map("build" -> 1))
+      // re-report UPDATES in place (postgres.py:84-95), no duplicate row
+      rep.report("machine-one", machine("feedforward_simple"),
+        Map("build" -> 2))
+      val back = rep.read("machine-one")
+      val model = back("model").asInstanceOf[Map[String, Any]](
+        "gordo.machine.model.models.KerasAutoEncoder")
+        .asInstanceOf[Map[String, Any]]
+      assert(model("kind") == "feedforward_simple")
+      assert(back("metadata").asInstanceOf[Map[String, Any]]("build") == 2)
+      assert(back("dataset").asInstanceOf[Map[String, Any]](
+        "tag_list") == List("tag-a", "tag-b"))
+      val two = rep.read("machine-two")
+      assert(two("metadata").asInstanceOf[Map[String, Any]]("build") == 1)
+      // a reconnect sees the same rows (same in-memory DB instance) and
+      // create-if-missing tolerates the existing table
+      val rep2 = new Reporters.JdbcReporter("jdbc:derby:memory:graftdb")
+      try assert(rep2.read("machine-one")("metadata")
+        .asInstanceOf[Map[String, Any]]("build") == 2)
+      finally rep2.close()
+      intercept[Reporters.ReporterException](rep.read("no-such-machine"))
+    } finally rep.close()
+  }
 }
