@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode/feature-extract
   * runs as a per-partition batch kernel.
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * container has no image/audio codecs — see the builder brief); the
-  * Spark-side contract is real: schema, batch shape, partition-local
-  * execution, and the feature-struct output a downstream trainer would
-  * consume. Swapping `decodeStub` for a JNI/codec call changes no
-  * plumbing.
+  * IMAGE decode is REAL — [[decodeImage]] uses the JRE's `javax.imageio`
+  * readers (PNG/BMP/GIF/JPEG), gated bit-exactly by LlmSpec. Audio/video
+  * decode stays a deterministic stand-in ([[decodeStub]] /
+  * [[sampleFrames]] — no audio/video codecs in the JRE); the Spark-side
+  * contract is identical either way: schema, batch shape,
+  * partition-local execution, and the feature-struct output a downstream
+  * trainer would consume.
   *
   * Scale: payload bytes never shuffle — features are derived in place on
   * the scan partitions; only the (small) feature struct flows downstream.
@@ -79,6 +80,68 @@ object Multimodal {
           else r.getAs[Array[Byte]](contentIdx)
         val (n, sum, hist) = decodeStub(bytes)
         Row.fromSeq(r.toSeq :+ Row(n, sum, hist.toSeq))
+      }
+    }(Encoders.row(schema))
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** REAL image decode — JDK `javax.imageio`, zero new dependencies
+    * (PNG/BMP/GIF/JPEG readers ship with the JRE): dimensions plus a
+    * 16-bin luminance histogram (integer ITU-R BT.601 weights,
+    * (299·R + 587·G + 114·B)/1000 — deterministic, no float). Returns
+    * None for empty/undecodable payloads — corrupt blobs are data, not
+    * task failures. */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val hist = new Array[Long](16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          hist(((299 * r + 587 * g + 114 * b) / 1000) >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, hist))
+    } catch { case _: Exception => None }
+  }
+
+  /** Image feature extraction as a partition-local batch kernel — the
+    * de-stubbed q37 family: payload bytes decode IN PLACE on the scan
+    * partitions (never shuffled); only the small feature struct flows
+    * downstream. Undecodable payloads get a null struct. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val schema = media.schema.add("image_features", imageFeatureSchema,
+      nullable = true)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      // in-memory decode only — the default ImageIO disk cache would
+      // write executor temp files per blob
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val feats = decodeImage(bytes) match {
+          case Some((w, h, hist)) => Row(w, h, hist.toSeq, bytes.length.toLong)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ feats)
       }
     }(Encoders.row(schema))
   }

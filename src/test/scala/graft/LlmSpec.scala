@@ -207,6 +207,47 @@ class LlmSpec extends AnyFunSuite {
     assert(guarded == directFull)
   }
 
+  test("image decode is real: PNG/BMP fixtures decode bit-exactly") {
+    import java.awt.image.BufferedImage
+    // deterministic 2x2 fixture: black, white, red, green — integer
+    // BT.601 lumas 0, 255, 76, 149 → histogram bins 0, 15, 4, 9
+    def fixture(): BufferedImage = {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+      img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+      img
+    }
+    def encode(format: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(fixture(), format, out),
+        s"JRE cannot encode $format")
+      out.toByteArray
+    }
+    val expectedHist =
+      Seq(0, 4, 9, 15).foldLeft(Vector.fill(16)(0L))((h, b) => h.updated(b, h(b) + 1))
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = encode(fmt)
+      val (w, h, hist) = Multimodal.decodeImage(bytes).get
+      assert((w, h) == ((2, 2)), fmt)
+      assert(hist.toVector == expectedHist, s"$fmt: ${hist.toVector}")
+    }
+    // and through the partition-local kernel over a DataFrame
+    val media = Multimodal.asMedia(
+      Seq((1L, encode("png")), (2L, "not an image".getBytes),
+        (3L, encode("bmp"))).toDF("id", "payload"),
+      "id", "payload", "image/png")
+    val feats = Multimodal.extractImageFeatures(media)
+      .select($"media_id", $"image_features")
+      .orderBy($"media_id").collect()
+    val f1 = feats(0).getStruct(1)
+    assert(f1.getInt(0) == 2 && f1.getInt(1) == 2)
+    assert(f1.getSeq[Long](2).toVector == expectedHist)
+    assert(f1.getLong(3) == encode("png").length.toLong)
+    // undecodable payload → null struct, not a task failure
+    assert(feats(1).isNullAt(1))
+    assert(feats(2).getStruct(1).getInt(0) == 2)
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     val shared = "the common stretch of text both documents contain"
     val df = Seq(
