@@ -977,8 +977,9 @@ object DiffAnomaly {
       .drop(extraTargets.map(t => s"__target.$t"): _*)
   }
 
-  /** The (input → smooth output) column-name pairs for smoothing. */
-  private def smoothPairs(tags: Seq[String]): Seq[(String, String)] =
+  /** The (input → smooth output) column-name pairs for smoothing (shared
+    * with the streaming anomaly job). */
+  private[graft] def smoothPairs(tags: Seq[String]): Seq[(String, String)] =
     tags.flatMap(t => Seq(
       s"tag-anomaly-scaled.$t" -> s"smooth-tag-anomaly-scaled.$t",
       s"tag-anomaly-unscaled.$t" -> s"smooth-tag-anomaly-unscaled.$t")) ++ Seq(

@@ -39,6 +39,27 @@ object StreamingScoring {
       .select(col(keyCol),
         unix_timestamp(col("w.start")).as("bucket_ts"), col(valueCol))
 
+  /** Streaming resample + pivot in ONE stateful aggregation: per-tag
+    * conditional avg inside the tumbling time window (streaming has no
+    * `pivot`, and chaining a second aggregation would add a second
+    * stateful operator for nothing). Emits the same wide (bucket_ts,
+    * tag…) rows as the batch `resample → pivotWide`, one row per bucket
+    * once the watermark passes its end. */
+  def resampleWideStream(stream: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, tags: Seq[String],
+                         resolutionSec: Long,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(tags.nonEmpty, "need at least one tag")
+    val aggs = tags.map(t =>
+      avg(when(col(keyCol) === t, col(valueCol))).as(t))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$resolutionSec seconds").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((unix_timestamp(col("w.start")).as("bucket_ts") +:
+        tags.map(t => graft.Cols.q(t))): _*)
+  }
+
   /** Score a wide stream with a fitted detector: identical column set to
     * the batch `DiffAnomaly.anomaly` minus smooth-* (stateless). */
   def scoreStream(fd: FittedDetector, wide: DataFrame,
@@ -51,8 +72,11 @@ object StreamingScoring {
     * of each smoothed column (ring kept by truncation; None = a null
     * score, which the aggregates skip exactly like the batch window
     * functions) — state size is width × columns per machine, constant
-    * in stream length. */
-  case class SmoothState(hist: Seq[Seq[Option[Double]]])
+    * in stream length. `lastT` is the highest orderCol emitted for the
+    * key: the in-order-delivery contract is ENFORCED against it, not
+    * assumed. */
+  case class SmoothState(hist: Seq[Seq[Option[Double]]],
+                         lastT: Option[Long] = None)
 
   /** Stateful streaming smoothing (the smooth-* trailing windows of
     * W1–W3 applied to an arriving per-machine score stream) via
@@ -65,14 +89,22 @@ object StreamingScoring {
     * `Windows.chunkedTrailing`.
     *
     * Rows are sorted by `orderCol` within each micro-batch; across
-    * batches, per-key in-order delivery is assumed — the shape
+    * batches, per-key in-order delivery is the contract — the shape
     * [[resampleStream]] produces, where a bucket is emitted once the
     * watermark finalizes it (and the same contract the reference's docs
     * put on clients, `docs/ml/model_output.rst:77-103`: supply `window`
-    * rows of ordered history). Returns (key, order, smooth…) rows. */
+    * rows of ordered history). The contract is ENFORCED, not assumed: a
+    * row at or before the key's last emitted orderCol is DROPPED (the
+    * trailing-window state already consumed that position — folding the
+    * late row in would silently corrupt every subsequent window), the
+    * streaming analog of the watermark discarding late buckets.
+    * Returns (key, order, smooth…, carry…) rows — `carry` double columns
+    * ride through unsmoothed (the composed [[anomalyJob]] carries the
+    * scored frame's columns alongside its smooth-*). */
   def smoothStream(scored: DataFrame, keyCol: String, orderCol: String,
                    cols: Seq[(String, String)], width: Int,
-                   method: String = "smm"): DataFrame = {
+                   method: String = "smm",
+                   carry: Seq[String] = Nil): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
     require(method == "smm" || method == "sma",
       s"unsupported streaming smoothing: $method")
@@ -80,6 +112,7 @@ object StreamingScoring {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = scored.sparkSession
     import spark.implicits._
+    val nSmooth = cols.size
     // boxed score values: a null score rides as None and is SKIPPED by
     // the aggregates, exactly like the batch window functions — a plain
     // Seq[Double] encoder would kill the streaming query on the first
@@ -87,7 +120,8 @@ object StreamingScoring {
     val packed = scored.select(
       graft.Cols.q(keyCol).cast("string"),
       graft.Cols.q(orderCol).cast("long"),
-      array(cols.map { case (in, _) => graft.Cols.q(in).cast("double") }: _*))
+      array((cols.map(_._1) ++ carry).map(c =>
+        graft.Cols.q(c).cast("double")): _*))
       .as[(String, Long, Seq[Option[Double]])]
     val smoothed = packed.groupByKey(_._1)
       .flatMapGroupsWithState[SmoothState, (String, Long, Seq[Option[Double]])](
@@ -95,37 +129,86 @@ object StreamingScoring {
         (key, rows, state) =>
           val hist: Array[Vector[Option[Double]]] =
             if (state.exists) state.get.hist.map(_.toVector).toArray
-            else Array.fill(cols.size)(Vector.empty[Option[Double]])
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, vals) =>
-            val sm = vals.zipWithIndex.map { case (v, i) =>
-              hist(i) = (hist(i) :+ v).takeRight(width)
-              val defined = hist(i).flatten
-              // pandas NaN prefix: null until the key has seen `width`
-              // ROWS; within a full frame, nulls are skipped like the
-              // batch min/avg/percentile
-              if (hist(i).size < width || defined.isEmpty) None
-              else Some(method match {
-                case "sma" => defined.sum / defined.size
-                case "smm" =>
-                  // exact percentile(0.5) with linear interpolation
-                  // over the non-null frame values, matching the batch
-                  // window's `percentile`
-                  val s = defined.sorted
-                  val pos = (s.size - 1) * 0.5
-                  val lo = s(pos.toInt)
-                  val hi = s(math.ceil(pos).toInt)
-                  lo + (hi - lo) * (pos - pos.toInt)
-              })
+            else Array.fill(nSmooth)(Vector.empty[Option[Double]])
+          var lastT = state.getOption.flatMap(_.lastT)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, t, vals) =>
+            // out-of-order guard: the state already consumed this
+            // position — drop the late row instead of corrupting every
+            // subsequent trailing window
+            if (lastT.exists(t <= _)) None
+            else {
+              lastT = Some(t)
+              val sm = vals.take(nSmooth).zipWithIndex.map { case (v, i) =>
+                hist(i) = (hist(i) :+ v).takeRight(width)
+                val defined = hist(i).flatten
+                // pandas NaN prefix: null until the key has seen `width`
+                // ROWS; within a full frame, nulls are skipped like the
+                // batch min/avg/percentile
+                if (hist(i).size < width || defined.isEmpty) None
+                else Some(method match {
+                  case "sma" => defined.sum / defined.size
+                  case "smm" =>
+                    // exact percentile(0.5) with linear interpolation
+                    // over the non-null frame values, matching the batch
+                    // window's `percentile`
+                    val s = defined.sorted
+                    val pos = (s.size - 1) * 0.5
+                    val lo = s(pos.toInt)
+                    val hi = s(math.ceil(pos).toInt)
+                    lo + (hi - lo) * (pos - pos.toInt)
+                })
+              }
+              // carry values pass through unsmoothed
+              Some((key, t, sm ++ vals.drop(nSmooth)))
             }
-            (key, t, sm)
           }
-          state.update(SmoothState(hist.toSeq.map(_.toSeq)))
+          state.update(SmoothState(hist.toSeq.map(_.toSeq), lastT))
           out.iterator
       }
     smoothed.toDF("__k", "__t", "__sm").select(
       (col("__k").as(keyCol) +: col("__t").as(orderCol) +:
-        cols.zipWithIndex.map { case ((_, out), i) =>
+        (cols.map(_._2) ++ carry).zipWithIndex.map { case (out, i) =>
           col("__sm")(i).as(out) }): _*)
+  }
+
+  /** §2.11 END-TO-END anomaly job, ONE checkpointed query: a long
+    * (key, ts, value) sensor stream → watermarked resample+pivot (the
+    * single stateful aggregation of [[resampleWideStream]]) → stateless
+    * anomaly scoring ([[scoreStream]]) → stateful smooth-* columns
+    * ([[smoothStream]], keyed by the machine name) → exactly-once
+    * parquet forwarder ([[Forwarder.toParquet]]). The emitted rows carry
+    * the full batch `DiffAnomaly.anomaly` column set — start/end,
+    * model-input/output, tag/total anomaly, confidences, AND the
+    * smooth-* columns; StreamingSpec gates batch parity across
+    * micro-batches including watermark-late rows.
+    *
+    * Two stateful operators chained in append mode (windowed agg →
+    * flatMapGroupsWithState) — supported since Spark's multi-stateful-
+    * operator work; the smooth state is bounded (width × columns per
+    * machine) and the agg state by the watermark. */
+  def anomalyJob(fd: FittedDetector, machineName: String, stream: DataFrame,
+                 keyCol: String, tsCol: String, valueCol: String,
+                 resolutionSec: Long, outDir: String, checkpointDir: String,
+                 watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val width = fd.window.getOrElse(144)
+    val wide = resampleWideStream(stream, keyCol, tsCol, valueCol,
+      (fd.tags ++ fd.targets).distinct, resolutionSec, watermarkDelay)
+    val scored = scoreStream(fd, wide, resolutionSec)
+    // start (= the bucket) is the order key; end is start + resolution,
+    // reconstructed statelessly after the smooth operator
+    val carry = scored.columns.toSeq.filterNot(c => c == "start" || c == "end")
+    val smoothed = smoothStream(
+      scored.withColumn("__machine", lit(machineName)),
+      "__machine", "start", DiffAnomaly.smoothPairs(fd.targets), width,
+      fd.smoothingMethod, carry = carry)
+    val out = smoothed
+      .withColumn("end", col("start") + lit(resolutionSec))
+      .withColumnRenamed("__machine", "machine")
+      .select((col("machine") +: col("start") +: col("end") +:
+        (carry ++ DiffAnomaly.smoothPairs(fd.targets).map(_._2))
+          .map(graft.Cols.q)): _*)
+    Forwarder.toParquet(out, outDir, checkpointDir)
   }
 
   /** Streaming exact dedup for an arriving document stream: the first

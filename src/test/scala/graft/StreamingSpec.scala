@@ -136,6 +136,91 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("smoothStream drops out-of-order rows instead of corrupting state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val stream = input.toDF().toDF("machine", "bucket_ts", "err")
+    val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+      Seq("err" -> "sm"), width = 2, method = "sma")
+      .writeStream.format("memory").queryName("ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(("m1", 0L, Some(1.0)), ("m1", 600L, Some(3.0)),
+        ("m1", 1200L, Some(5.0)))
+      q.processAllAvailable()
+      // a LATE row for an already-emitted position, plus the next row:
+      // the late row must be dropped — t=1800's window is (5, 7), not
+      // polluted by the replayed t=600
+      input.addData(("m1", 600L, Some(100.0)), ("m1", 1800L, Some(7.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT bucket_ts, sm FROM ooo ORDER BY bucket_ts")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.toSeq == Seq(0L -> None, 600L -> Some(2.0),
+        1200L -> Some(4.0), 1800L -> Some(6.0)))
+    } finally q.stop()
+  }
+
+  test("end-to-end anomaly job matches batch across micro-batches incl late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val res = 600L
+    // 12 buckets, one sample per tag per bucket (plus one late extra)
+    def sample(tag: String, i: Int): (String, Long, Double) =
+      (tag, i * res + 30L,
+        if (tag == "tx") 10.0 + i * 2.0 + (i % 3) else 25.0 + i * 1.5)
+    val base = (0 until 12).flatMap(i => Seq(sample("tx", i), sample("ty", i)))
+    val late = ("tx", 6 * res + 90L, 99.0) // lands while bucket 6 is open
+    // batch reference: resample+pivot over ALL real events (incl the late
+    // one), the same fitted detector, the full anomaly frame with smooth
+    val allEvents = (base :+ late).toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val r = graft.data.TimeSeries.resample(allEvents, Seq("tag"), "ts", "value", res)
+    val wide = graft.data.TimeSeries.pivotWide(r, "tag", Seq("tx", "ty"))
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3,
+      window = Some(3), smoothingMethod = "smm")
+    val batch = DiffAnomaly.anomaly(fitted, wide, res)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val q = StreamingScoring.anomalyJob(fitted, "m1", stream,
+      "tag", "ts", "value", res, s"$tmp/out", s"$tmp/ckpt",
+      watermarkDelay = "600 seconds")
+    try {
+      // batch 1: buckets 0..6 → watermark finalizes only a prefix
+      input.addData(base.filter(_._2 < 7 * res): _*)
+      q.processAllAvailable()
+      // batch 2: the late row (bucket 6 is still open at the watermark)
+      // + buckets 7..9
+      input.addData(late +: base.filter(e => e._2 >= 7 * res && e._2 < 10 * res): _*)
+      q.processAllAvailable()
+      // batch 3: buckets 10..11 + a far-future sentinel that advances the
+      // watermark past every real bucket (the sentinel's own bucket never
+      // finalizes and must not appear)
+      input.addData(base.filter(_._2 >= 10 * res) :+ (("tx", 20000L, 0.0)): _*)
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(s"$tmp/out")
+      assert(got.select($"machine").distinct().as[String].collect().toSeq
+        == Seq("m1"))
+      // every real bucket flushed, sentinel bucket absent
+      assert(got.agg(max($"start")).head().getLong(0) == 11 * res)
+      val cols = batch.columns.toSeq // identical column set, incl smooth-*
+      cols.foreach(c => assert(got.columns.contains(c), s"missing $c"))
+      val exp = batch.orderBy($"start")
+        .select(cols.map(c => col(s"`$c`")): _*).collect()
+      val act = got.orderBy($"start")
+        .select(cols.map(c => col(s"`$c`")): _*).collect()
+      assert(act.length == exp.length,
+        s"rows: got ${act.length}, want ${exp.length}")
+      act.zip(exp).foreach { case (a, e) => assert(a == e) }
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrences only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
