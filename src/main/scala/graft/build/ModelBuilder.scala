@@ -180,6 +180,7 @@ object ModelBuilder {
     // persist as "pca", or the saved params are unloadable
     def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
+      case _: ModelRegistry.RawSpec => "mlp"
       // the MLP window-AE trains the real net over the flattened window;
       // closed-form impls get the bottlenecked linear window autoencoder
       case ModelRegistry.Windowed(_, 0, ModelRegistry.Reconstruction("mlp", _)) => "mlp"

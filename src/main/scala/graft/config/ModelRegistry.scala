@@ -27,6 +27,14 @@ object ModelRegistry {
   /** Reconstruction model; `kind` is the factory name (M8/M9 analog). */
   case class Reconstruction(impl: String, kind: String) extends Stage
 
+  /** M7 raw-spec regressor: an explicit Dense layer list (units,
+    * activation) compiled from the `{spec, compile}` kind map of
+    * `KerasRawModelRegressor` (`gordo/machine/model/models.py:401-460`).
+    * `kind` keeps the original map verbatim for the `intoDefinition`
+    * round trip. */
+  case class RawSpec(layers: List[(Int, String)],
+                     kind: Map[String, Any]) extends Stage
+
   /** Sequence-model wrapper (M6/M10): the inner reconstruction consumes
     * a lookback window materialized as lag feature columns; `lookahead`
     * 1 = forecast (window strictly precedes the target row), 0 =
@@ -127,6 +135,54 @@ object ModelRegistry {
         Reconstruction("mlp", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
+    case "gordo.machine.model.models.KerasRawModelRegressor" =>
+      // `models.py:440-447`: the kind map must carry BOTH expected keys
+      val kind = kwargs(kw.getOrElse("kind",
+        throw new CompileException("KerasRawModelRegressor needs a kind map")))
+      for (k <- Seq("spec", "compile") if !kind.contains(k))
+        throw new CompileException(
+          s"raw-spec kind must have keys (spec, compile); missing: $k")
+      // compile kwargs: this engine trains mse + (full-batch) adam only —
+      // reject silently-ignored alternatives
+      val comp = kwargs(kind("compile"))
+      for ((key, want) <- Seq("loss" -> "mse", "optimizer" -> "adam");
+           v <- comp.get(key) if v.toString != want)
+        throw new CompileException(
+          s"raw-spec compile.$key='$v' unsupported (only '$want')")
+      val spec = kwargs(kind("spec"))
+      val seqKw = spec.get("tensorflow.keras.models.Sequential") match {
+        case Some(v) => kwargs(v)
+        case None => throw new CompileException(
+          s"raw spec must be a tensorflow.keras.models.Sequential: ${spec.keys}")
+      }
+      val layers = seqKw.getOrElse("layers",
+        throw new CompileException("Sequential needs layers")) match {
+        case l: List[_] => l.map {
+          case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            mm.toList match {
+              case List(("tensorflow.keras.layers.Dense", dkw)) =>
+                val d = kwargs(dkw)
+                val units = num(d.getOrElse("units",
+                  throw new CompileException("Dense needs units"))).toInt
+                // keras Dense default activation is None → linear
+                val act = d.get("activation").filter(_ != null)
+                  .map(_.toString).getOrElse("linear")
+                try graft.ml.Mlp.actCode(act)
+                catch { case e: IllegalArgumentException =>
+                  throw new CompileException(e.getMessage) }
+                (units, act)
+              case other => throw new CompileException(
+                s"unsupported raw-spec layer: ${other.map(_._1)}")
+            }
+          case other =>
+            throw new CompileException(s"bad raw-spec layer node: $other")
+        }
+        case other => throw new CompileException(s"layers must be a list: $other")
+      }
+      if (layers.isEmpty)
+        throw new CompileException("raw spec needs at least one Dense layer")
+      RawSpec(layers, kind)
     case "sklearn.decomposition.PCA" =>
       // sklearn accepts a positive int (rank), a float in (0,1) (variance
       // fraction), or None (keep all) — validate HERE so a bad value is a
@@ -171,6 +227,7 @@ object ModelRegistry {
     * silently claims an estimator family that didn't train. */
   def substituteClosedForm(stage: Stage): Stage = stage match {
     case Reconstruction("mlp", kind) => Reconstruction("ridge", kind)
+    case RawSpec(_, _) => Reconstruction("ridge", "raw_spec")
     case PipelineOf(steps)  => PipelineOf(steps.map(substituteClosedForm))
     case UnionOf(branches)  => UnionOf(branches.map(substituteClosedForm))
     case Windowed(lb, la, inner) =>
@@ -204,6 +261,9 @@ object ModelRegistry {
       Map("sklearn.decomposition.PCA" -> Map("n_components" -> n))
     case Reconstruction(_, kind) =>
       Map("gordo.machine.model.models.KerasAutoEncoder" -> Map("kind" -> kind))
+    case RawSpec(_, kind) =>
+      Map("gordo.machine.model.models.KerasRawModelRegressor" ->
+        Map("kind" -> kind))
     case Windowed(lb, la, Reconstruction(_, kind)) =>
       Map((if (la == 0) "gordo.machine.model.models.KerasLSTMAutoEncoder"
            else "gordo.machine.model.models.KerasLSTMForecast") ->
@@ -265,6 +325,7 @@ object ModelRegistry {
     stage match {
       case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
       case Reconstruction("mlp", _) => new graft.ml.Mlp.AutoReconstructor()
+      case RawSpec(layers, _) => new graft.ml.Mlp.RawSpecReconstructor(layers)
       case Reconstruction("pca", k) =>
         if (k == "all") new DiffAnomaly.PcaReconstructor(Int.MaxValue)
         else if (k.contains('.'))

@@ -35,10 +35,43 @@ import graft.ml.DiffAnomaly.{Fitted, Reconstructor}
   */
 object Mlp {
 
+  /** Activation codes persisted per layer (`act_<l>`): the hidden-stack
+    * default is tanh with a linear output layer (the reference's
+    * feedforward factories); the M7 raw-spec path persists whatever the
+    * spec declared. */
+  val ActTanh = 0; val ActRelu = 1; val ActLinear = 2; val ActSigmoid = 3
+
+  def actCode(name: String): Int = name match {
+    case "tanh" => ActTanh
+    case "relu" => ActRelu
+    case "linear" => ActLinear
+    case "sigmoid" => ActSigmoid
+    case other => throw new IllegalArgumentException(
+      s"unsupported activation: $other (tanh|relu|linear|sigmoid)")
+  }
+
+  @inline private def applyAct(code: Int, s: Double): Double = code match {
+    case ActTanh => math.tanh(s)
+    case ActRelu => if (s > 0) s else 0.0
+    case ActSigmoid => 1.0 / (1.0 + math.exp(-s))
+    case _ => s
+  }
+
+  /** Derivative from the activation OUTPUT (all four have output-form
+    * derivatives — the reason this family was chosen). */
+  @inline private def actDeriv(code: Int, a: Double): Double = code match {
+    case ActTanh => 1.0 - a * a
+    case ActRelu => if (a > 0) 1.0 else 0.0
+    case ActSigmoid => a * (1.0 - a)
+    case _ => 1.0
+  }
+
   /** Flat param encoding (model.json K1 round-trip): architecture under
     * `dim_*`/`nin`/`nout`/`nhidden`, weights `w_<layer>_<in>_<out>`,
-    * biases `bias_<layer>_<out>`, standardization `xmu_<i>`/`xsd_<i>`
-    * and `ymu_<tag>`/`ysd_<tag>`/`yidx_<tag>`. Everything is a Double —
+    * biases `bias_<layer>_<out>`, per-layer activations `act_<l>`
+    * (absent → tanh hidden stack, linear output — models saved before
+    * the raw-spec path), standardization `xmu_<i>`/`xsd_<i>` and
+    * `ymu_<tag>`/`ysd_<tag>`/`yidx_<tag>`. Everything is a Double —
     * the shape every other impl persists through. */
   def fittedFromParams(p: Map[String, Double], xTags: Seq[String],
                        feature: String => Column): Fitted = {
@@ -53,6 +86,10 @@ object Mlp {
     }
     val biases: Array[Array[Double]] = Array.tabulate(sizes.size - 1) {
       l => Array.tabulate(sizes(l + 1))(j => p(s"bias_${l}_$j"))
+    }
+    val acts: Array[Int] = Array.tabulate(sizes.size - 1) { l =>
+      p.get(s"act_$l").map(_.toInt).getOrElse(
+        if (l < sizes.size - 2) ActTanh else ActLinear)
     }
     val xmu = Array.tabulate(nin)(i => p(s"xmu_$i"))
     val xsd = Array.tabulate(nin)(i => p(s"xsd_$i"))
@@ -76,8 +113,7 @@ object Mlp {
             var s = b(j)
             var i = 0
             while (i < act.length) { s += act(i) * w(i)(j); i += 1 }
-            // tanh hidden stack, linear output layer
-            next(j) = if (l < weights.length - 1) math.tanh(s) else s
+            next(j) = applyAct(acts(l), s)
             j += 1
           }
           act = next
@@ -113,6 +149,16 @@ object Mlp {
     require(encodingDims.nonEmpty && encodingDims.forall(_ >= 1),
       s"encoding dims must be positive: $encodingDims")
 
+    /** Net layout for a given output dim: (hidden layer sizes, activation
+      * code per non-input layer — hidden…, output). Default: mirrored
+      * encoder/decoder tanh stack with a linear output (the reference's
+      * `feedforward_model`); the M7 raw-spec path overrides this with the
+      * spec's explicit Dense layers. */
+    protected def layout(nout: Int): (Seq[Int], Array[Int]) = {
+      val hidden = encodingDims ++ encodingDims.reverse
+      (hidden, (hidden.map(_ => ActTanh) :+ ActLinear).toArray)
+    }
+
     def fit(train: org.apache.spark.sql.DataFrame, xTags: Seq[String],
             yTags: Seq[String], feature: String => Column): Fitted = {
       // the single collect of the per-machine matrix (SURVEY §3.1) —
@@ -142,11 +188,11 @@ object Mlp {
       val xs = Array.tabulate(n, nin)((r, i) => (x(r)(i) - xmu(i)) / xsd(i))
       val ys = Array.tabulate(n, nout)((r, j) => (yv(r)(j) - ymu(j)) / ysd(j))
 
-      // hidden stack = encoder ++ mirrored decoder (feedforward_model
-      // with decoding_dim = encoding_dim reversed, so the bottleneck
-      // width appears twice — e.g. dims (256,128,64) builds the
-      // reference's 256,128,64,64,128,256 stack), linear out
-      val hidden = encodingDims ++ encodingDims.reverse
+      // default layout: hidden stack = encoder ++ mirrored decoder
+      // (feedforward_model with decoding_dim = encoding_dim reversed, so
+      // the bottleneck width appears twice — e.g. dims (256,128,64)
+      // builds the reference's 256,128,64,64,128,256 stack), linear out
+      val (hidden, actCodes) = layout(nout)
       val sizes = (nin +: hidden :+ nout).toArray
       val rnd = new java.util.Random(seed)
       val w = Array.tabulate(sizes.length - 1) { l =>
@@ -178,7 +224,7 @@ object Mlp {
               var s = bl(j)
               var i = 0
               while (i < sizes(l)) { s += a(r)(i) * wl(i)(j); i += 1 }
-              out(r)(j) = if (l < L - 1) math.tanh(s) else s
+              out(r)(j) = applyAct(actCodes(l), s)
               j += 1
             }
             r += 1
@@ -186,9 +232,12 @@ object Mlp {
           acts(l + 1) = out
           l += 1
         }
-        // backward: delta at output = 2(ŷ − y)/(n·nout) for mean MSE
+        // backward: delta at output = 2(ŷ − y)/(n·nout) for mean MSE,
+        // times the output activation's derivative (1.0 for the default
+        // linear output — an exact no-op multiply)
         var delta = Array.tabulate(n, nout)((r, j) =>
-          2.0 * (acts(L)(r)(j) - ys(r)(j)) / (n.toDouble * nout))
+          2.0 * (acts(L)(r)(j) - ys(r)(j)) / (n.toDouble * nout) *
+            actDeriv(actCodes(L - 1), acts(L)(r)(j)))
         l = L - 1
         while (l >= 0) {
           val a = acts(l)
@@ -217,8 +266,9 @@ object Mlp {
                 var s = 0.0
                 var j = 0
                 while (j < sizes(l + 1)) { s += delta(r)(j) * w(l)(i)(j); j += 1 }
-                val act = acts(l)(r)(i) // tanh'(z) = 1 − tanh(z)²
-                next(r)(i) = s * (1.0 - act * act)
+                // derivative of the activation that PRODUCED acts(l),
+                // i.e. layer l−1's (output-form derivative)
+                next(r)(i) = s * actDeriv(actCodes(l - 1), acts(l)(r)(i))
                 i += 1
               }
               r += 1
@@ -253,6 +303,7 @@ object Mlp {
       params += "nout" -> nout.toDouble
       params += "nhidden" -> hidden.size.toDouble
       hidden.zipWithIndex.foreach { case (d, l) => params += s"dim_$l" -> d.toDouble }
+      for (l <- 0 until L) params += s"act_$l" -> actCodes(l).toDouble
       for (l <- 0 until L; i <- 0 until sizes(l); j <- 0 until sizes(l + 1))
         params += s"w_${l}_${i}_$j" -> w(l)(i)(j)
       for (l <- 0 until L; j <- 0 until sizes(l + 1))
@@ -266,6 +317,33 @@ object Mlp {
         params += s"ysd_$t" -> ysd(j)
       }
       fittedFromParams(params.result(), xTags, feature)
+    }
+  }
+
+  /** M7: the raw-spec regressor — an explicit `Sequential`/`Dense` layer
+    * list (units + activation per layer, the engine surface of
+    * `gordo/machine/model/models.py:401-460`'s
+    * `KerasRawModelRegressor`). The LAST layer is the output layer; its
+    * units must equal the target count (the reference's keras fit fails
+    * on the same mismatch, just later and more cryptically). Training is
+    * the same seeded full-batch Adam on standardized data; `compile`
+    * kwargs beyond loss=mse/optimizer=adam are out of scope and rejected
+    * at registry compile time. */
+  class RawSpecReconstructor(layers: Seq[(Int, String)], seed: Long = 0L,
+                             epochs: Int = 300, lr: Double = 0.01)
+      extends MlpReconstructor(Seq(1), seed, epochs, lr) {
+    require(layers.nonEmpty, "raw spec needs at least one Dense layer")
+    require(layers.forall(_._1 >= 1),
+      s"Dense units must be positive: ${layers.map(_._1)}")
+    // validate activation names eagerly — a config typo should fail at
+    // compile, not mid-fit
+    private val codes = layers.map(l => actCode(l._2)).toArray
+
+    override protected def layout(nout: Int): (Seq[Int], Array[Int]) = {
+      require(layers.last._1 == nout,
+        s"raw spec's last Dense has ${layers.last._1} units but the " +
+          s"model has $nout target tags")
+      (layers.init.map(_._1), codes)
     }
   }
 

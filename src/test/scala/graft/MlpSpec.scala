@@ -266,6 +266,106 @@ class MlpSpec extends AnyFunSuite {
       graft.build.Persistence.cacheKey(a.spec, closedForm = true))
   }
 
+  test("raw-spec regressor (M7) compiles, trains, and serves from a Dense spec") {
+    import graft.config.{Config, ModelRegistry}
+    // the reference's doctest shape (`models.py:408-435`): compile kwargs
+    // + an explicit Sequential/Dense stack; last Dense = output layer
+    val yaml =
+      """
+        |name: raw-spec-machine
+        |dataset:
+        |  tag_list: [tx, ty]
+        |  resolution: 10T
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasRawModelRegressor:
+        |        kind:
+        |          compile:
+        |            loss: mse
+        |            optimizer: adam
+        |          spec:
+        |            tensorflow.keras.models.Sequential:
+        |              layers:
+        |                - tensorflow.keras.layers.Dense:
+        |                    units: 3
+        |                    activation: tanh
+        |                - tensorflow.keras.layers.Dense:
+        |                    units: 4
+        |                    activation: relu
+        |                - tensorflow.keras.layers.Dense:
+        |                    units: 2
+        |""".stripMargin
+    val compiled = ModelRegistry.compile(
+      Config.machineFromConfig(Config.parseYaml(yaml), Some("p")).model)
+    val raw = ModelRegistry.detectorOf(compiled).get.base
+      .asInstanceOf[ModelRegistry.RawSpec]
+    assert(raw.layers == List((3, "tanh"), (4, "relu"), (2, "linear")))
+    // into_definition round-trips the raw kind map to a compile fixpoint
+    assert(ModelRegistry.compile(ModelRegistry.intoDefinition(compiled))
+      == compiled)
+    // end-to-end: build, persist, reload, score — deterministically
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-raw").toString
+    def build(out: String) = graft.build.ModelBuilder.build(
+      Config.parseYaml(yaml), globals = Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = out, projectName = Some("raw-project"))
+    val res = build(s"$tmp/a")
+    val p = res.fitted.model.params
+    // architecture persisted: hidden (3, 4), activations tanh/relu/linear
+    assert(p("nhidden").toInt == 2)
+    assert((p("dim_0").toInt, p("dim_1").toInt) == ((3, 4)))
+    assert((p("act_0").toInt, p("act_1").toInt, p("act_2").toInt) ==
+      ((graft.ml.Mlp.ActTanh, graft.ml.Mlp.ActRelu, graft.ml.Mlp.ActLinear)))
+    assert(res.metadata("model").asInstanceOf[Map[String, Any]]("impl") == "mlp")
+    assert(build(s"$tmp/b").fitted.model.params == p) // bit-deterministic
+    val frame = graft.build.ModelBuilder.score(s"$tmp/a",
+      graft.data.TimeSeries.getData(long, "tag", "ts", "value",
+        Config.datasetConfig(res.spec)), 600L)
+    assert(frame.count() == 80)
+    assert(frame.filter($"`model-output.tx`".isNull).count() == 0)
+    // config errors are compile-time and specific
+    def compileOf(y: String) = ModelRegistry.compile(Config.parseYaml(y))
+    intercept[ModelRegistry.CompileException](compileOf(
+      """gordo.machine.model.models.KerasRawModelRegressor:
+        |  kind:
+        |    spec:
+        |      tensorflow.keras.models.Sequential:
+        |        layers:
+        |          - tensorflow.keras.layers.Dense: {units: 2}""".stripMargin))
+    intercept[ModelRegistry.CompileException](compileOf(
+      """gordo.machine.model.models.KerasRawModelRegressor:
+        |  kind:
+        |    compile: {loss: mae, optimizer: adam}
+        |    spec:
+        |      tensorflow.keras.models.Sequential:
+        |        layers:
+        |          - tensorflow.keras.layers.Dense: {units: 2}""".stripMargin))
+    intercept[ModelRegistry.CompileException](compileOf(
+      """gordo.machine.model.models.KerasRawModelRegressor:
+        |  kind:
+        |    compile: {loss: mse, optimizer: adam}
+        |    spec:
+        |      tensorflow.keras.models.Sequential:
+        |        layers:
+        |          - tensorflow.keras.layers.Dense:
+        |              units: 2
+        |              activation: swish""".stripMargin))
+    // last-layer units must match the target count — a clear fit error
+    val bad = yaml.replace("units: 2", "units: 5")
+    val e = intercept[IllegalArgumentException] {
+      graft.build.ModelBuilder.build(
+        Config.parseYaml(bad), globals = Config.defaultGlobals,
+        long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+        outputDir = s"$tmp/bad", projectName = Some("raw-project"))
+    }
+    assert(e.getMessage.contains("target"), e.getMessage)
+  }
+
   test("config-driven build with a non-hourglass feedforward kind trains the MLP") {
     val long = wide.selectExpr(
       "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
