@@ -211,7 +211,13 @@ object ModelBuilder {
       "user_defined" -> spec.metadata,
       "dataset" -> (Config.patchDict(Config.datasetDefaults, spec.dataset) +
         ("query_duration_sec" -> querySec)),
-      "model" -> (substitution ++ Map(
+      "model" -> (substitution ++
+        // A10: the keras-History analog for iteratively-trained models
+        // (per-epoch loss list); closed-form fits have no epochs and no
+        // history key, like the reference's non-keras models
+        (if (fitted.model.history.nonEmpty)
+          Map("history" -> fitted.model.history) else Map.empty) ++
+        Map(
         "definition" -> ModelRegistry.intoDefinition(compiled),
         "model_offset" -> offset,
         "model_training_duration_sec" -> trainSec,

@@ -83,6 +83,11 @@ object DiffAnomaly {
     def predictCol(tag: String): Column
     /** Serializable parameters for model persistence (K1). */
     def params: Map[String, Double]
+    /** A10 training history (the keras `History` analog,
+      * `gordo/machine/model/models.py:339-357`): per-epoch metric lists +
+      * a `params` block. Empty for closed-form fits — they have no
+      * epochs, matching the reference models without a history. */
+    def history: Map[String, Any] = Map.empty
   }
 
   /** Per-tag least-squares linear trend on time: ŷ = a + b·(t − epoch0).

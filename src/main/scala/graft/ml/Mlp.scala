@@ -74,7 +74,8 @@ object Mlp {
     * `ymu_<tag>`/`ysd_<tag>`/`yidx_<tag>`. Everything is a Double —
     * the shape every other impl persists through. */
   def fittedFromParams(p: Map[String, Double], xTags: Seq[String],
-                       feature: String => Column): Fitted = {
+                       feature: String => Column,
+                       trainHistory: Map[String, Any] = Map.empty): Fitted = {
     val nin = p("nin").toInt
     val nhidden = p("nhidden").toInt
     require(xTags.size == nin,
@@ -132,6 +133,7 @@ object Mlp {
         element_at(forwardCol, j + 1) * lit(ysd(tag)) + lit(ymu(tag))
       }
       def params: Map[String, Double] = p
+      override def history: Map[String, Any] = trainHistory
     }
   }
 
@@ -211,6 +213,9 @@ object Mlp {
       val L = sizes.length - 1
       val acts = new Array[Array[Array[Double]]](L + 1) // acts(l): n × sizes(l)
       acts(0) = xs
+      // A10: per-epoch loss on the standardized targets (keras History
+      // analog — the mean mse the delta below descends)
+      val lossHistory = new Array[Double](epochs)
       for (step <- 1 to epochs) {
         // forward
         var l = 0
@@ -235,6 +240,18 @@ object Mlp {
         // backward: delta at output = 2(ŷ − y)/(n·nout) for mean MSE,
         // times the output activation's derivative (1.0 for the default
         // linear output — an exact no-op multiply)
+        var epochLoss = 0.0
+        var lr2 = 0
+        while (lr2 < n) {
+          var lj = 0
+          while (lj < nout) {
+            val e = acts(L)(lr2)(lj) - ys(lr2)(lj)
+            epochLoss += e * e
+            lj += 1
+          }
+          lr2 += 1
+        }
+        lossHistory(step - 1) = epochLoss / (n.toDouble * nout)
         var delta = Array.tabulate(n, nout)((r, j) =>
           2.0 * (acts(L)(r)(j) - ys(r)(j)) / (n.toDouble * nout) *
             actDeriv(actCodes(L - 1), acts(L)(r)(j)))
@@ -316,7 +333,12 @@ object Mlp {
         params += s"ymu_$t" -> ymu(j)
         params += s"ysd_$t" -> ysd(j)
       }
-      fittedFromParams(params.result(), xTags, feature)
+      // the keras History shape (`models.py:339-357`): per-metric epoch
+      // lists + a params block naming the metrics
+      val trainHistory = Map[String, Any](
+        "loss" -> lossHistory.toList,
+        "params" -> Map("epochs" -> epochs, "metrics" -> List("loss")))
+      fittedFromParams(params.result(), xTags, feature, trainHistory)
     }
   }
 

@@ -198,6 +198,7 @@ object Preprocess {
       extends DiffAnomaly.Fitted {
     def predictCol(tag: String): Column = prep.post(tag, inner.predictCol(tag))
     def params: Map[String, Double] = inner.params
+    override def history: Map[String, Any] = inner.history
   }
 
   /** Stat key for a (possibly lag-derived) column: `tx__lag2` → `tx`.

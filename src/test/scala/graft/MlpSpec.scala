@@ -253,9 +253,20 @@ class MlpSpec extends AnyFunSuite {
     // bit-deterministic: a second build trains identical weights
     val b = buildOnce(s"$tmp/b", closedForm = false)
     assert(b.fitted.model.params == p)
+    // A10: the metadata carries the keras-History analog — per-epoch
+    // loss, strictly fewer than the init loss by the end
+    val hist = modelMeta(a)("history").asInstanceOf[Map[String, Any]]
+    val losses = hist("loss").asInstanceOf[List[Double]]
+    assert(losses.size == 300)
+    assert(losses.last < losses.head,
+      s"training did not descend: ${losses.head} -> ${losses.last}")
+    assert(hist("params").asInstanceOf[Map[String, Any]]("metrics")
+      == List("loss"))
     // the explicit closed-form path trains ridge AND records it
     val c = buildOnce(s"$tmp/c", closedForm = true)
     assert(modelMeta(c)("impl") == "ridge")
+    // closed-form fits have no epochs — no history key (A10 contract)
+    assert(!modelMeta(c).contains("history"))
     assert(modelMeta(c)("impl_requested") == "mlp")
     assert(modelMeta(c)("impl_substitution").toString.contains("closed-form"))
     // the definition still round-trips the configured class path in both
