@@ -223,7 +223,28 @@ object LlmQueries {
       .orderBy($"doc_id", $"fp")
   }
 
+  /** The SQL face of the native kernels (SparkSessionExtensions path):
+    * one pure-SQL pipeline over `simhash32`, `minhash_signature`, and
+    * `winnow_fingerprints` registered via [[graft.functions.GraftFunctions]]
+    * — same arithmetic as the Column API the other gates use, now
+    * callable from `spark.sql`. The remaining two kernels (`dot_product`,
+    * `lsh_band_keys`) are SQL-parity-pinned in ExtensionsSpec and
+    * oracle-gated through q35/q42. */
+  def sqlKernels(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("graft_documents_q58")
+    spark.sql(
+      """SELECT doc_id,
+        |  simhash32(tk) AS sh32,
+        |  element_at(minhash_signature(tk, 4), 1) AS mh0,
+        |  CAST(size(winnow_fingerprints(text, 5, 8)) AS BIGINT) AS n_fp
+        |FROM (SELECT doc_id, text, split(trim(text), ' ') AS tk
+        |      FROM graft_documents_q58)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_sql_kernels" -> (sqlKernels _),
     "q50_winnowing" -> (winnowing _),
     "q42_embedding_neardup" -> (embeddingNearDups _),
     "q30_text_stats" -> (textStats _),
@@ -318,6 +339,27 @@ object LlmQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q58_sql_kernels" ->
+      s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+        |h AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS hx,
+        |    list_aggregate(list_transform(tk, s -> md5('0|' || s)), 'min') AS mh0
+        |  FROM t),
+        |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh32, mh0 FROM h),
+        |g0 AS (SELECT doc_id, length(text) - 4 AS ng, text
+        |  FROM documents WHERE length(text) >= 12),
+        |g AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS i, text FROM g0),
+        |g2 AS (SELECT doc_id, ng, i,
+        |    md5(substr(text, i, 5)) || lpad(CAST(999999 - i AS VARCHAR), 6, '0') AS hk
+        |  FROM g),
+        |sel AS (SELECT doc_id, ng, i,
+        |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+        |  FROM g2),
+        |fp AS (SELECT doc_id, CAST(count(DISTINCT substr(s, 1, 32)) AS BIGINT) AS n_fp
+        |  FROM sel WHERE i <= ng - 7 GROUP BY doc_id)
+        |SELECT sh.doc_id, sh.sh32, sh.mh0, COALESCE(fp.n_fp, 0) AS n_fp
+        |FROM sh LEFT JOIN fp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q50_winnowing" ->
       """WITH g0 AS (SELECT doc_id, length(text) - 4 AS ng, text
         |  FROM documents WHERE length(text) >= 12),

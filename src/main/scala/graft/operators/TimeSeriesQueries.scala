@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.data.TimeSeries
+import graft.data.{AsOfJoin, TimeSeries}
 import graft.data.TimeSeries.DatasetConfig
 
 /** Oracle-checked coverage for the time-series dataset engine
@@ -168,7 +168,31 @@ object TimeSeriesQueries {
       .orderBy($"event_type", $"bucket_ts")
   }
 
+  /** Backward as-of join (J1's nearest-previous-value alignment as a
+    * two-table operator): each purchase gets the user's most recent
+    * click value within 1 day. Microsecond epochs; chunkSpan = 6h, far
+    * below the ~2-day median click gap per user, so MOST matches cross
+    * chunk boundaries — the carry path is what this gate exercises.
+    * Oracle: DuckDB `ASOF LEFT JOIN` + tolerance CASE. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+      .withColumn("ets", unix_micros($"ts"))
+    val l = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ets", $"value")
+    // dedupe right ties on (user, ts) — AsOfJoin leaves tie winners
+    // unspecified, the oracle must see a deterministic right side
+    val r = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ets".as("cts"))
+      .agg(max($"value").as("click_value"))
+    AsOfJoin.backward(l, r, Seq("user_id"), "ets", "cts", Seq("click_value"),
+      matchedTsName = "click_ts",
+      tolerance = 86400L * 1000000L, chunkSpan = 21600L * 1000000L)
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_asof_join" -> (asofJoin _),
     "q44_resample_multi" -> (resampleMulti _),
     "q13_resample_mean" -> (resampleMean _),
     "q14_grid_ffill" -> (gridFfill _),
@@ -182,6 +206,18 @@ object TimeSeriesQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q57_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ets, event_type, value
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ets, value FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ets AS cts, max(value) AS click_value
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT l.*, r.cts, r.click_value
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ets >= r.cts)
+        |SELECT event_id, user_id, ets, value,
+        |  CASE WHEN ets - cts <= 86400000000 THEN cts END AS click_ts,
+        |  CASE WHEN ets - cts <= 86400000000 THEN click_value END AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
     "q44_resample_multi" ->
       """SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
         | floor((avg(value))*10000 + 0.5)/10000 AS value__mean,
