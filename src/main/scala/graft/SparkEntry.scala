@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnomalyQueries, LlmQueries, MlQueries, RelationalQueries, SequenceQueries, ServingQueries, TimeSeriesQueries}
+import graft.operators.{AnomalyQueries, ConfigQueries, LlmQueries, MlQueries, RelationalQueries, SequenceQueries, ServingQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TimeSeriesQueries.queries ++
       MlQueries.queries ++ AnomalyQueries.queries ++ LlmQueries.queries ++
-      SequenceQueries.queries ++ ServingQueries.queries
+      SequenceQueries.queries ++ ServingQueries.queries ++
+      ConfigQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TimeSeriesQueries.oracleSql ++
       MlQueries.oracleSql ++ AnomalyQueries.oracleSql ++ LlmQueries.oracleSql ++
-      SequenceQueries.oracleSql ++ ServingQueries.oracleSql
+      SequenceQueries.oracleSql ++ ServingQueries.oracleSql ++
+      ConfigQueries.oracleSql
 }
