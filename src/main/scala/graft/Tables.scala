@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -35,6 +35,12 @@ object Tables {
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
+      // µs-precision rewrites of the table (the 10x scale probe) come out
+      // as TIMESTAMP_NTZ; the session is pinned UTC, so the cast is the
+      // same instant and every downstream unix_*/window op sees one type
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 
