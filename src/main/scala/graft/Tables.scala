@@ -36,11 +36,16 @@ object Tables {
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType))
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampNTZType)) {
       // µs-precision rewrites of the table (the 10x scale probe) come out
-      // as TIMESTAMP_NTZ; the session is pinned UTC, so the cast is the
-      // same instant and every downstream unix_*/window op sees one type
+      // as TIMESTAMP_NTZ; the NTZ→TZ cast is instant-preserving ONLY under
+      // a UTC session, so a mis-pinned session must fail loudly here
+      // rather than silently shift every timestamp
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC", s"events NTZ->TIMESTAMP cast requires " +
+        s"spark.sql.session.timeZone=UTC, got $tz")
       df.withColumn("ts", col("ts").cast(TimestampType))
+    }
     else df
   }
 

@@ -45,6 +45,14 @@ object AsOfJoin {
     require(collide.isEmpty, s"payload collides with left columns: $collide")
     require(!left.columns.contains(matchedTsName),
       s"matchedTsName collides with a left column: $matchedTsName")
+    // internal working names — a user column with one of these would be
+    // silently overwritten by withColumn; fail fast instead
+    val reserved = Set("__chunk", "__ord", "__side", "__rp", "__rpf",
+      "__rts", "__m", "__match", "__carry")
+    val resHit = (left.columns ++ right.columns).toSet intersect reserved
+    require(resHit.isEmpty, s"columns collide with AsOfJoin internals: $resHit")
+    require(!payload.contains("__ts"),
+      "payload column __ts collides with the match-struct timestamp field")
     def numeric(df: DataFrame, c: String, side: String): Unit =
       require(df.schema(c).dataType.isInstanceOf[NumericType],
         s"$side ts column $c must be numeric (epoch), got ${df.schema(c).dataType}")

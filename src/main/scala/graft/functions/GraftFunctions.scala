@@ -28,8 +28,8 @@ object GraftFunctions {
   private type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def intLit(fn: String, arg: String, e: Expression): Int =
-    if (e.foldable) e.eval() match {
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    val v = if (e.foldable) e.eval() match {
       case i: Int => i
       case l: Long if l.isValidInt => l.toInt
       case s: Short => s.toInt
@@ -38,6 +38,12 @@ object GraftFunctions {
         s"$fn: $arg must be an integer literal, got $other")
     } else throw new IllegalArgumentException(
       s"$fn: $arg must be a foldable integer literal, got ${e.sql}")
+    // static params size per-instance buffers; 0 would silently produce
+    // empty output and negatives would NPE deep inside eval — reject here
+    if (v < 1) throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal >= 1, got $v")
+    v
+  }
 
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
     if (args.length != n) throw new IllegalArgumentException(

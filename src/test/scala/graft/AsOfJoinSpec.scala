@@ -96,5 +96,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // non-numeric ts
       AsOfJoin.backward(ls, r, Seq("k"), "ts", "rts", Seq("v"))
     }
+    val lRes = Seq(("a", 1L, 2.0)).toDF("k", "ts", "__ord")
+    intercept[IllegalArgumentException] { // left column named like an internal
+      AsOfJoin.backward(lRes, r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    val rRes = Seq(("a", 1L, 2.0, 0L)).toDF("k", "rts", "v", "__chunk")
+    intercept[IllegalArgumentException] { // right column named like an internal
+      AsOfJoin.backward(l.drop("v"), rRes, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    val rTs = Seq(("a", 1L, 2.0)).toDF("k", "rts", "__ts")
+    intercept[IllegalArgumentException] { // payload named like the struct ts field
+      AsOfJoin.backward(l.drop("v"), rTs, Seq("k"), "ts", "rts", Seq("__ts"))
+    }
   }
 }

@@ -49,8 +49,22 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(tk, id) FROM ext_fixture").collect()
     }
-    assert(e.getMessage.contains("integer literal") ||
-      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+    // Spark wraps function-builder exceptions at varying depths across
+    // versions — walk the whole cause chain for the marker
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(t => Option(t.getMessage).exists(_.contains("integer literal"))))
+  }
+
+  test("static parameters below 1 are rejected at registration time") {
+    GraftFunctions.register(spark)
+    fixture.createOrReplaceTempView("ext_fixture")
+    for (bad <- Seq("0", "-3")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT minhash_signature(tk, $bad) FROM ext_fixture").collect()
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      assert(chain.exists(t => Option(t.getMessage).exists(_.contains(">= 1"))))
+    }
   }
 
   test("GraftExtensions injects at session build (spark.sql.extensions path)") {
