@@ -183,12 +183,64 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** P8: the serve-path column contract
+    * (`gordo/server/blueprints/anomaly.py:56-62`) — a REAL config build
+    * with `window: 6` (so smooth-* groups exist), then
+    * `ModelBuilder.score` from the saved model dir in both modes: the
+    * default response drops every smooth-* column, `all_columns` keeps
+    * them. Emitted as (mode, col) rows; the oracle states the full
+    * 21-column §1.2 schema once and replays the drop rule as a
+    * `NOT LIKE 'smooth-%'` filter, so an un-dropped, over-dropped, or
+    * misnamed column mismatches. */
+  def responseColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q64").toString
+    val yaml =
+      """
+        |name: graft-q64-machine
+        |dataset:
+        |  tag_list: [click, view]
+        |  resolution: 1H
+        |  interpolation_limit: 6H
+        |  train_start_date: 2024-01-01T00:00:00Z
+        |  train_end_date: 2024-02-01T00:00:00Z
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    window: 6
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasAutoEncoder:
+        |        kind: feedforward_hourglass
+        |evaluation:
+        |  cv:
+        |    sklearn.model_selection.TimeSeriesSplit:
+        |      n_splits: 3
+        |""".stripMargin
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(yaml),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("graft-project"),
+      closedForm = true)
+    val wide = TimeSeries.getData(long, "tag", "ts", "value",
+      graft.config.Config.datasetConfig(res.spec))
+    val allCols = graft.build.ModelBuilder
+      .score(s"$tmp/model", wide, 3600L, allColumns = true).columns
+    val dropped = graft.build.ModelBuilder
+      .score(s"$tmp/model", wide, 3600L, allColumns = false).columns
+    (allCols.map(("all", _)) ++ dropped.map(("no_smooth", _))).toSeq
+      .toDF("mode", "col")
+      .orderBy($"mode", $"col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),
     "q41_config_build" -> (configDrivenBuild _),
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
     "q51_lstm_forecast" -> (lstmForecast _),
+    "q64_response_columns" -> (responseColumns _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -645,5 +697,23 @@ object AnomalyQueries {
         |  floor((((pow(abs((moc - mic)/s_c), 2) + pow(abs((mov - miv)/s_v), 2))/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin,
+    "q64_response_columns" ->
+      """WITH cols AS (SELECT col FROM (VALUES
+        |  ('start'), ('end'),
+        |  ('model-input.click'), ('model-input.view'),
+        |  ('model-output.click'), ('model-output.view'),
+        |  ('tag-anomaly-scaled.click'), ('tag-anomaly-scaled.view'),
+        |  ('tag-anomaly-unscaled.click'), ('tag-anomaly-unscaled.view'),
+        |  ('total-anomaly-scaled'), ('total-anomaly-unscaled'),
+        |  ('smooth-tag-anomaly-scaled.click'), ('smooth-tag-anomaly-scaled.view'),
+        |  ('smooth-tag-anomaly-unscaled.click'), ('smooth-tag-anomaly-unscaled.view'),
+        |  ('smooth-total-anomaly-scaled'), ('smooth-total-anomaly-unscaled'),
+        |  ('anomaly-confidence.click'), ('anomaly-confidence.view'),
+        |  ('total-anomaly-confidence')) t(col))
+        |SELECT mode, col FROM (
+        |  SELECT 'all' AS mode, col FROM cols
+        |  UNION ALL
+        |  SELECT 'no_smooth', col FROM cols WHERE col NOT LIKE 'smooth-%')
+        |ORDER BY mode, col""".stripMargin,
   )
 }

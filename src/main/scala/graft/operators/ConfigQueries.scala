@@ -95,11 +95,129 @@ object ConfigQueries {
       .orderBy($"n_nationkey")
   }
 
+  /** F10: resource-limit fixup (`gordo/machine/validators.py:160-230`) —
+    * every limit is raised to at least its request, and a requested
+    * resource with no limit gets one. The (request, limit) grid derives
+    * from the nation table (q60 pattern): request code k%5 (0 = absent),
+    * limit code (k/5)%5 (0 = absent, else value code-1, so code-1 < k%5
+    * combos exercise the raise). Absent encodes as -1 in the output. */
+  def fixupResourcesGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val combos = Tables(spark, dir, "nation")
+      .select($"n_nationkey".cast("int").as("combo"))
+    combos.as[Int]
+      .map { k =>
+        val rc = k % 5
+        val lc = (k / 5) % 5
+        val requests: Map[String, Any] =
+          if (rc == 0) Map.empty else Map("cpu" -> rc)
+        val limits: Map[String, Any] =
+          if (lc == 0) Map.empty else Map("cpu" -> (lc - 1))
+        val fixed = Config.fixupResources(
+          Map("requests" -> requests, "limits" -> limits))
+        val out = fixed("limits").asInstanceOf[Map[String, Any]]
+          .get("cpu").map(_.toString.toInt).getOrElse(-1)
+        (k, if (rc == 0) -1 else rc, if (lc == 0) -1 else lc - 1, out)
+      }
+      .toDF("combo", "req_in", "lim_in", "lim_out")
+      .orderBy($"combo")
+  }
+
+  /** M2: `into_definition` with defaults materialized
+    * (`gordo/serializer/into_definition.py:12-190`; config freeze
+    * `gordo/cli/cli.py:140-145`). Each YAML definition is compiled,
+    * frozen, then compiled AGAIN and re-frozen — the emitted rows come
+    * from the second pass, so any non-fixpoint drift hash-mismatches the
+    * oracle's literal expectation. The frozen tree flattens to
+    * (model_id, path, value) rows with `/`-joined path segments. */
+  def intoDefinitionRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val defs: Seq[(String, String)] = Seq(
+      "detector_default" ->
+        "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:",
+      "pipeline_ae" ->
+        """sklearn.pipeline.Pipeline:
+          |  steps:
+          |    - sklearn.preprocessing.MinMaxScaler
+          |    - gordo.machine.model.models.KerasAutoEncoder:
+          |        kind: feedforward_simple""".stripMargin,
+      "union" ->
+        """sklearn.pipeline.FeatureUnion:
+          |  transformer_list:
+          |    - sklearn.decomposition.PCA:
+          |        n_components: 2
+          |    - sklearn.pipeline.Pipeline:
+          |        steps:
+          |          - sklearn.preprocessing.RobustScaler""".stripMargin,
+      "pca_frac" ->
+        """sklearn.decomposition.PCA:
+          |  n_components: 0.95""".stripMargin,
+      "pca_all" ->
+        """sklearn.decomposition.PCA:
+          |  n_components: null""".stripMargin,
+      "lstm_forecast" ->
+        """gordo.machine.model.models.KerasLSTMForecast:
+          |  lookback_window: 12
+          |  kind: lstm_symmetric""".stripMargin,
+      "detector_full" ->
+        """gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |  base_estimator:
+          |    gordo.machine.model.models.KerasLSTMAutoEncoder:
+          |      lookback_window: 6
+          |  scaler: sklearn.preprocessing.RobustScaler
+          |  window: 144
+          |  smoothing_method: smm
+          |  shuffle: true""".stripMargin,
+      "canonical_linear" ->
+        """sklearn.pipeline.Pipeline:
+          |  steps:
+          |    - gordo.machine.model.transformers.imputer.InfImputer
+          |    - sklearn.preprocessing.FunctionTransformer:
+          |        func: gordo.machine.model.transformer_funcs.general.multiply_by
+          |        kw_args:
+          |          factor: 2.5
+          |    - sklearn.linear_model.LinearRegression""".stripMargin,
+      "raw_spec" ->
+        """gordo.machine.model.models.KerasRawModelRegressor:
+          |  kind:
+          |    spec:
+          |      tensorflow.keras.models.Sequential:
+          |        layers:
+          |          - tensorflow.keras.layers.Dense:
+          |              units: 4
+          |              activation: tanh
+          |          - tensorflow.keras.layers.Dense:
+          |              units: 2
+          |    compile:
+          |      loss: mse
+          |      optimizer: adam""".stripMargin)
+    def flatten(path: String, v: Any): Seq[(String, String)] = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq
+        .flatMap { case (k, vv) => flatten(s"$path/$k", vv) }
+      case l: List[_] => l.zipWithIndex
+        .flatMap { case (vv, i) => flatten(s"$path/$i", vv) }
+      case null => Seq(path -> "null")
+      case other => Seq(path -> other.toString)
+    }
+    defs.toDF("model_id", "yaml").as[(String, String)]
+      .flatMap { case (id, yaml) =>
+        val defn = Config.parseYaml(yaml)
+        val frozen = ModelRegistry.intoDefinition( // 2nd pass: fixpoint
+          ModelRegistry.compile(ModelRegistry.intoDefinition(
+            ModelRegistry.compile(defn))))
+        flatten("", frozen).map { case (p, v) => (id, p.stripPrefix("/"), v) }
+      }
+      .toDF("model_id", "path", "value")
+      .orderBy($"model_id", $"path", $"value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_multiply_transform" -> (multiplyTransform _),
     "q60_hourglass_dims" -> (hourglassDims _),
     "q61_iso_parse" -> (isoParse _),
     "q62_template_expand" -> (templateExpand _),
+    "q65_fixup_resources" -> (fixupResourcesGrid _),
+    "q66_into_definition" -> (intoDefinitionRows _),
   )
 
   /** Half-even rounding of a positive double expression (Python `rint` /
@@ -157,5 +275,62 @@ object ConfigQueries {
         |  r_name || '.' || n_name || '.sensor-' || CAST(n_nationkey AS VARCHAR) AS tag
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "q65_fixup_resources" ->
+      """WITH g AS (
+        |  SELECT CAST(n_nationkey AS INTEGER) AS combo,
+        |    CAST(n_nationkey % 5 AS INTEGER) AS rc,
+        |    CAST((n_nationkey // 5) % 5 AS INTEGER) AS lc
+        |  FROM nation)
+        |SELECT combo,
+        |  CASE WHEN rc = 0 THEN -1 ELSE rc END AS req_in,
+        |  CASE WHEN lc = 0 THEN -1 ELSE lc - 1 END AS lim_in,
+        |  CASE WHEN lc = 0 AND rc = 0 THEN -1
+        |       WHEN lc = 0 THEN rc
+        |       WHEN rc = 0 THEN lc - 1
+        |       WHEN lc - 1 < rc THEN rc
+        |       ELSE lc - 1 END AS lim_out
+        |FROM g ORDER BY combo""".stripMargin,
+    "q66_into_definition" -> {
+      val D = "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector"
+      val AE = "gordo.machine.model.models.KerasAutoEncoder"
+      val LAE = "gordo.machine.model.models.KerasLSTMAutoEncoder"
+      val R = "gordo.machine.model.models.KerasRawModelRegressor"
+      val DNS = "tensorflow.keras.models.Sequential"
+      val DNL = "tensorflow.keras.layers.Dense"
+      val P = "sklearn.pipeline.Pipeline"
+      val rows = Seq(
+        ("detector_default", s"$D/base_estimator/$AE/kind", "feedforward_hourglass"),
+        ("detector_default", s"$D/scaler", "sklearn.preprocessing.MinMaxScaler"),
+        ("detector_default", s"$D/shuffle", "false"),
+        ("pipeline_ae", s"$P/steps/0", "sklearn.preprocessing.MinMaxScaler"),
+        ("pipeline_ae", s"$P/steps/1/$AE/kind", "feedforward_simple"),
+        ("union", "sklearn.pipeline.FeatureUnion/transformer_list/0/sklearn.decomposition.PCA/n_components", "2"),
+        ("union", s"sklearn.pipeline.FeatureUnion/transformer_list/1/$P/steps/0", "sklearn.preprocessing.RobustScaler"),
+        ("pca_frac", "sklearn.decomposition.PCA/n_components", "0.95"),
+        ("pca_all", "sklearn.decomposition.PCA/n_components", "null"),
+        ("lstm_forecast", "gordo.machine.model.models.KerasLSTMForecast/kind", "lstm_symmetric"),
+        ("lstm_forecast", "gordo.machine.model.models.KerasLSTMForecast/lookback_window", "12"),
+        ("detector_full", s"$D/base_estimator/$LAE/kind", "lstm_hourglass"),
+        ("detector_full", s"$D/base_estimator/$LAE/lookback_window", "6"),
+        ("detector_full", s"$D/scaler", "sklearn.preprocessing.RobustScaler"),
+        ("detector_full", s"$D/shuffle", "true"),
+        ("detector_full", s"$D/smoothing_method", "smm"),
+        ("detector_full", s"$D/window", "144"),
+        ("canonical_linear", s"$P/steps/0/gordo.machine.model.transformers.imputer.InfImputer/delta", "2.0"),
+        ("canonical_linear", s"$P/steps/0/gordo.machine.model.transformers.imputer.InfImputer/strategy", "minmax"),
+        ("canonical_linear", s"$P/steps/1/sklearn.preprocessing.FunctionTransformer/func", "gordo.machine.model.transformer_funcs.general.multiply_by"),
+        ("canonical_linear", s"$P/steps/1/sklearn.preprocessing.FunctionTransformer/kw_args/factor", "2.5"),
+        ("canonical_linear", s"$P/steps/2/$AE/kind", "linear"),
+        ("raw_spec", s"$R/kind/compile/loss", "mse"),
+        ("raw_spec", s"$R/kind/compile/optimizer", "adam"),
+        ("raw_spec", s"$R/kind/spec/$DNS/layers/0/$DNL/activation", "tanh"),
+        ("raw_spec", s"$R/kind/spec/$DNS/layers/0/$DNL/units", "4"),
+        ("raw_spec", s"$R/kind/spec/$DNS/layers/1/$DNL/units", "2"))
+      val values = rows.map { case (m, p, v) => s"('$m', '$p', '$v')" }
+        .mkString(",\n  ")
+      s"""SELECT model_id, path, value FROM (VALUES
+        |  $values) t(model_id, path, value)
+        |ORDER BY model_id, path, value""".stripMargin
+    },
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.build.{Responses, Serving}
+import graft.build.{Reporters, Responses, Serving}
 import graft.config.Config
 import graft.data.TimeSeries
 import graft.ml.CrossValidate
@@ -123,11 +123,89 @@ object ServingQueries {
       .orderBy($"pos")
   }
 
+  /** S4: the request-body scan (`gordo/server/utils.py:256-331`) — a
+    * dict-of-dicts JSON body `{tag: {iso_ts: value}}` assembled from the
+    * January hourly click/view series (a bounded request window, like the
+    * reference's POST bodies), parsed by [[graft.data.Providers.fromJsonBody]]
+    * (distributed `from_json` + double explode), emitted as the long
+    * frame. The oracle recomputes the same (tag, bucket, value) triples
+    * straight from events — a dropped tag, a mis-parsed ISO key, or a
+    * corrupted double all hash-mismatch. */
+  def jsonBodyScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, dir, "events")
+      .filter($"event_type".isin("click", "view") &&
+        $"ts" >= lit("2024-01-01").cast("timestamp") &&
+        $"ts" < lit("2024-02-01").cast("timestamp"))
+      .groupBy($"event_type",
+        (floor(unix_timestamp($"ts") / 3600) * 3600).cast("long").as("bucket"))
+      .agg(avg($"value").as("value"))
+      .collect()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    rows.sortBy(r => (r.getString(0), r.getLong(1))).foreach { r =>
+      val tagNode =
+        if (root.has(r.getString(0))) root.`with`(r.getString(0))
+        else root.putObject(r.getString(0))
+      tagNode.put(java.time.Instant.ofEpochSecond(r.getLong(1)).toString,
+        r.getDouble(2))
+    }
+    graft.data.Providers.fromJsonBody(spark, om.writeValueAsString(root))
+      .select($"tag", unix_timestamp($"ts").as("bucket_ts"),
+        r4($"value").as("value"))
+      .orderBy($"tag", $"bucket_ts")
+  }
+
+  /** K4: JDBC reporter round-trip (`gordo/reporters/postgres.py:62-109`)
+    * — per-event-type build stats reported into the embedded-Derby
+    * `machine` table via [[Reporters.JdbcReporter]] (INSERT path), then
+    * click/view re-reported with doubled metrics (UPDATE path of the
+    * upsert), then every row read back through the same JDBC connection
+    * and emitted. The oracle recomputes the stats from events and replays
+    * the upsert as a CASE — a failed update, a duplicated row, or JSON
+    * corruption in the CLOB round trip all mismatch. */
+  def jdbcReadback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r4d(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
+    val stats = Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), avg($"value").as("a"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r4d(r.getDouble(2))))
+      .sortBy(_._1)
+    val rep = new graft.build.Reporters.JdbcReporter(
+      "jdbc:derby:memory:graftq67;create=true")
+    try {
+      def machine(tag: String, n: Long): Map[String, Any] = Map(
+        "dataset" -> Map("tag_list" -> List(tag), "n_rows" -> n),
+        "model" -> Map("kind" -> "stats"))
+      for ((tag, n, a) <- stats)
+        rep.report(s"machine-$tag", machine(tag, n),
+          Map("avg_value" -> a, "version" -> 1))
+      for ((tag, n, a) <- stats if tag == "click" || tag == "view")
+        rep.report(s"machine-$tag", machine(tag, n),
+          Map("avg_value" -> a * 2, "version" -> 2))
+      stats.map { case (tag, _, _) =>
+        val row = rep.read(s"machine-$tag")
+        val ds = row("dataset").asInstanceOf[Map[String, Any]]
+        val md = row("metadata").asInstanceOf[Map[String, Any]]
+        (s"machine-$tag",
+          ds("tag_list").asInstanceOf[List[_]].head.toString,
+          ds("n_rows").toString.toLong,
+          md("avg_value").toString.toDouble,
+          md("version").toString.toInt)
+      }.toSeq.toDF("name", "tag", "n_rows", "avg_value", "version")
+        .orderBy($"name")
+    } finally rep.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_nested_json" -> (nestedJsonResponse _),
     "q54_cv_score_agg" -> (cvScoreAggregation _),
     "q55_verify_columns" -> (verifyColumnsQuery _),
     "q56_normalize_tags" -> (normalizeTagsQuery _),
+    "q63_json_body" -> (jsonBodyScan _),
+    "q67_jdbc_readback" -> (jdbcReadback _),
   )
 
   private val hourlyWideSql =
@@ -191,5 +269,24 @@ object ServingQueries {
         |f AS (SELECT trim(t) AS tag, min(event_id) AS fid FROM e GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS BIGINT) AS pos, tag
         |FROM f ORDER BY pos""".stripMargin,
+    "q63_json_body" ->
+      """SELECT event_type AS tag,
+        |  (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |  floor(avg(value)*10000 + 0.5)/10000 AS value
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY tag, bucket_ts
+        |ORDER BY tag, bucket_ts""".stripMargin,
+    "q67_jdbc_readback" ->
+      """SELECT 'machine-' || event_type AS name, event_type AS tag,
+        |  count(*) AS n_rows,
+        |  CASE WHEN event_type IN ('click', 'view')
+        |       THEN (floor(avg(value)*10000 + 0.5)/10000) * 2
+        |       ELSE floor(avg(value)*10000 + 0.5)/10000 END AS avg_value,
+        |  CAST(CASE WHEN event_type IN ('click', 'view') THEN 2 ELSE 1 END
+        |       AS INTEGER) AS version
+        |FROM events GROUP BY event_type ORDER BY name""".stripMargin,
   )
 }
