@@ -120,15 +120,19 @@ object LlmQueries {
       .orderBy($"media_id")
   }
 
-  /** Embedding-cosine near-dup pairs: banded LSH — 4 hash tables × 6
-    * hyperplanes (64 buckets/table at this SF; planes scales with log N)
-    * OR-combined for recall, pair-deduped, verified by exact cosine ≥
-    * 0.4 — the embedding analog of MinHash dedup; no crossJoin, no
-    * low-cardinality bucket key. */
+  /** Embedding-cosine near-dup pairs on the AUTO-SCALED banded LSH path
+    * — `planesFor(N)` (planes ∝ log N, the 100-TB knob) derives the
+    * plane count from one corpus count, 4 OR-combined hash tables for
+    * recall, pair-dedup, exact cosine ≥ 0.4 verification. This gates the
+    * configuration the library actually ships at scale (round-4 verdict:
+    * the fixed-planes form is the documented quadratic anti-pattern and
+    * survives only in the scale table); the oracle replays
+    * `ceil(log2(N/32))` from its own count, so the gate breaks if the
+    * auto-sizing math drifts. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
-      "vec_id", "embedding", planes = 6, tables = 4, threshold = 0.4)
+    Similarity.lshNearDupPairsAuto(Tables(spark, dir, "embeddings"),
+      "vec_id", "embedding", tables = 4, threshold = 0.4)
       .select($"id_a", $"id_b", r4($"cos").as("cos"))
       .orderBy($"id_a", $"id_b")
   }
@@ -374,23 +378,33 @@ object LlmQueries {
         |SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
         |FROM sel WHERE i <= ng - 7
         |ORDER BY doc_id, fp""".stripMargin,
-    "q42_embedding_neardup" -> {
-      val tableBuckets = (0 until 4).map(t =>
-        s"'$t' || '#' || ${bucketSqlFor(6, t)}").mkString("[",
-        ",\n          ", "]")
-      s"""WITH kx AS (SELECT vec_id, embedding AS e,
-        |    unnest($tableBuckets) AS bucket
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    // planes = planesFor(N) = max(1, ceil(log2(max(1, N/32)))) — the
+    // oracle derives it from its own count(*), replaying the auto path
+    "q42_embedding_neardup" ->
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |pl AS (SELECT greatest(1, CAST(ceil(log2(greatest(1.0, cnt / 32.0))) AS INTEGER)) AS p FROM n),
+        |tj AS (SELECT t, p, unnest(generate_series(0, p - 1)) AS j
+        |  FROM pl, generate_series(0, 3) s(t)),
+        |d AS (SELECT e.vec_id, tj.t, tj.j,
+        |    list_reduce(list_transform(e.embedding, (x, i) ->
+        |      CAST(x AS DOUBLE) * (CAST(((i - 1 + 64 * (tj.t * tj.p + tj.j)) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)),
+        |      (a, b) -> a + b) AS dd
+        |  FROM embeddings e CROSS JOIN tj),
+        |bk AS (SELECT vec_id, t,
+        |    string_agg(CASE WHEN dd >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+        |  FROM d GROUP BY vec_id, t),
+        |kx AS (SELECT b.vec_id, e.embedding AS e,
+        |    CAST(b.t AS VARCHAR) || '#' || b.bits AS bucket
+        |  FROM bk b JOIN embeddings e USING (vec_id)),
+        |p2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    ${dotOf("a.e", "b.e")} AS dot_ab,
         |    ${dotOf("a.e", "a.e")} AS dot_aa,
         |    ${dotOf("b.e", "b.e")} AS dot_bb
         |  FROM kx a JOIN kx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT DISTINCT id_a, id_b, floor((dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)))*10000 + 0.5)/10000 AS cos
-        |FROM p
+        |FROM p2
         |WHERE dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
-    },
+        |ORDER BY id_a, id_b""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, source, count(*) AS n,
         | floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,
