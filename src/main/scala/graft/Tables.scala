@@ -6,10 +6,19 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
-  * One parquet file per table under each scale-factor dir. All queries in
-  * this library read through here so that a future move to a partitioned
-  * 100 TB layout (directory-per-table, many files, partition columns) only
-  * touches this object.
+  * Two layouts resolve per table, directory first:
+  *
+  *   - `dir/<name>/` — the 100 TB lake layout: directory-per-table, many
+  *     files, Hive-style partition columns (events partitions on
+  *     `event_date`). Spark discovers partitions natively; date-bounded
+  *     reads prune at the scan ([[partitionedEvents]] /
+  *     `Providers.partitionedParquet` put the partition predicate in the
+  *     plan — verified by PartitionedSourceSpec's PartitionFilters
+  *     assertion).
+  *   - `dir/<name>.parquet` — the driver's single-file test layout.
+  *
+  * All queries read through here so the layout choice never touches
+  * operator code.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -31,7 +40,9 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val asDir = new java.io.File(s"$dir/$name")
+    val df = if (asDir.isDirectory) spark.read.parquet(asDir.getPath)
+             else spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -52,4 +63,29 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users/tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Materialize `events` in the lake layout: directory-per-table,
+    * Hive-partitioned on `event_date` (UTC day of `ts`), multiple files
+    * per partition at scale. This is the write side of the 100 TB
+    * contract — a real deployment's ingest writes this shape once and
+    * every date-bounded read prunes to the touched days. */
+  def writePartitionedEvents(spark: SparkSession, srcDir: String,
+                             outPath: String): Unit =
+    apply(spark, srcDir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+
+  /** Date-bounded scan of a partitioned events layout: the [start, end)
+    * ISO-instant bounds become an `event_date` PARTITION predicate (the
+    * end day stays included — a ts upper bound mid-day still needs that
+    * day's files; the caller's ts filter trims rows). String compare on
+    * yyyy-MM-dd is chronological. Partition pruning leaves untouched
+    * days unread — the scan's PartitionFilters, not a post-scan filter. */
+  def partitionedEvents(spark: SparkSession, path: String,
+                        startIso: String, endIso: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+      .filter(col("event_date") >= lit(startIso.take(10)) &&
+        col("event_date") <= lit(endIso.take(10)))
+  }
 }

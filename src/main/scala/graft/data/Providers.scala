@@ -39,6 +39,20 @@ object Providers {
     spark.read.parquet(path).select(
       col(tagCol).as("tag"), col(tsCol).as("ts"), col(valueCol).as("value"))
 
+  /** S3 (lake layout): file-backed provider over a PARTITIONED
+    * directory-per-table layout (`Tables.writePartitionedEvents` shape —
+    * Hive `event_date=yyyy-MM-dd` partitions). The train-window bounds
+    * become a partition predicate BEFORE the canonical select, so the
+    * scan prunes untouched days — at 100 TB a one-month training read
+    * touches ~30 partitions, not the table. The fine-grained ts bounds
+    * still belong to `TimeSeries.getData`; this provider's date filter
+    * is the coarse prune (end day inclusive). */
+  def partitionedParquet(spark: SparkSession, path: String, tagCol: String,
+                         tsCol: String, valueCol: String,
+                         startIso: String, endIso: String): DataFrame =
+    graft.Tables.partitionedEvents(spark, path, startIso, endIso).select(
+      col(tagCol).as("tag"), col(tsCol).as("ts"), col(valueCol).as("value"))
+
   /** S4: request-body scan — a JSON document of `{tag: {iso_ts: value}}`
     * (the reference's dict-of-dicts wire format,
     * `gordo/server/utils.py:256-331`) parsed into the long frame, sorted

@@ -191,7 +191,37 @@ object TimeSeriesQueries {
       .orderBy($"event_id")
   }
 
+  /** S3 lake layout end-to-end: events materialized ONCE per sf-dir as a
+    * Hive-partitioned directory-per-table layout (`event_date=` day
+    * partitions, `Tables.writePartitionedEvents`), then a date-bounded
+    * getData reads it through `Providers.partitionedParquet` — the train
+    * window becomes a partition predicate, so the scan prunes to the 11
+    * touched days (PartitionedSourceSpec asserts PartitionFilters +
+    * files-read < files-on-disk on this exact path). The oracle
+    * recomputes from the original single-file table: identical results
+    * from either layout is the point. */
+  def partitionedSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-lake-${math.abs(dir.hashCode)}/events").getPath
+    if (!new java.io.File(s"$lake/_SUCCESS").exists())
+      Tables.writePartitionedEvents(spark, dir, lake)
+    val (start, end) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    val long = graft.data.Providers.partitionedParquet(
+      spark, lake, "event_type", "ts", "value", start, end)
+    TimeSeries.getData(long, "tag", "ts", "value", DatasetConfig(
+      tags = Seq("click", "view"),
+      resolution = "1H",
+      interpolationLimit = "6H",
+      trainStart = Some(start),
+      trainEnd = Some(end)))
+      .select($"bucket_ts",
+        r4($"click").as("click"), r4($"view").as("view"))
+      .orderBy($"bucket_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_partitioned_source" -> (partitionedSource _),
     "q57_asof_join" -> (asofJoin _),
     "q44_resample_multi" -> (resampleMulti _),
     "q13_resample_mean" -> (resampleMean _),
@@ -338,6 +368,43 @@ object TimeSeriesQueries {
         |  WHERE event_type IN ('click', 'view')
         |    AND ts >= TIMESTAMP '2024-01-02 00:00:00'
         |    AND ts <  TIMESTAMP '2024-01-28 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        |WHERE click IS NOT NULL AND view IS NOT NULL
+        |ORDER BY bucket_ts""".stripMargin,
+    // identical derivation to q21 over the 2024-01-10..20 train window —
+    // the Spark side reads the PARTITIONED layout, the oracle the
+    // original single file; layout must not change the answer
+    "q68_partitioned_source" ->
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
         |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
         |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
         |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
