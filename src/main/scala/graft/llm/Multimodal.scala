@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * runs as a per-partition batch kernel.
   *
   * IMAGE decode is REAL — [[decodeImage]] uses the JRE's `javax.imageio`
-  * readers (PNG/BMP/GIF/JPEG), gated bit-exactly by LlmSpec. Audio/video
-  * decode stays a deterministic stand-in ([[decodeStub]] /
-  * [[sampleFrames]] — no audio/video codecs in the JRE); the Spark-side
-  * contract is identical either way: schema, batch shape,
-  * partition-local execution, and the feature-struct output a downstream
-  * trainer would consume.
+  * readers (PNG/BMP/GIF/JPEG) — and so is AUDIO decode —
+  * [[decodeAudio]] uses the JRE's `javax.sound.sampled` WAV/AIFF/AU
+  * readers; both gated bit-exactly by LlmSpec. VIDEO decode stays a
+  * deterministic stand-in ([[decodeStub]] / [[sampleFrames]] — the JRE
+  * ships no video codec); the Spark-side contract is identical either
+  * way: schema, batch shape, partition-local execution, and the
+  * feature-struct output a downstream trainer would consume.
   *
   * Scale: payload bytes never shuffle — features are derived in place on
   * the scan partitions; only the (small) feature struct flows downstream.
@@ -139,6 +140,91 @@ object Multimodal {
           else r.getAs[Array[Byte]](contentIdx)
         val feats = decodeImage(bytes) match {
           case Some((w, h, hist)) => Row(w, h, hist.toSeq, bytes.length.toLong)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("amp_hist", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** REAL audio decode — JDK `javax.sound.sampled`, zero new dependencies
+    * (the WAV/AIFF/AU readers ship with the JRE): sample rate, channel
+    * count, per-channel frame count, duration, and a 16-bin amplitude
+    * histogram over every sample of every channel (16-bit PCM bins by
+    * `(v + 32768) >> 12`, 8-bit by the unsigned byte's high nibble —
+    * integer arithmetic, deterministic). Compressed containers the JRE
+    * has no codec for return None — corrupt/undecodable blobs are data,
+    * not task failures (the [[decodeImage]] contract). */
+  def decodeAudio(content: Array[Byte]): Option[(Int, Int, Long, Long, Array[Long])] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16)) return None
+        val bytes = in.readAllBytes()
+        val hist = new Array[Long](16)
+        if (bits == 8) {
+          var i = 0
+          while (i < bytes.length) {
+            // center to unsigned [0, 255]; signed flips the top bit
+            val u = if (enc == PCM_SIGNED) (bytes(i) + 128) & 0xff
+                    else bytes(i) & 0xff
+            hist(u >> 4) += 1
+            i += 1
+          }
+        } else {
+          val (lo, hi) = if (fmt.isBigEndian) (1, 0) else (0, 1)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val raw = ((bytes(i + hi) & 0xff) << 8) | (bytes(i + lo) & 0xff)
+            val v = if (enc == PCM_SIGNED) raw.toShort.toInt
+                    else raw - 32768 // unsigned centers at 32768
+            hist((v + 32768) >> 12) += 1
+            i += 2
+          }
+        }
+        val rate = math.round(fmt.getSampleRate)
+        val frames =
+          if (in.getFrameLength >= 0) in.getFrameLength
+          else bytes.length.toLong / fmt.getFrameSize
+        val durMs = if (rate <= 0) 0L else frames * 1000L / rate
+        Some((rate, fmt.getChannels, frames, durMs, hist))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio feature extraction as a partition-local batch kernel — the
+    * de-stubbed audio family, same shape as [[extractImageFeatures]]:
+    * payload bytes decode in place on the scan partitions, only the
+    * small feature struct flows downstream; undecodable payloads get a
+    * null struct. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val schema = media.schema.add("audio_features", audioFeatureSchema,
+      nullable = true)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val feats = decodeAudio(bytes) match {
+          case Some((rate, ch, n, durMs, hist)) =>
+            Row(rate, ch, n, durMs, hist.toSeq, bytes.length.toLong)
           case None => null
         }
         Row.fromSeq(r.toSeq :+ feats)

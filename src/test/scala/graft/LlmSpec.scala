@@ -248,6 +248,60 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(2).getStruct(1).getInt(0) == 2)
   }
 
+  test("audio decode is real: generated WAV fixtures decode bit-exactly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(fmt: AudioFormat, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ain = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        data.length / fmt.getFrameSize)
+      AudioSystem.write(ain, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 16-bit signed mono, 8 kHz, 800-sample ramp across the full range
+    val samples16 = Array.tabulate(800)(i => (-32768 + i * 81).toShort)
+    val bytes16 = new Array[Byte](1600)
+    samples16.zipWithIndex.foreach { case (s, i) =>
+      bytes16(2 * i) = (s & 0xff).toByte          // little-endian
+      bytes16(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val expected16 = samples16.foldLeft(Vector.fill(16)(0L))((h, s) =>
+      h.updated((s + 32768) >> 12, h((s + 32768) >> 12) + 1))
+    val (r16, c16, n16, d16, h16) = Multimodal.decodeAudio(
+      wav(new AudioFormat(8000f, 16, 1, true, false), bytes16)).get
+    assert((r16, c16, n16, d16) == ((8000, 1, 800L, 100L)))
+    assert(h16.toVector == expected16)
+
+    // 8-bit unsigned mono, 8 kHz: full 0..255 ramp → 16 samples per bin
+    val bytes8 = Array.tabulate(256)(i => i.toByte)
+    val (r8, c8, n8, d8, h8) = Multimodal.decodeAudio(
+      wav(new AudioFormat(8000f, 8, 1, false, false), bytes8)).get
+    assert((r8, c8, n8, d8) == ((8000, 1, 256L, 32L)))
+    assert(h8.toVector == Vector.fill(16)(16L))
+
+    // stereo interleaves both channels into one histogram
+    val stereo = Array[Byte](0, 0, -1, 127, 0, -128, 1, 0) // L,R,L,R 16-bit LE
+    val (_, cs, ns, _, hs) = Multimodal.decodeAudio(
+      wav(new AudioFormat(8000f, 16, 2, true, false), stereo)).get
+    assert(cs == 2 && ns == 2L && hs.sum == 4L)
+
+    // and through the partition-local kernel over a DataFrame
+    val media = Multimodal.asMedia(
+      Seq((1L, wav(new AudioFormat(8000f, 16, 1, true, false), bytes16)),
+        (2L, "not audio".getBytes),
+        (3L, wav(new AudioFormat(8000f, 8, 1, false, false), bytes8)))
+        .toDF("id", "payload"),
+      "id", "payload", "audio/wav")
+    val feats = Multimodal.extractAudioFeatures(media)
+      .select($"media_id", $"audio_features")
+      .orderBy($"media_id").collect()
+    val f1 = feats(0).getStruct(1)
+    assert(f1.getInt(0) == 8000 && f1.getInt(1) == 1 && f1.getLong(2) == 800L)
+    assert(f1.getSeq[Long](4).toVector == expected16)
+    assert(feats(1).isNullAt(1)) // undecodable → null struct, no failure
+    assert(feats(2).getStruct(1).getSeq[Long](4).toVector == Vector.fill(16)(16L))
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     val shared = "the common stretch of text both documents contain"
     val df = Seq(
