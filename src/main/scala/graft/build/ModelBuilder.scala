@@ -181,9 +181,10 @@ object ModelBuilder {
     def implOf(s: ModelRegistry.Stage): String = s match {
       case ModelRegistry.Reconstruction(impl, _) => impl
       case _: ModelRegistry.RawSpec => "mlp"
-      // the MLP window-AE trains the real net over the flattened window;
-      // closed-form impls get the bottlenecked linear window autoencoder
+      // iteratively-trained window models keep their own impl; closed-form
+      // impls get the bottlenecked linear window autoencoder
       case ModelRegistry.Windowed(_, 0, ModelRegistry.Reconstruction("mlp", _)) => "mlp"
+      case ModelRegistry.Windowed(_, 0, ModelRegistry.Reconstruction("lstm", _)) => "lstm"
       case ModelRegistry.Windowed(_, 0, _) => "window_ae"
       case ModelRegistry.Windowed(_, _, inner) => implOf(inner)
       case ModelRegistry.PipelineOf(steps) if steps.nonEmpty => implOf(steps.last)

@@ -214,6 +214,7 @@ object Persistence {
       }
       case "pca" => pcaFitted(p, tags, feature)
       case "mlp" => graft.ml.Mlp.fittedFromParams(p, tags, feature)
+      case "lstm" => graft.ml.Lstm.fittedFromParams(p, tags, feature)
       case "window_ae" =>
         // PCA over the saved LAG feature tags; targets map to their
         // current-row feature (the WindowAutoencoder adaptation)

@@ -124,15 +124,15 @@ object ModelRegistry {
       Reconstruction(impl, kind)
     case "gordo.machine.model.models.KerasLSTMAutoEncoder" =>
       // lookahead 0: the window INCLUDES the current row (y = current).
-      // The recurrent cell itself stays out of scope (SURVEY §7.4); the
-      // closest in-family stand-in is the bottlenecked MLP over the
-      // flattened window (`models.py:463-710` flattens to windows too)
+      // Trains the in-house seeded recurrent cell ([[graft.ml.Lstm]]) —
+      // real gates over the time-ordered window, shared weights across
+      // steps (`models.py:463-710`)
       Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 0,
-        Reconstruction("mlp", kw.getOrElse("kind", "lstm_hourglass").toString))
+        Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "gordo.machine.model.models.KerasLSTMForecast" =>
       // lookahead 1: forecast the current row from the previous window
       Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 1,
-        Reconstruction("mlp", kw.getOrElse("kind", "lstm_hourglass").toString))
+        Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
     case "gordo.machine.model.models.KerasRawModelRegressor" =>
@@ -227,6 +227,7 @@ object ModelRegistry {
     * silently claims an estimator family that didn't train. */
   def substituteClosedForm(stage: Stage): Stage = stage match {
     case Reconstruction("mlp", kind) => Reconstruction("ridge", kind)
+    case Reconstruction("lstm", kind) => Reconstruction("ridge", kind)
     case RawSpec(_, _) => Reconstruction("ridge", "raw_spec")
     case PipelineOf(steps)  => PipelineOf(steps.map(substituteClosedForm))
     case UnionOf(branches)  => UnionOf(branches.map(substituteClosedForm))
@@ -325,6 +326,7 @@ object ModelRegistry {
     stage match {
       case Reconstruction("ridge", _) => new DiffAnomaly.RidgeReconstructor()
       case Reconstruction("mlp", _) => new graft.ml.Mlp.AutoReconstructor()
+      case Reconstruction("lstm", _) => new graft.ml.Lstm.LstmReconstructor()
       case RawSpec(layers, _) => new graft.ml.Mlp.RawSpecReconstructor(layers)
       case Reconstruction("pca", k) =>
         if (k == "all") new DiffAnomaly.PcaReconstructor(Int.MaxValue)
@@ -341,6 +343,11 @@ object ModelRegistry {
       // strictly precede the target) keeps the inner reconstruction.
       case Windowed(_, 0, Reconstruction("mlp", _)) =>
         new graft.ml.Mlp.AutoReconstructor()
+      // the recurrent AE sees the current row as the last sequence step;
+      // the gated bottleneck (finite epochs, shared step weights) keeps
+      // the fit from collapsing to the identity, like the MLP case
+      case Windowed(_, 0, Reconstruction("lstm", _)) =>
+        new graft.ml.Lstm.LstmReconstructor()
       case Windowed(_, 0, _) =>
         new DiffAnomaly.WindowAutoencoder(t => s"${t}__lag0")
       case Windowed(_, _, inner) => reconstructorOf(inner, orderCol, epoch0)
