@@ -225,7 +225,22 @@ object ModelBuilder {
         "feature-thresholds" -> fitted.thresholds.featureThresholds,
         "aggregate-threshold" -> fitted.thresholds.aggregateThreshold,
         "aggregate-thresholds-per-fold" -> fitted.thresholds.perFoldAggregate,
-        "cross_validation" -> Map("scores" -> scores))))
+        "cross_validation" -> Map(
+          "scores" -> scores,
+          // `build_model.py` `build_split_dict`: per-fold span metadata.
+          // The reference records index TIMESTAMPS; rows here are 0-based
+          // positions in the aligned frame (ends inclusive, like
+          // `train_ind[-1]`) — same shape, position-valued
+          "splits" -> fitted.folds.flatMap { f =>
+            val k = f.index + 1
+            Seq[(String, Any)](
+              s"fold-$k-train-start" -> f.trainStart,
+              s"fold-$k-train-end" -> (f.trainEnd - 1),
+              s"fold-$k-test-start" -> f.testStart,
+              s"fold-$k-test-end" -> (f.testEnd - 1),
+              s"fold-$k-n-train" -> f.nTrain,
+              s"fold-$k-n-test" -> f.nTest)
+          }.toMap))))
 
     // the FINAL model's fitted preprocessing (fit on the full series)
     // goes to disk for the serve path

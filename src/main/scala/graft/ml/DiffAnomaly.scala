@@ -509,7 +509,10 @@ object DiffAnomaly {
       /** Per-metric raw fold values when `foldMetrics` were requested at
         * fit time (A8 input) — computed inside the SAME fold loop as the
         * thresholds, so no second CV pass refits the base models. */
-      foldScores: Map[String, Seq[Double]] = Map.empty)
+      foldScores: Map[String, Seq[Double]] = Map.empty,
+      /** CV fold row spans, for split metadata
+        * (`build_model.py:build_split_dict` — K5 reporter input). */
+      folds: Seq[CrossValidate.Fold] = Nil)
 
   /** Fit + cross_validate (`diff.py:166-264`): per expanding-window fold,
     * fit the base model and scaler on train, score the test span, take
@@ -742,7 +745,8 @@ object DiffAnomaly {
         Thresholds(lastFeat, lastAgg, lastSmoothFeat, lastSmoothAgg,
           perFoldAgg.toMap),
         tags, y, orderCol, window, smoothingMethod,
-        perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap)
+        perFoldScores.map { case (k, v) => k -> v.toSeq }.toMap,
+        folds)
     } finally { indexed.unpersist(); if (!callerCached) src.unpersist() }
   }
 
@@ -877,7 +881,8 @@ object DiffAnomaly {
         fitModelAndScaler(indexed, tags, y, base, scalerKind))
       FittedDetector(finalModel, finalScaler,
         Thresholds(featureTh, aggTh, None, None, Map.empty),
-        tags, y, orderCol, Some(window), smoothingMethod)
+        tags, y, orderCol, Some(window), smoothingMethod,
+        folds = folds)
     } finally { indexed.unpersist(); if (!callerCached) src.unpersist() }
   }
 

@@ -148,4 +148,51 @@ class ProjectSpec2 extends AnyFunSuite {
       intercept[Reporters.ReporterException](rep.read("no-such-machine"))
     } finally rep.close()
   }
+
+  test("K5: metric batch of a real build flattens, logs, and reads back") {
+    val tmp = Files.createTempDirectory("graft-k5").toString
+    val spec = Project.parse(projectYaml, "proj-x")
+    val result = Project.buildAll(spec, longFrame, "tag", "ts", "value",
+      outputRoot = s"$tmp/models", parallelism = 1).head
+    val (metrics, params) = Reporters.machineLogItems(result.metadata,
+      timestamp = 1718000000000L)
+
+    // params carry project/name/dataset provenance + CV split metadata
+    val pm = params.map(p => p.key -> p.value).toMap
+    assert(pm("project_name") == "proj-x" && pm("name") == "machine-one")
+    assert(pm("resolution") == "10T")
+    assert(pm.contains("fold-1-n-train") && pm.contains("fold-3-n-test"))
+    // fold spans tile: fold k's test follows its train (TimeSeriesSplit)
+    assert(pm("fold-1-train-start") == "0")
+    assert(pm("fold-1-test-start").toLong == pm("fold-1-train-end").toLong + 1)
+
+    // one metric row per metric × fold with step = fold − 1, plus the
+    // four summary stats at step 0 (mlflow.py:241-248)
+    val r2Folds = metrics.filter(_.key == "r2-score")
+    assert(r2Folds.map(_.step).sorted == Seq(0, 1, 2))
+    for (sk <- Seq("mean", "max", "min", "std"))
+      assert(metrics.count(m => m.key == s"r2-score-$sk" && m.step == 0) == 1)
+    val agg = metrics.filter(_.key == "r2-score-mean").head.value
+    assert(math.abs(agg - r2Folds.map(_.value).sum / 3) < 1e-12)
+
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft-derby-k5").toString)
+    val rep = new Reporters.JdbcReporter("jdbc:derby:memory:graftk5;create=true")
+    try {
+      // small caps force multi-batch slicing (batch_log_items)
+      rep.reportMetrics("machine-one", metrics, params,
+        nMaxMetrics = 10, nMaxParams = 10)
+      val back = rep.readMetrics("machine-one")
+      assert(back.size == metrics.size + params.size)
+      assert(back.map(_._1).max > 0) // really sliced into >1 batch
+      val backR2 = back.filter(r => r._2 == "metric" && r._3 == "r2-score")
+      assert(backR2.map(_._6).sorted == Seq(0, 1, 2))
+      assert(backR2.forall(_._4.isDefined))
+      assert(back.find(r => r._2 == "param" && r._3 == "name")
+        .flatMap(_._5).contains("machine-one"))
+      // re-report replaces, never duplicates (run-scoped upsert)
+      rep.reportMetrics("machine-one", metrics, params)
+      assert(rep.readMetrics("machine-one").size == metrics.size + params.size)
+    } finally rep.close()
+  }
 }
