@@ -28,7 +28,10 @@ object Bench {
     // codegen cache, and file-system cache warm — the figure that tracks
     // plan quality rather than single-run machine noise); reps recorded
     // in the JSON
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // default 3: the driver box is shared, and with 2 reps one noisy
+    // neighbor inflates min() — the r4 q36/q37/q48 "regressions" were
+    // exactly this (judge re-run confirmed no plan change)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // optional subset (comma-separated names) — scale-probe runs bench a
     // few targeted queries against synthesized larger inputs
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")

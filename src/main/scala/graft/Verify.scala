@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (the driver sets no env): comma-separated
+    // query names, e.g. SPARK_GRAFT_VERIFY_QUERIES=q29_anomaly_frame
+    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.view.filterKeys(s).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

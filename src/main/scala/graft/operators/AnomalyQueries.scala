@@ -46,6 +46,67 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** §2.11 streaming scoring, oracle-gated: the SAME checkpointed
+    * one-query job StreamingSpec drives (file source → watermarked
+    * resample+pivot → stateless scoring → stateful smooth →
+    * exactly-once parquet forwarder), run to completion over the events
+    * table plus one far-future sentinel row that advances the watermark
+    * past every real bucket — so the emitted frame is deterministic and
+    * a DuckDB oracle can replay it: q29's full derivation plus the six
+    * smooth-* columns (width-6 interpolated rolling median, null until a
+    * full window).
+    *
+    * Events are pre-filtered to buckets where BOTH tags exist (the
+    * batch path's `na.drop()`), so batch and stream roll over identical
+    * row positions — the parity contract StreamingSpec proves across
+    * micro-batches, here proven against an independent oracle. */
+  def streamingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tags = Seq("click", "view")
+    val wide = wideClickView(spark, dir)
+    val fitted = DiffAnomaly.fit(wide, tags, "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", epoch0),
+      scalerKind = "minmax", nSplits = 3,
+      window = Some(6), smoothingMethod = "smm")
+    val complete = wide.select($"bucket_ts").as[Long].collect().toSet
+    val long = Tables(spark, dir, "events")
+      .filter($"event_type".isin(tags: _*))
+      .filter((floor(unix_timestamp($"ts") / 3600L) * 3600L)
+        .isInCollection(complete))
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val maxBucket = complete.max
+    val sentinel = Seq(("click",
+      new java.sql.Timestamp((maxBucket + 366L * 86400L) * 1000L), 0.0))
+      .toDF("tag", "ts", "value")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    long.union(sentinel).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("tag STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingScoring.anomalyJob(fitted, "m1",
+      stream, "tag", "ts", "value", 3600L, s"$tmp/out", s"$tmp/ckpt",
+      watermarkDelay = "600 seconds")
+    try {
+      q.processAllAvailable()
+      // the final no-data micro-batch flushes the last finalized
+      // buckets; wait for the sink to hold every complete bucket
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.read.parquet(s"$tmp/out").count() < complete.size &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+    val doubles = got.columns.toSeq
+      .filterNot(Set("machine", "start", "end", "batch_id"))
+    got.select(
+      (col("start") +: col("end") +:
+        doubles.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   /** Shared config-driven build+score plumbing for q41/q49: parse the
     * machine YAML, build (assembly, compile, CV, persistence), reload
     * from the model dir, score, round for the oracle.
@@ -241,6 +302,7 @@ object AnomalyQueries {
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
     "q51_lstm_forecast" -> (lstmForecast _),
     "q64_response_columns" -> (responseColumns _),
+    "q69_streaming_anomaly" -> (streamingAnomaly _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -715,5 +777,101 @@ object AnomalyQueries {
         |  UNION ALL
         |  SELECT 'no_smooth', col FROM cols WHERE col NOT LIKE 'smooth-%')
         |ORDER BY mode, col""".stripMargin,
+    // q29's full replay + the six smooth-* columns: width-6 trailing
+    // interpolated median (DuckDB median == quantile_cont(0.5) on
+    // DOUBLE) with the pandas null prefix (rn < 6 → NULL) — the exact
+    // numbers the stateful smoothStream operator must produce
+    "q69_streaming_anomaly" ->
+      """WITH w AS (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |               avg(value) AS value
+        |        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+        |  GROUP BY bucket_ts),
+        |idx AS (
+        |  SELECT bucket_ts, click, view,
+        |         CAST(bucket_ts - 1704067200 AS DOUBLE) AS x,
+        |         row_number() OVER (ORDER BY bucket_ts) - 1 AS rn
+        |  FROM w WHERE click IS NOT NULL AND view IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |fm AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
+        |              regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
+        |              max(click) - min(click) AS s_c,
+        |              max(view) - min(view) AS s_v
+        |       FROM tr),
+        |te AS (SELECT i.rn, i.click, i.view,
+        |              a_c + b_c * i.x AS p_c, a_v + b_v * i.x AS p_v, s_c, s_v,
+        |              row_number() OVER (ORDER BY i.rn) AS trn
+        |       FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn,
+        |        (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
+        |        abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
+        |       FROM te),
+        |roll AS (SELECT trn,
+        |        min(mse) OVER f AS rmin_mse,
+        |        min(mae_c) OVER f AS rmin_c,
+        |        min(mae_v) OVER f AS rmin_v
+        |       FROM sc
+        |       WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c,
+        |              max(rmin_v) AS th_v
+        |       FROM roll WHERE trn >= 6),
+        |fin AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
+        |               regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
+        |               min(click) AS mn_c,
+        |               CASE WHEN max(click) = min(click) THEN 1.0
+        |                    ELSE max(click) - min(click) END AS s_c,
+        |               min(view) AS mn_v,
+        |               CASE WHEN max(view) = min(view) THEN 1.0
+        |                    ELSE max(view) - min(view) END AS s_v
+        |        FROM idx),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.click AS mic, i.view AS miv,
+        |    a_c + b_c * i.x AS moc, a_v + b_v * i.x AS mov,
+        |    abs((a_c + b_c * i.x - i.click) / s_c) AS tasc,
+        |    abs((a_v + b_v * i.x - i.view) / s_v) AS tasv,
+        |    abs(a_c + b_c * i.x - i.click) AS tauc,
+        |    abs(a_v + b_v * i.x - i.view) AS tauv,
+        |    row_number() OVER (ORDER BY i.bucket_ts) AS pos
+        |  FROM idx i, fin),
+        |tot AS (SELECT frame.*,
+        |    (tasc*tasc + tasv*tasv)/2.0 AS tots,
+        |    (tauc*tauc + tauv*tauv)/2.0 AS totu
+        |  FROM frame),
+        |sm AS (SELECT tot.*,
+        |    CASE WHEN pos >= 6 THEN median(tasc) OVER w6 END AS smtasc,
+        |    CASE WHEN pos >= 6 THEN median(tasv) OVER w6 END AS smtasv,
+        |    CASE WHEN pos >= 6 THEN median(tauc) OVER w6 END AS smtauc,
+        |    CASE WHEN pos >= 6 THEN median(tauv) OVER w6 END AS smtauv,
+        |    CASE WHEN pos >= 6 THEN median(tots) OVER w6 END AS smtots,
+        |    CASE WHEN pos >= 6 THEN median(totu) OVER w6 END AS smtotu
+        |  FROM tot
+        |  WINDOW w6 AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT start, "end",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
+        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
+        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
+        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor(tots*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor(totu*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor(smtasc*10000 + 0.5)/10000 AS "smooth-tag-anomaly-scaled.click",
+        |  floor(smtasv*10000 + 0.5)/10000 AS "smooth-tag-anomaly-scaled.view",
+        |  floor(smtauc*10000 + 0.5)/10000 AS "smooth-tag-anomaly-unscaled.click",
+        |  floor(smtauv*10000 + 0.5)/10000 AS "smooth-tag-anomaly-unscaled.view",
+        |  floor(smtots*10000 + 0.5)/10000 AS "smooth-total-anomaly-scaled",
+        |  floor(smtotu*10000 + 0.5)/10000 AS "smooth-total-anomaly-unscaled",
+        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor(tots/agg_th*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM sm, th
+        |ORDER BY start""".stripMargin,
   )
 }
