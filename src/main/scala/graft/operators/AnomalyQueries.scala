@@ -266,7 +266,7 @@ object AnomalyQueries {
         |  resolution: 1H
         |  interpolation_limit: 6H
         |  train_start_date: 2024-01-01T00:00:00Z
-        |  train_end_date: 2024-02-01T00:00:00Z
+        |  train_end_date: 2024-01-08T00:00:00Z
         |model:
         |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
         |    window: 6

@@ -327,4 +327,70 @@ class LlmSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("keeper") == 1L)
     assert(groups(0).getAs[Long]("n_docs") == 2L)
   }
+
+  test("video decode is real: generated MJPEG-in-AVI fixture decodes bit-exactly") {
+    import java.awt.image.BufferedImage
+    def jpegFrame(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "JRE cannot encode jpg")
+      out.toByteArray
+    }
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+    // 3 solid-color frames at 25 fps (40 000 µs/frame), 4×2
+    val frames = Seq(jpegFrame(0x000000), jpegFrame(0xffffff), jpegFrame(0x808080))
+    val avih = new Array[Byte](56)
+    le32(40000L).copyToArray(avih, 0)            // dwMicroSecPerFrame
+    le32(frames.size.toLong).copyToArray(avih, 16) // dwTotalFrames
+    le32(1L).copyToArray(avih, 24)               // dwStreams
+    le32(4L).copyToArray(avih, 32)               // dwWidth
+    le32(2L).copyToArray(avih, 36)               // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+
+    // container round-trip is BIT-EXACT: stored frames come back verbatim
+    val parsed = Multimodal.parseAvi(avi).get
+    assert((parsed.width, parsed.height, parsed.usPerFrame) == ((4, 2, 40000L)))
+    assert(parsed.frames.map(_.toSeq) == frames.map(_.toSeq))
+
+    // features: dims + duration from the header, luma hist = sum of the
+    // per-frame ImageIO decodes (JPEG is lossy; decoding our own
+    // encoding is deterministic)
+    val (w, h, n, durMs, hist) = Multimodal.decodeVideo(avi).get
+    assert((w, h, n, durMs) == ((4, 2, 3, 120L)))
+    val expected = frames.map(f => Multimodal.decodeImage(f).get._3)
+      .foldLeft(Vector.fill(16)(0L))((acc, hh) =>
+        acc.indices.map(i => acc(i) + hh(i)).toVector)
+    assert(hist.toVector == expected)
+
+    // real sampling: frame picked by the header interval, bytes verbatim
+    val media = Multimodal.asMedia(
+      Seq((7L, avi)).toDF("id", "payload"), "id", "payload", "video/avi")
+    val rows = Multimodal.sampleFramesAvi(media, 50L)
+      .orderBy($"frame_idx").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      == Seq((7L, 0, 0L), (7L, 1, 50L), (7L, 2, 100L)))
+    assert(rows(1).getAs[Array[Byte]](3).toSeq == frames(1).toSeq) // 50 ms → frame 1
+    assert(rows(2).getAs[Array[Byte]](3).toSeq == frames(2).toSeq) // 100 ms → frame 2
+
+    // undecodable payloads: no frame rows, null feature struct
+    assert(Multimodal.parseAvi("not an avi container".getBytes).isEmpty)
+    val feats = Multimodal.extractVideoFeatures(Multimodal.asMedia(
+      Seq((1L, avi), (2L, "zz".getBytes)).toDF("id", "payload"),
+      "id", "payload", "video/avi"))
+      .select($"media_id", $"video_features").orderBy($"media_id").collect()
+    assert(feats(0).getStruct(1).getInt(2) == 3)
+    assert(feats(0).getStruct(1).getLong(3) == 120L)
+    assert(feats(1).isNullAt(1))
+  }
 }
