@@ -295,6 +295,63 @@ object AnomalyQueries {
       .orderBy($"mode", $"col")
   }
 
+  /** K5/M13/M14 oracle gate: build a real model, flatten its metadata
+    * into the MLflow-shaped metric batch ([[graft.build.Reporters
+    * .machineLogItems]]), push it through the JDBC metric sink, and
+    * emit the READ-BACK rows — CV fold metrics (per-fold points +
+    * summary stats), split metadata, and config params. The DuckDB
+    * oracle independently replays the whole derivation: resample →
+    * grid → interpolate → per-fold ridge fits → sklearn metric math →
+    * fold aggregation (`mlflow.py:194-260`, `build_model.py:274-289`).
+    * Dates are quoted in the YAML so param stringification is the
+    * literal text on both sides. */
+  def metricBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q70").toString
+    val yaml =
+      """
+        |name: graft-q70-machine
+        |dataset:
+        |  tag_list: [click, view]
+        |  resolution: 1H
+        |  interpolation_limit: 6H
+        |  train_start_date: "2024-01-01T00:00:00Z"
+        |  train_end_date: "2024-01-08T00:00:00Z"
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasAutoEncoder:
+        |        kind: feedforward_hourglass
+        |evaluation:
+        |  cv:
+        |    sklearn.model_selection.TimeSeriesSplit:
+        |      n_splits: 3
+        |""".stripMargin
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(yaml),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("graft-project"),
+      closedForm = true)
+    val (metrics, params) =
+      graft.build.Reporters.machineLogItems(res.metadata, timestamp = 0L)
+    val rep = new graft.build.Reporters.JdbcReporter(
+      "jdbc:derby:memory:graftq70;create=true")
+    val back =
+      try {
+        rep.reportMetrics("graft-q70-machine", metrics, params)
+        rep.readMetrics("graft-q70-machine")
+      } finally rep.close()
+    back.map { case (_, kind, key, num, text, step) =>
+      (kind, key, step,
+        num.map(v => math.floor(v * 10000.0 + 0.5) / 10000.0),
+        text)
+    }.toDF("kind", "item_key", "step", "num_value", "text_value")
+      .orderBy($"kind", $"item_key", $"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_anomaly_frame" -> (anomalyFrame _),
     "q41_config_build" -> (configDrivenBuild _),
@@ -303,6 +360,7 @@ object AnomalyQueries {
     "q51_lstm_forecast" -> (lstmForecast _),
     "q64_response_columns" -> (responseColumns _),
     "q69_streaming_anomaly" -> (streamingAnomaly _),
+    "q70_metric_batch" -> (metricBatch _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -873,5 +931,129 @@ object AnomalyQueries {
         |  floor(tots/agg_th*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM sm, th
         |ORDER BY start""".stripMargin,
+    // Replays the metric-batch flattening end-to-end: the q41-style
+    // resample/grid/interpolate chain on the one-week span, a ridge fit
+    // per CV fold (prefix train sets), sklearn metric math per tag
+    // averaged over tags, fold summary stats (population std), split
+    // metadata from the TimeSeriesSplit formulas, and the config params
+    // as the literal strings the build stringifies.
+    "q70_metric_batch" ->
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-08 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+        |ww AS (SELECT bucket_ts, click, view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        | WHERE click IS NOT NULL AND view IS NOT NULL),
+        |idx AS (SELECT bucket_ts, click, view,
+        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM ww),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |folds AS (SELECT t.k AS fold,
+        |            n - (4 - t.k) * (n//4) AS test_start,
+        |            n - (3 - t.k) * (n//4) AS test_end, n
+        |          FROM nn CROSS JOIN (VALUES (1), (2), (3)) AS t(k)),
+        |tragg AS (SELECT f.fold, count(*) AS n,
+        |      sum(i.view) AS sx_v, sum(i.view*i.view) AS sxx_v,
+        |      sum(i.click) AS sx_c, sum(i.click*i.click) AS sxx_c,
+        |      sum(i.click) AS sy_c, sum(i.view*i.click) AS sxy_c,
+        |      sum(i.view) AS sy_v, sum(i.click*i.view) AS sxy_v
+        |    FROM idx i JOIN folds f ON i.rn < f.test_start
+        |    GROUP BY f.fold),
+        |fm AS (SELECT fold,
+        |    ((n + 1e-8)*sxy_c - sx_v*sy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS b_c,
+        |    (sy_c*(sxx_v + 1e-8) - sx_v*sxy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS a_c,
+        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
+        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v
+        |  FROM tragg),
+        |mm AS (SELECT min(click) AS mn_c, max(click) - min(click) AS s_c,
+        |              min(view) AS mn_v, max(view) - min(view) AS s_v
+        |       FROM idx),
+        |te AS (SELECT f.fold,
+        |    (i.click - mn_c)/s_c AS click, (i.view - mn_v)/s_v AS view,
+        |    (m.a_c + m.b_c * i.view - mn_c)/s_c AS p_c,
+        |    (m.a_v + m.b_v * i.click - mn_v)/s_v AS p_v
+        |  FROM idx i
+        |  JOIN folds f ON i.rn >= f.test_start AND i.rn < f.test_end
+        |  JOIN fm m ON m.fold = f.fold
+        |  CROSS JOIN mm),
+        |met AS (SELECT fold,
+        |    ((1 - var_pop(click - p_c)/var_pop(click))
+        |     + (1 - var_pop(view - p_v)/var_pop(view))) / 2.0 AS ev,
+        |    ((1 - sum(pow(click - p_c, 2))/(var_pop(click)*count(*)))
+        |     + (1 - sum(pow(view - p_v, 2))/(var_pop(view)*count(*)))) / 2.0 AS r2,
+        |    (avg(pow(click - p_c, 2)) + avg(pow(view - p_v, 2))) / 2.0 AS mse,
+        |    (avg(abs(click - p_c)) + avg(abs(view - p_v))) / 2.0 AS mae
+        |  FROM te GROUP BY fold),
+        |ml AS (
+        |  SELECT 'explained-variance-score' AS mkey, fold, ev AS v FROM met
+        |  UNION ALL SELECT 'r2-score', fold, r2 FROM met
+        |  UNION ALL SELECT 'mean-squared-error', fold, mse FROM met
+        |  UNION ALL SELECT 'mean-absolute-error', fold, mae FROM met),
+        |stats AS (SELECT mkey, avg(v) AS smean, max(v) AS smax, min(v) AS smin,
+        |    stddev_pop(v) AS sstd FROM ml GROUP BY mkey),
+        |metricrows AS (
+        |  SELECT mkey || '-mean' AS item_key, 0 AS step, smean AS num FROM stats
+        |  UNION ALL SELECT mkey || '-max', 0, smax FROM stats
+        |  UNION ALL SELECT mkey || '-min', 0, smin FROM stats
+        |  UNION ALL SELECT mkey || '-std', 0, sstd FROM stats
+        |  UNION ALL SELECT mkey, fold - 1, v FROM ml),
+        |splitrows AS (
+        |  SELECT 'fold-' || fold || '-train-start' AS item_key,
+        |         CAST(0 AS VARCHAR) AS txt FROM folds
+        |  UNION ALL SELECT 'fold-' || fold || '-train-end',
+        |         CAST(test_start - 1 AS VARCHAR) FROM folds
+        |  UNION ALL SELECT 'fold-' || fold || '-test-start',
+        |         CAST(test_start AS VARCHAR) FROM folds
+        |  UNION ALL SELECT 'fold-' || fold || '-test-end',
+        |         CAST(test_end - 1 AS VARCHAR) FROM folds
+        |  UNION ALL SELECT 'fold-' || fold || '-n-train',
+        |         CAST(test_start AS VARCHAR) FROM folds
+        |  UNION ALL SELECT 'fold-' || fold || '-n-test',
+        |         CAST(test_end - test_start AS VARCHAR) FROM folds),
+        |paramrows AS (
+        |  SELECT col0 AS item_key, col1 AS txt FROM (VALUES
+        |    ('project_name', 'graft-project'),
+        |    ('name', 'graft-q70-machine'),
+        |    ('train_start_date', '2024-01-01T00:00:00Z'),
+        |    ('train_end_date', '2024-01-08T00:00:00Z'),
+        |    ('resolution', '1H'),
+        |    ('row_filter', ''),
+        |    ('row_filter_buffer_size', '0'),
+        |    ('model_offset', '0'))
+        |  UNION ALL SELECT item_key, txt FROM splitrows)
+        |SELECT kind, item_key, step, num_value, text_value FROM (
+        |  SELECT 'metric' AS kind, item_key, step,
+        |         floor(num*10000 + 0.5)/10000 AS num_value,
+        |         CAST(NULL AS VARCHAR) AS text_value
+        |  FROM metricrows
+        |  UNION ALL
+        |  SELECT 'param', item_key, 0, CAST(NULL AS DOUBLE), txt
+        |  FROM paramrows)
+        |ORDER BY kind, item_key, step""".stripMargin,
   )
 }
