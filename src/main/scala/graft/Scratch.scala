@@ -1,0 +1,55 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Path}
+
+/** Scratch-space discipline for the gated queries: per-run temp
+  * directories are registered for recursive deletion at JVM exit (a
+  * bench looping a build query must not leak gigabytes into /tmp), and
+  * derived inputs that are expensive to materialize (the q68 lake
+  * layout, q69's stream input) cache in a directory keyed by the
+  * SOURCE file's identity — canonical path + length + mtime — so a
+  * regenerated source invalidates the cache instead of silently
+  * serving stale data.
+  */
+object Scratch {
+
+  private val registered =
+    new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach(deleteRecursively)
+    }, "graft-scratch-cleanup"))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally walk.close()
+      }
+    } catch { case _: Exception => () } // best-effort: exit must not fail
+
+  /** Fresh scratch directory, recursively deleted on JVM exit. */
+  def dir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p.toString
+  }
+
+  /** A cache directory keyed by the witness file's identity (canonical
+    * path, length, mtime). Returns the path; contents persist across
+    * runs in one machine session and rebuild whenever the witness
+    * changes. Callers mark completeness themselves (e.g. `_SUCCESS`). */
+  def cachedDir(prefix: String, witnessFile: String): String = {
+    val f = new File(witnessFile)
+    val ident = s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8"))
+    val key = md.take(8).map(b => f"$b%02x").mkString
+    new File(System.getProperty("java.io.tmpdir"), s"$prefix-$key").getPath
+  }
+}

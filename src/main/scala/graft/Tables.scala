@@ -40,8 +40,14 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val asDir = new java.io.File(s"$dir/$name")
-    val df = if (asDir.isDirectory) spark.read.parquet(asDir.getPath)
+    // scheme-aware directory probe (java.io.File would be always-false
+    // for s3://, hdfs://…, defeating the lake layout off local disk)
+    val asDir = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val isDir =
+      try asDir.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(asDir).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    val df = if (isDir) spark.read.parquet(asDir.toString)
              else spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
@@ -70,10 +76,18 @@ object Tables {
     * contract — a real deployment's ingest writes this shape once and
     * every date-bounded read prunes to the touched days. */
   def writePartitionedEvents(spark: SparkSession, srcDir: String,
-                             outPath: String): Unit =
+                             outPath: String): Unit = {
+    // event_date derives via the SESSION timezone while the read side
+    // prunes with UTC ISO dates — a mis-pinned session would silently
+    // misfile boundary rows into the neighboring day partition
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"partitioned-events date derivation requires " +
+        s"spark.sql.session.timeZone=UTC, got $tz")
     apply(spark, srcDir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+  }
 
   /** Date-bounded scan of a partitioned events layout: the [start, end)
     * ISO-instant bounds become an `event_date` PARTITION predicate (the

@@ -85,11 +85,15 @@ object Reporters {
       params += Param(k, String.valueOf(v))
 
     val metrics = Seq.newBuilder[Metric]
-    // tag names whose per-tag score keys are skipped (mlflow.py:236-238)
-    val tagNames = dataset.get("tag_list") match {
+    // tag names whose per-tag score keys are skipped (mlflow.py:236-238;
+    // substring match like the reference's `extract_tag_name(t) in k`).
+    // Normalized to hyphens because the builder emits score keys through
+    // name.replace("_", "-") — a raw underscore tag would never match
+    // its own per-tag key
+    val tagNames = (dataset.get("tag_list") match {
       case Some(l: List[_]) => l.map(_.toString)
       case _ => Nil
-    }
+    }).map(_.replace("_", "-"))
     val scores = sub(cv, "scores")
     val subkeys = Seq("mean", "max", "min", "std")
     for (k <- scores.keys.toSeq.sorted if !tagNames.exists(k.contains)) {

@@ -264,7 +264,8 @@ object Multimodal {
     def isFrame(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 16) return // corrupt/hostile nesting: real AVIs are ~3 deep
       var off = from
       while (off + 8 <= to) {
         val id = fourcc(content, off)
@@ -274,7 +275,7 @@ object Multimodal {
         val dataEnd = dataStart + size.toInt
         id match {
           case "LIST" =>
-            if (size >= 4) walk(dataStart + 4, dataEnd) // skip list type
+            if (size >= 4) walk(dataStart + 4, dataEnd, depth + 1)
           case "avih" =>
             if (size >= 40) {
               usPerFrame = u32le(content, dataStart)
@@ -288,7 +289,7 @@ object Multimodal {
         off = dataEnd + (size.toInt & 1) // chunks pad to even offsets
       }
     }
-    walk(12, content.length)
+    walk(12, content.length, 0)
     val fs = frames.result()
     if (width <= 0 || height <= 0 || usPerFrame <= 0 || fs.isEmpty) None
     else Some(AviVideo(width, height, usPerFrame, fs))

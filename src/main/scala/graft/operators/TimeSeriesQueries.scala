@@ -202,8 +202,11 @@ object TimeSeriesQueries {
     * from either layout is the point. */
   def partitionedSource(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-lake-${math.abs(dir.hashCode)}/events").getPath
+    // keyed by the source file's identity (path + length + mtime): a
+    // regenerated events table rebuilds the lake instead of silently
+    // serving the stale layout
+    val lake = graft.Scratch.cachedDir("graft-lake",
+      s"$dir/events.parquet") + "/events"
     if (!new java.io.File(s"$lake/_SUCCESS").exists())
       Tables.writePartitionedEvents(spark, dir, lake)
     val (start, end) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
