@@ -61,6 +61,89 @@ class LstmSpec extends AnyFunSuite {
     assert(f3.params != f1.params)
   }
 
+  test("BPTT gradients match finite differences of an independent forward pass") {
+    // Adam's FIRST step is -lr * grad/(|grad| + eps) — pure sign(grad) —
+    // so (params after 1 epoch) - (init params) must move OPPOSITE the
+    // finite-difference gradient of the loss at the init point, for an
+    // INDEPENDENTLY reimplemented forward/loss. Catches any systematic
+    // BPTT error (wrong gate derivative, dropped carry term, index slip).
+    val lagged = graft.ml.Windows.withLookback(
+      wide, Seq("tx", "ty"), "bucket_ts", 2, 1)._1
+    val xTags = Seq("tx__lag1", "tx__lag2", "ty__lag1", "ty__lag2")
+    val yTags = Seq("tx", "ty")
+    def fitEpochs(e: Int) = new Lstm.LstmReconstructor(seed = 0L, epochs = e)
+      .fit(lagged, xTags, yTags, graft.Cols.q)
+    val p0 = fitEpochs(0).params // the seeded init (epochs=0: no steps)
+    val p1 = fitEpochs(1).params
+
+    // independent forward + mean-squared loss over the standardized data
+    val rows = lagged.select(
+      (xTags ++ yTags).map(t => graft.Cols.q(t).cast("double")): _*)
+      .na.drop("any").collect()
+    val n = rows.length
+    val (nin, nout) = (xTags.size, yTags.size)
+    val units = p0("units").toInt
+    val nsteps = p0("nsteps").toInt
+    val nfeat = p0("nfeat").toInt
+    val seqIdx = Array.tabulate(nsteps, nfeat)((s, f) => p0(s"seqidx_${s}_$f").toInt)
+    val xs = Array.tabulate(n, nin)((r, i) =>
+      (rows(r).getDouble(i) - p0(s"xmu_$i")) / p0(s"xsd_$i"))
+    val ys = Array.tabulate(n, nout) { (r, j) =>
+      val t = yTags(j)
+      (rows(r).getDouble(nin + j) - p0(s"ymu_$t")) / p0(s"ysd_$t")
+    }
+    def sigm(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def loss(p: Map[String, Double]): Double = {
+      var acc = 0.0
+      for (r <- 0 until n) {
+        val h = new Array[Double](units)
+        val c = new Array[Double](units)
+        for (s <- 0 until nsteps) {
+          val hN = new Array[Double](units)
+          val cN = new Array[Double](units)
+          for (u <- 0 until units) {
+            def gate(g: Int): Double = {
+              var a = p(s"lb_${g}_$u")
+              for (f <- 0 until nfeat) a += xs(r)(seqIdx(s)(f)) * p(s"lw_${g}_${f}_$u")
+              for (u0 <- 0 until units) a += h(u0) * p(s"lu_${g}_${u0}_$u")
+              a
+            }
+            val (ig, fg, gg, og) =
+              (sigm(gate(0)), sigm(gate(1)), math.tanh(gate(2)), sigm(gate(3)))
+            cN(u) = fg * c(u) + ig * gg
+            hN(u) = og * math.tanh(cN(u))
+          }
+          System.arraycopy(hN, 0, h, 0, units)
+          System.arraycopy(cN, 0, c, 0, units)
+        }
+        for (j <- 0 until nout) {
+          var yhat = p(s"lby_$j")
+          for (u <- 0 until units) yhat += h(u) * p(s"lwy_${u}_$j")
+          val e = yhat - ys(r)(j)
+          acc += e * e
+        }
+      }
+      acc / (n.toDouble * nout)
+    }
+    val weightKeys = p0.keys.filter(k => k.startsWith("lw_") ||
+      k.startsWith("lu_") || k.startsWith("lb_") ||
+      k.startsWith("lwy_") || k.startsWith("lby_")).toSeq.sorted
+    val h = 1e-5
+    var checked = 0
+    for (k <- weightKeys) {
+      val fd = (loss(p0.updated(k, p0(k) + h)) -
+        loss(p0.updated(k, p0(k) - h))) / (2 * h)
+      val step = p1(k) - p0(k)
+      if (math.abs(fd) > 1e-6) {
+        checked += 1
+        assert(math.signum(step) == -math.signum(fd),
+          s"$k: first Adam step $step must oppose FD gradient $fd")
+      }
+    }
+    assert(checked > weightKeys.size / 2,
+      s"gradient check must cover most weights, got $checked/${weightKeys.size}")
+  }
+
   test("LSTM round-trips through model persistence bit-for-bit") {
     val lagged = graft.ml.Windows.withLookback(
       wide, Seq("tx", "ty"), "bucket_ts", 2, 1)._1
