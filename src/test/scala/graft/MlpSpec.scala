@@ -26,6 +26,68 @@ class MlpSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("backprop gradients match finite differences of an independent forward pass") {
+    // Adam's first step is -lr * grad/(|grad| + eps) — pure sign(grad) —
+    // so (params after 1 epoch) - (epochs=0 init) must oppose the
+    // finite-difference gradient of an INDEPENDENTLY reimplemented
+    // forward/loss at the init point (the LstmSpec check, for the MLP).
+    val xTags = Seq("tx", "ty")
+    def fitEpochs(e: Int) = new Mlp.MlpReconstructor(Seq(3), seed = 0L,
+      epochs = e).fit(wide, xTags)
+    val p0 = fitEpochs(0).params
+    val p1 = fitEpochs(1).params
+
+    val rows = wide.select(xTags.map(t => col(t).cast("double")): _*).collect()
+    val n = rows.length
+    val (nin, nout) = (2, 2)
+    val nhidden = p0("nhidden").toInt
+    val sizes = nin +: (0 until nhidden).map(l => p0(s"dim_$l").toInt) :+ nout
+    val acts = (0 until sizes.length - 1).map(l => p0(s"act_$l").toInt)
+    val xs = Array.tabulate(n, nin)((r, i) =>
+      (rows(r).getDouble(i) - p0(s"xmu_$i")) / p0(s"xsd_$i"))
+    val ys = Array.tabulate(n, nout) { (r, j) =>
+      val t = xTags(j)
+      (rows(r).getDouble(j) - p0(s"ymu_$t")) / p0(s"ysd_$t")
+    }
+    def applyAct(code: Int, s: Double): Double = code match {
+      case 0 => math.tanh(s)
+      case 1 => if (s > 0) s else 0.0
+      case 2 => s
+      case 3 => 1.0 / (1.0 + math.exp(-s))
+    }
+    def loss(p: Map[String, Double]): Double = {
+      var acc = 0.0
+      for (r <- 0 until n) {
+        var a = Array.tabulate(nin)(xs(r))
+        for (l <- 0 until sizes.length - 1) {
+          a = Array.tabulate(sizes(l + 1)) { j =>
+            var s = p(s"bias_${l}_$j")
+            for (i <- 0 until sizes(l)) s += a(i) * p(s"w_${l}_${i}_$j")
+            applyAct(acts(l), s)
+          }
+        }
+        for (j <- 0 until nout) { val e = a(j) - ys(r)(j); acc += e * e }
+      }
+      acc / (n.toDouble * nout)
+    }
+    val weightKeys = p0.keys.filter(k =>
+      k.startsWith("w_") || k.startsWith("bias_")).toSeq.sorted
+    val h = 1e-5
+    var checked = 0
+    for (k <- weightKeys) {
+      val fd = (loss(p0.updated(k, p0(k) + h)) -
+        loss(p0.updated(k, p0(k) - h))) / (2 * h)
+      val step = p1(k) - p0(k)
+      if (math.abs(fd) > 1e-6) {
+        checked += 1
+        assert(math.signum(step) == -math.signum(fd),
+          s"$k: first Adam step $step must oppose FD gradient $fd")
+      }
+    }
+    assert(checked > weightKeys.size / 2,
+      s"gradient check must cover most weights, got $checked/${weightKeys.size}")
+  }
+
   test("MLP learns: training reduces reconstruction error vs the init") {
     def mse(epochs: Int): Double = {
       val m = new Mlp.MlpReconstructor(Seq(2), seed = 0L, epochs = epochs)
