@@ -13,21 +13,30 @@ object Providers {
     * `RandomDataProvider` analog — config surface
     * `tests/gordo/workflow/test_config_elements.py:141-145`). Row count
     * per tag is drawn deterministically from [minSize, maxSize]; values
-    * are hash-derived uniforms in [0, 1) — reproducible across runs and
-    * cluster layouts, generated distributed via `spark.range`. */
+    * are counter-based hash uniforms in [0, 1) — value_i = f(tag, i,
+    * seed), no sequential PRNG state, so generation is reproducible
+    * across runs AND partition layouts (the Philox/counter-PRNG property
+    * a distributed generator needs; a seeded sequential generator would
+    * tie values to partitioning). md5 arithmetic keeps every draw
+    * replayable by the DuckDB oracle (q71). */
   def random(spark: SparkSession, tags: Seq[String], seed: Long = 0L,
              minSize: Int = 100, maxSize: Int = 300,
              startEpoch: Long = 1704067200L, stepSec: Long = 600L): DataFrame = {
     import spark.implicits._
     tags.map { tag =>
       val span = maxSize - minSize + 1
-      val n = minSize + math.floorMod(
-        scala.util.hashing.MurmurHash3.stringHash(tag, seed.toInt), span)
+      // count draw: first 8 md5 hex digits of "tag#seed" mod span
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag#$seed".getBytes("UTF-8"))
+      val cnt = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16)
+      val n = minSize + (cnt % span)
       spark.range(n).select(
         lit(tag).as("tag"),
         timestamp_seconds(lit(startEpoch) + $"id" * stepSec).as("ts"),
-        (pmod(xxhash64(lit(tag), $"id", lit(seed)), lit(1000000L))
-          .cast("double") / 1000000.0).as("value"))
+        // first 12 md5 hex digits of "tag:i:seed" / 2^48 → [0, 1)
+        (conv(substring(md5(concat_ws(":", lit(tag), $"id", lit(seed))), 1, 12),
+          16, 10).cast("long").cast("double") / 281474976710656.0).as("value"))
     }.reduce(_ unionByName _)
   }
 

@@ -70,13 +70,37 @@ object SequenceQueries {
         r4($"raw_a").as("agg_th"))
   }
 
+  /** S2 oracle gate: the seeded random provider's draws are pure
+    * md5-counter arithmetic, so DuckDB replays every row — count draw,
+    * timestamps, and uniform values — from the same (tag, seed). */
+  def randomProvider(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.data.Providers.random(spark, Seq("alpha", "beta", "gamma"),
+      seed = 42L)
+      .select($"tag", unix_timestamp($"ts").as("epoch"),
+        r4($"value").as("value"))
+      .orderBy($"tag", $"epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_random_provider" -> (randomProvider _),
     "q38_sliding_windows" -> (slidingWindows _),
     "q39_trailing_align" -> (trailingAlign _),
     "q40_kfcv_thresholds" -> (kfcvThresholds _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q71_random_provider" ->
+      """WITH t(tag) AS (VALUES ('alpha'), ('beta'), ('gamma')),
+        |counts AS (SELECT tag,
+        |    100 + ('0x' || substr(md5(tag || '#' || 42), 1, 8))::UBIGINT % 201 AS n
+        |  FROM t),
+        |rws AS (SELECT tag, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS id
+        |  FROM counts)
+        |SELECT tag, 1704067200 + id * 600 AS epoch,
+        |  floor((('0x' || substr(md5(tag || ':' || id || ':' || 42), 1, 12))::UBIGINT
+        |         / 281474976710656.0) * 10000 + 0.5) / 10000 AS value
+        |FROM rws ORDER BY tag, epoch""".stripMargin,
     "q38_sliding_windows" ->
       """WITH r AS (
         |  SELECT (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, avg(value) AS value
