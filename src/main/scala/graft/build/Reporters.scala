@@ -148,6 +148,15 @@ object Reporters {
     * Driver-side by design, like the reference: one row per machine
     * build, written by the build orchestrator — not a Spark sink. */
   class JdbcReporter(url: String) extends Reporter with AutoCloseable {
+    locally {
+      // embedded Derby writes derby.log into derby.system.home (the
+      // process CWD when unset — polluting the caller's directory on
+      // every gated-query run); pin it to scratch unless the caller
+      // already chose a home
+      if (url.startsWith("jdbc:derby:") &&
+          System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", graft.Scratch.dir("graft-derby"))
+    }
     private val conn =
       try java.sql.DriverManager.getConnection(url)
       catch { case e: Exception =>
