@@ -236,17 +236,33 @@ object TextDedup {
       .withColumn("r", row_number().over(w))
       .filter(col("r") <=
         col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col("id"), col("n"), col("s"))
+      .select(col("id"), col("n"), col("s"), (col("r") - 1).as("pos"))
     // length filter (also lossless): J ≥ t forces max(|A|,|B|) ≤ min/t —
     // biased by the same epsilon so a boundary |B| = t·|A| is never
     // dropped by float rounding (keeping an extra pair is safe; the
     // exact verification discards it)
-    prefix.as("a").join(prefix.as("b"),
+    val joined = prefix.as("a").join(prefix.as("b"),
       col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
         col("a.n") * lit(threshold) - lit(1e-9) <= col("b.n") &&
         col("b.n") * lit(threshold) - lit(1e-9) <= col("a.n"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // positional filter (PPJoin, also lossless): both docs' shingles
+    // sort by the SAME global (df, shingle) order, so position ranks
+    // align — the globally-first shared prefix shingle is the argmin of
+    // BOTH position columns, and every other shared shingle (prefix or
+    // suffix) sits strictly after it in both docs. Hence
+    //   |A∩B| ≤ 1 + min(|A| − iA − 1, |B| − iB − 1)
+    // at (iA, iB) = (min posA, min posB); J ≥ t forces
+    // |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ (biased downward — a looser bound
+    // only keeps extra candidates, which exact verification discards)
+    joined
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(min(col("a.pos")).as("ia"), min(col("b.pos")).as("ib"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(lit(1) +
+        least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >=
+        ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) -
+          lit(1e-9)))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Winnowing document fingerprints (the rolling-hash fingerprint
