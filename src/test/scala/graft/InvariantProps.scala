@@ -189,4 +189,30 @@ object InvariantProps extends Properties("graft") {
         Prop(got.toSeq == exp) :| s"n=${rows.length} threshold=$threshold"
       }
     }
+
+  private val corpusGen: Gen[List[(Long, Seq[String])]] = for {
+    nDocs <- Gen.choose(3, 12)
+    vocab = (0 until 8).map(i => s"tok$i")
+    docs <- Gen.listOfN(nDocs, Gen.someOf(vocab).map(_.toSeq))
+  } yield docs.zipWithIndex.collect {
+    case (sh, i) if sh.nonEmpty => (i.toLong, sh)
+  }
+
+  property("PPJoin prefix+length+positional candidates are lossless") =
+    forAll(corpusGen, Gen.oneOf(0.2, 0.3, 0.5, 0.8)) { (docs, t) =>
+      (docs.size >= 2) ==> {
+        val shDf = docs.toDF("id", "sh")
+        val cands = graft.llm.TextDedup.prefixFilterCandidates(shDf, t)
+          .as[(Long, Long)].collect().toSet
+        // plain-Scala ground truth, independent of every Spark path
+        val truth = (for {
+          (a, sa) <- docs; (b, sb) <- docs if a < b
+          inter = (sa.toSet & sb.toSet).size
+          uni = (sa.toSet | sb.toSet).size
+          if uni > 0 && inter.toDouble / uni >= t
+        } yield (a, b)).toSet
+        Prop(truth.subsetOf(cands)) :|
+          s"lost pairs: ${truth -- cands} (t=$t, docs=$docs)"
+      }
+    }
 }
