@@ -37,15 +37,20 @@ object ModelRegistry {
 
   /** Sequence-model wrapper (M6/M10): the inner reconstruction consumes
     * a lookback window materialized as lag feature columns; `lookahead`
-    * 1 = forecast (window strictly precedes the target row), 0 =
-    * autoencoder (window includes it). The windowing itself is frame
-    * surgery the builder applies (`Windows.withLookback`) — the
-    * reconstructor just sees more feature columns. */
+    * is how many steps the target row sits after the window's last
+    * element — 1 = one-step forecast (window strictly precedes the
+    * target row), 0 = autoencoder (window includes it), L ≥ 2 = L-step-
+    * ahead forecast (the reference generator's arbitrary-lookahead
+    * semantics, `gordo/machine/model/models.py:713-793`). The windowing
+    * itself is frame surgery the builder applies
+    * (`Windows.withLookback`) — the reconstructor just sees more
+    * feature columns. */
   case class Windowed(lookback: Int, lookahead: Int,
                       inner: Reconstruction) extends Stage {
     require(lookback >= 1, s"lookback_window must be >= 1: $lookback")
+    require(lookahead >= 0, s"lookahead must be >= 0: $lookahead")
     /** J3 model offset: rows dropped at the frame head. */
-    def offset: Int = if (lookahead == 0) lookback - 1 else lookback
+    def offset: Int = lookback + lookahead - 1
   }
 
   /** The windowing spec of a base estimator, if any (the model slot of
@@ -130,8 +135,14 @@ object ModelRegistry {
       Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 0,
         Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "gordo.machine.model.models.KerasLSTMForecast" =>
-      // lookahead 1: forecast the current row from the previous window
-      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 1,
+      // lookahead L ≥ 1: forecast the row L steps after the window. The
+      // reference subclass pins L=1 (`models.py:703-704`) but its
+      // generator accepts any L (`models.py:713-793`, tested at L=2);
+      // exposed here as an optional `lookahead` kwarg.
+      val la = num(kw.getOrElse("lookahead", 1)).toInt
+      if (la < 1) throw new CompileException(
+        s"KerasLSTMForecast lookahead must be >= 1: $la")
+      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, la,
         Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
@@ -268,7 +279,8 @@ object ModelRegistry {
     case Windowed(lb, la, Reconstruction(_, kind)) =>
       Map((if (la == 0) "gordo.machine.model.models.KerasLSTMAutoEncoder"
            else "gordo.machine.model.models.KerasLSTMForecast") ->
-        Map("kind" -> kind, "lookback_window" -> lb))
+        (Map[String, Any]("kind" -> kind, "lookback_window" -> lb) ++
+          (if (la >= 2) Map("lookahead" -> la) else Map.empty)))
     case CvSplit("timeseries", n) =>
       Map("sklearn.model_selection.TimeSeriesSplit" -> Map("n_splits" -> n))
     case CvSplit(_, n) =>

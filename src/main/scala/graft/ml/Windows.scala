@@ -173,23 +173,26 @@ object Windows {
   }
 
   /** M6 windowing for the build/serve path: materialize the lookback
-    * window as lag feature columns `<tag>__lag<k>` — k = 1..lookback
-    * for the forecast shape (lookahead 1, window strictly precedes the
-    * target row), k = 0..lookback−1 for the autoencoder shape
-    * (lookahead 0, window includes it) — then drop the head rows with
-    * incomplete windows by ROW POSITION (J3's explicit offset: an
-    * interior null value must not shift alignment the way filtering on
-    * lag-nullness would). Returns (frame, lag column names in tag-major
-    * order). Lags run through [[chunkedLag]] — no single-partition
-    * window however long the series. */
+    * window as lag feature columns `<tag>__lag<k>` — k = lookahead ..
+    * lookahead+lookback−1, so the target row sits `lookahead` steps
+    * after the window's last element: k = 1..lookback for the 1-step
+    * forecast shape, k = 0..lookback−1 for the autoencoder shape
+    * (lookahead 0, window includes the target row), k = L..L+lookback−1
+    * for an L-step-ahead forecast (the reference generator's arbitrary-
+    * lookahead semantics, `gordo/machine/model/models.py:713-793`:
+    * target index = last window index + lookahead) — then drop the head
+    * rows with incomplete windows by ROW POSITION (J3's explicit
+    * offset: an interior null value must not shift alignment the way
+    * filtering on lag-nullness would). Returns (frame, lag column names
+    * in tag-major order). Lags run through [[chunkedLag]] — no single-
+    * partition window however long the series. */
   def withLookback(wide: DataFrame, tags: Seq[String], orderCol: String,
                    lookback: Int, lookahead: Int): (DataFrame, Seq[String]) = {
     require(lookback >= 1, s"lookback must be >= 1: $lookback")
-    require(lookahead == 0 || lookahead == 1,
-      s"lookahead must be 0 (autoencoder) or 1 (forecast): $lookahead")
-    val ks = if (lookahead == 0) 0 until lookback else 1 to lookback
+    require(lookahead >= 0, s"lookahead must be >= 0: $lookahead")
+    val ks = lookahead until (lookahead + lookback)
     val names = for { t <- tags; k <- ks } yield s"${t}__lag$k"
-    val offset = if (lookahead == 0) lookback - 1 else lookback
+    val offset = lookback + lookahead - 1
     val indexed = CrossValidate.withRowIndex(wide, Seq(col(orderCol)))
     val lagSpecs = for { t <- tags; k <- ks if k > 0 }
       yield (t, s"${t}__lag$k", k)

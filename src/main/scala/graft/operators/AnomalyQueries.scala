@@ -250,6 +250,36 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** M6/M10 arbitrary-lookahead forecast (the reference generator's
+    * lookahead ≥ 2 semantics, `gordo/machine/model/models.py:713-793`,
+    * tested at lookahead=2 in
+    * `tests/gordo/machine/model/test_model.py:296`): the SAME build-path
+    * windowing as ModelBuilder — `Windows.withLookback` with
+    * lookback=2, lookahead=2 materializes lag columns click__lag2 /
+    * click__lag3 (target = row 2 steps after the window's last element)
+    * and drops the first lookback+lookahead−1 = 3 rows by position —
+    * then the q51 closed-form ridge forecast + full anomaly frame over
+    * the 2-step-ahead errors. Gates the generalized offset arithmetic
+    * end-to-end: a wrong k-set or off-by-one offset shifts every value
+    * in the frame. */
+  def lookaheadForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = graft.Caching.ensureCached(
+      wideClickView(spark, dir).select($"bucket_ts", $"click"))
+    val (lagged, lagTags) = graft.ml.Windows.withLookback(
+      wide, Seq("click"), "bucket_ts", lookback = 2, lookahead = 2)
+    val cached = graft.Caching.ensureCached(lagged)
+    val fitted = DiffAnomaly.fit(cached, lagTags,
+      "bucket_ts", new DiffAnomaly.RidgeReconstructor(), nSplits = 3,
+      targetTags = Seq("click"))
+    val frame = DiffAnomaly.anomaly(fitted, cached, resolutionSec = 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   /** P8: the serve-path column contract
     * (`gordo/server/blueprints/anomaly.py:56-62`) — a REAL config build
     * with `window: 6` (so smooth-* groups exist), then
@@ -364,6 +394,7 @@ object AnomalyQueries {
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
     "q51_lstm_forecast" -> (lstmForecast _),
+    "q72_lookahead_forecast" -> (lookaheadForecast _),
     "q64_response_columns" -> (responseColumns _),
     "q69_streaming_anomaly" -> (streamingAnomaly _),
     "q70_metric_batch" -> (metricBatch _),
@@ -549,6 +580,94 @@ object AnomalyQueries {
         |SELECT start, "end",
         |  floor(mi1*10000 + 0.5)/10000 AS "model-input.click_lag1",
         |  floor(mi2*10000 + 0.5)/10000 AS "model-input.click_lag2",
+        |  floor(mo*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(tas*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(tau*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor((tas*tas)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor((tau*tau)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor((tau/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor(((tas*tas)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame, th
+        |ORDER BY start""".stripMargin,
+    // q51's AR ridge replay shifted to the lookahead=2 window: features
+    // are lag2/lag3 of the target (window ends 2 steps before the
+    // target row), first lookback+lookahead−1 = 3 rows drop.
+    "q72_lookahead_forecast" ->
+      """WITH w AS (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |               avg(value) AS value
+        |        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+        |  GROUP BY bucket_ts),
+        |cw AS (SELECT bucket_ts, click FROM w
+        |       WHERE click IS NOT NULL AND view IS NOT NULL),
+        |lg AS (SELECT bucket_ts, click,
+        |    lag(click, 2) OVER (ORDER BY bucket_ts) AS l1,
+        |    lag(click, 3) OVER (ORDER BY bucket_ts) AS l2
+        |  FROM cw),
+        |idx AS (SELECT bucket_ts, click, l1, l2,
+        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn
+        |  FROM lg WHERE l2 IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |trs AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
+        |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
+        |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
+        |    sum(l2*click) AS s2y, max(click) - min(click) AS s_c
+        |  FROM tr),
+        |fm AS (SELECT s_c,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) / det AS w0,
+        |    (a*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) / det AS w1,
+        |    (a*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) / det AS w2
+        |  FROM (SELECT *,
+        |      a*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |        + s2*(s1*s12 - s11*s2) AS det
+        |    FROM trs)),
+        |te AS (SELECT i.rn, i.click,
+        |    w0 + w1*i.l1 + w2*i.l2 AS p, s_c,
+        |    row_number() OVER (ORDER BY i.rn) AS trn
+        |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn, pow((p - click) / s_c, 2) AS mse,
+        |    abs(click - p) AS mae FROM te),
+        |roll AS (SELECT trn, min(mse) OVER f AS rmin_mse,
+        |    min(mae) OVER f AS rmin_c
+        |  FROM sc
+        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c
+        |  FROM roll WHERE trn >= 6),
+        |fns AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
+        |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
+        |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
+        |    sum(l2*click) AS s2y,
+        |    CASE WHEN max(click) = min(click) THEN 1.0
+        |         ELSE max(click) - min(click) END AS s_c
+        |  FROM idx),
+        |fin AS (SELECT s_c,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) / det AS w0,
+        |    (a*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) / det AS w1,
+        |    (a*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) / det AS w2
+        |  FROM (SELECT *,
+        |      a*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |        + s2*(s1*s12 - s11*s2) AS det
+        |    FROM fns)),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.l1 AS mi1, i.l2 AS mi2,
+        |    w0 + w1*i.l1 + w2*i.l2 AS mo,
+        |    abs((w0 + w1*i.l1 + w2*i.l2 - i.click) / s_c) AS tas,
+        |    abs(w0 + w1*i.l1 + w2*i.l2 - i.click) AS tau
+        |  FROM idx i, fin)
+        |SELECT start, "end",
+        |  floor(mi1*10000 + 0.5)/10000 AS "model-input.click__lag2",
+        |  floor(mi2*10000 + 0.5)/10000 AS "model-input.click__lag3",
         |  floor(mo*10000 + 0.5)/10000 AS "model-output.click",
         |  floor(tas*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
         |  floor(tau*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",

@@ -42,6 +42,57 @@ class LstmSpec extends AnyFunSuite {
     }
   }
 
+  test("lookahead=2 windowing matches the reference generator semantics") {
+    // the reference generator test
+    // (`tests/gordo/machine/model/test_model.py:296`, semantics
+    // `models.py:713-793`): X = y = [[0,1],[2,3],[4,5],[6,7],[8,9]],
+    // lookback=2, lookahead=2 → exactly two samples,
+    //   x=[[0,1],[2,3]] y=[6,7]  and  x=[[2,3],[4,5]] y=[8,9]
+    // (target = 2 steps after the window's last element).
+    val tiny = Seq(
+      (0L, 0.0, 1.0), (1L, 2.0, 3.0), (2L, 4.0, 5.0),
+      (3L, 6.0, 7.0), (4L, 8.0, 9.0)).toDF("bucket_ts", "tx", "ty")
+    val (lagged, names) = graft.ml.Windows.withLookback(
+      tiny, Seq("tx", "ty"), "bucket_ts", lookback = 2, lookahead = 2)
+    assert(names == Seq("tx__lag2", "tx__lag3", "ty__lag2", "ty__lag3"))
+    val rows = lagged.orderBy($"bucket_ts")
+      .select($"tx__lag3", $"ty__lag3", $"tx__lag2", $"ty__lag2", $"tx", $"ty")
+      .collect().map(r => (0 until 6).map(r.getDouble))
+    // offset = lookback + lookahead − 1 = 3: rows 0..2 drop, 2 survive
+    assert(rows.length == 2)
+    assert(rows(0) == Seq(0.0, 1.0, 2.0, 3.0, 6.0, 7.0))
+    assert(rows(1) == Seq(2.0, 3.0, 4.0, 5.0, 8.0, 9.0))
+    // the sequence index orders the lag-2/3 window oldest-first
+    val idx = Lstm.sequenceIndex(names)
+    assert(idx.map(_.toSeq).toSeq == Seq(Seq(1, 3), Seq(0, 2)))
+  }
+
+  test("KerasLSTMForecast routes an explicit lookahead through the registry") {
+    import graft.config.ModelRegistry
+    val w = ModelRegistry.compile(Map(
+      "gordo.machine.model.models.KerasLSTMForecast" -> Map(
+        "kind" -> "lstm_hourglass", "lookback_window" -> 2, "lookahead" -> 2)))
+      .asInstanceOf[ModelRegistry.Windowed]
+    assert(w.lookback == 2 && w.lookahead == 2 && w.offset == 3)
+    // M2 fixpoint: the definition round-trips the non-default lookahead
+    assert(ModelRegistry.compile(ModelRegistry.intoDefinition(w)) == w)
+    // the default stays the reference subclass's pinned L=1 (and its
+    // frozen definition keeps the pre-existing two-key shape)
+    val w1 = ModelRegistry.compile(Map(
+      "gordo.machine.model.models.KerasLSTMForecast" -> Map(
+        "kind" -> "lstm_hourglass", "lookback_window" -> 2)))
+      .asInstanceOf[ModelRegistry.Windowed]
+    assert(w1.lookahead == 1 && w1.offset == 2)
+    assert(ModelRegistry.intoDefinition(w1).asInstanceOf[Map[String, Any]]
+      .values.head.asInstanceOf[Map[String, Any]].keySet ==
+      Set("kind", "lookback_window"))
+    intercept[ModelRegistry.CompileException] {
+      ModelRegistry.compile(Map(
+        "gordo.machine.model.models.KerasLSTMForecast" ->
+          Map("lookahead" -> 0)))
+    }
+  }
+
   test("fit is seed-deterministic and the training loss descends") {
     val lagged = graft.ml.Windows.withLookback(
       wide, Seq("tx", "ty"), "bucket_ts", 2, 1)._1
