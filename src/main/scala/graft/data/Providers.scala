@@ -62,6 +62,40 @@ object Providers {
     graft.Tables.partitionedEvents(spark, path, startIso, endIso).select(
       col(tagCol).as("tag"), col(tsCol).as("ts"), col(valueCol).as("value"))
 
+  /** S3 (remote source): JDBC provider — the reference's remote
+    * time-series connector slot (the Influx provider call sites,
+    * `tests/utils.py:80-144`, `tests/gordo/client/test_client.py:304-338`)
+    * re-expressed as a PARTITIONED Spark JDBC scan. The train window
+    * [startUs, endUs) becomes both the pushed-down predicate and the
+    * partition bounds: `numPartitions` tasks each open their own
+    * connection and scan one ts-range slice in parallel, so the read
+    * parallelizes like a lake scan instead of draining through a single
+    * cursor — the property a remote source needs at scale. Partitioning
+    * is on a NUMERIC epoch-micros column deliberately: timestamp-literal
+    * predicate rendering is dialect-dependent (embedded Derby rejects
+    * raw string-vs-TIMESTAMP comparisons), while BIGINT bounds render
+    * portably on every engine. The explicit range filter matters — JDBC
+    * partition bounds only split the range, rows outside it still land
+    * in the edge partitions; the filter is pushed into each slice's
+    * WHERE clause by the JDBC source. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           tagCol: String, tsUsCol: String, valueCol: String,
+           startUs: Long, endUs: Long, numPartitions: Int = 8): DataFrame = {
+    require(endUs > startUs, s"empty scan window: [$startUs, $endUs)")
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", tsUsCol)
+      .option("lowerBound", startUs)
+      .option("upperBound", endUs)
+      .option("numPartitions", numPartitions)
+      .load()
+      .filter(col(tsUsCol) >= startUs && col(tsUsCol) < endUs)
+      .select(col(tagCol).as("tag"),
+        timestamp_micros(col(tsUsCol)).as("ts"),
+        col(valueCol).as("value"))
+  }
+
   /** S4: request-body scan — a JSON document of `{tag: {iso_ts: value}}`
     * (the reference's dict-of-dicts wire format,
     * `gordo/server/utils.py:256-331`) parsed into the long frame, sorted

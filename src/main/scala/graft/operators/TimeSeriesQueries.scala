@@ -223,8 +223,57 @@ object TimeSeriesQueries {
       .orderBy($"bucket_ts")
   }
 
+  /** S3 remote-source end-to-end: the train window's click/view rows
+    * seeded ONCE per sf-dir into an embedded-Derby table (a real Spark
+    * JDBC write — the portable stand-in for the reference's Influx
+    * instance), then read back through `Providers.jdbc` as an
+    * 8-partition parallel range scan feeding the SAME date-bounded
+    * getData as q68. The oracle recomputes from the original parquet
+    * table: identical results through the JDBC round-trip is the point
+    * (JdbcSourceSpec asserts the scan really splits into numPartitions
+    * range slices). */
+  def jdbcSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (start, end) = ("2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    val (startUs, endUs) = (1704412800000000L, 1705017600000000L)
+    // keyed by the source file's identity (q68's cachedDir discipline):
+    // regenerated events re-seed the database instead of serving stale rows
+    val dbHome = graft.Scratch.cachedDir("graft-q73-derby",
+      s"$dir/events.parquet")
+    val url = s"jdbc:derby:$dbHome/db"
+    if (!new java.io.File(s"$dbHome/seeded").exists()) {
+      Tables(spark, dir, "events")
+        .filter($"event_type".isin("click", "view") &&
+          $"ts" >= lit(start).cast("timestamp") &&
+          $"ts" < lit(end).cast("timestamp"))
+        .select($"event_type".as("tag"), unix_micros($"ts").as("ts_us"),
+          $"value")
+        .write.mode("overwrite")
+        .format("jdbc").option("url", s"$url;create=true")
+        // Derby's default StringType mapping is CLOB, which rejects the
+        // pushed-down tag predicate (CLOB vs CHAR comparisons); pin a
+        // comparable VARCHAR
+        .option("createTableColumnTypes",
+          "tag VARCHAR(63), ts_us BIGINT, value DOUBLE")
+        .option("dbtable", "events_src").save()
+      new java.io.File(s"$dbHome/seeded").createNewFile()
+    }
+    val long = graft.data.Providers.jdbc(spark, url, "events_src",
+      "tag", "ts_us", "value", startUs, endUs, numPartitions = 8)
+    TimeSeries.getData(long, "tag", "ts", "value", DatasetConfig(
+      tags = Seq("click", "view"),
+      resolution = "1H",
+      interpolationLimit = "6H",
+      trainStart = Some(start),
+      trainEnd = Some(end)))
+      .select($"bucket_ts",
+        r4($"click").as("click"), r4($"view").as("view"))
+      .orderBy($"bucket_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_partitioned_source" -> (partitionedSource _),
+    "q73_jdbc_source" -> (jdbcSource _),
     "q57_asof_join" -> (asofJoin _),
     "q44_resample_multi" -> (resampleMulti _),
     "q13_resample_mean" -> (resampleMean _),
@@ -408,6 +457,42 @@ object TimeSeriesQueries {
         |  WHERE event_type IN ('click', 'view')
         |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        |WHERE click IS NOT NULL AND view IS NOT NULL
+        |ORDER BY bucket_ts""".stripMargin,
+    // q73 replays q68's getData arithmetic on its own train window —
+    // the JDBC round-trip on the Spark side must be value-invisible.
+    "q73_jdbc_source" ->
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-12 00:00:00'),
         |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
         |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
         |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
