@@ -46,6 +46,31 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** The third smoothing variant (`diff.py:302-308`) gated in-frame:
+    * q29's detector with `window=6, smoothing_method="ewma"` — the
+    * smooth-* columns become pandas `ewm(span=6).mean()` (adjust=True
+    * full-history weights, NO NaN prefix, unlike smm/sma's null head)
+    * over the tag/total anomaly columns, via the W4 streaming kernel.
+    * Thresholds are UNCHANGED by the method (the reference smooths
+    * thresholds with rolling(w).min().max() regardless —
+    * `diff.py:239-255`), which the shared q29 threshold replay
+    * cross-checks. */
+  def ewmAnomalyFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tags = Seq("click", "view")
+    val wide = wideClickView(spark, dir)
+    val fitted = DiffAnomaly.fit(wide, tags, "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", epoch0),
+      scalerKind = "minmax", nSplits = 3,
+      window = Some(6), smoothingMethod = "ewma")
+    val frame = DiffAnomaly.anomaly(fitted, wide, resolutionSec = 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
   /** §2.11 streaming scoring, oracle-gated: the SAME checkpointed
     * one-query job StreamingSpec drives (file source → watermarked
     * resample+pivot → stateless scoring → stateful smooth →
@@ -96,10 +121,14 @@ object AnomalyQueries {
     try {
       q.processAllAvailable()
       // the final no-data micro-batch flushes the last finalized
-      // buckets; wait for the sink to hold every complete bucket
+      // buckets; wait for the sink to hold every complete bucket. The
+      // sink may not have committed ANY file yet on the first probe —
+      // an unreadable/empty dir counts as 0, not a failure
+      def sinkCount(): Long =
+        try spark.read.parquet(s"$tmp/out").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.read.parquet(s"$tmp/out").count() < complete.size &&
-          System.nanoTime() < deadline) {
+      while (sinkCount() < complete.size && System.nanoTime() < deadline) {
         q.processAllAvailable()
         Thread.sleep(200)
       }
@@ -395,6 +424,7 @@ object AnomalyQueries {
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
     "q51_lstm_forecast" -> (lstmForecast _),
     "q72_lookahead_forecast" -> (lookaheadForecast _),
+    "q74_ewm_anomaly_frame" -> (ewmAnomalyFrame _),
     "q64_response_columns" -> (responseColumns _),
     "q69_streaming_anomaly" -> (streamingAnomaly _),
     "q70_metric_batch" -> (metricBatch _),
@@ -500,6 +530,104 @@ object AnomalyQueries {
         |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
+        |ORDER BY start""".stripMargin,
+    // q29's replay + the ewma smooth columns: pandas ewm(span=6,
+    // adjust=True).mean() = Σ_{j≤i} (5/7)^{i−j} x_j / Σ (5/7)^{i−j}
+    // over the anomaly columns in start order — no NaN prefix.
+    // Thresholds are method-independent (rolling(6).min().max()).
+    "q74_ewm_anomaly_frame" ->
+      """WITH w AS (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |               avg(value) AS value
+        |        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+        |  GROUP BY bucket_ts),
+        |idx AS (
+        |  SELECT bucket_ts, click, view,
+        |         CAST(bucket_ts - 1704067200 AS DOUBLE) AS x,
+        |         row_number() OVER (ORDER BY bucket_ts) - 1 AS rn
+        |  FROM w WHERE click IS NOT NULL AND view IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |fm AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
+        |              regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
+        |              max(click) - min(click) AS s_c,
+        |              max(view) - min(view) AS s_v
+        |       FROM tr),
+        |te AS (SELECT i.rn, i.click, i.view,
+        |              a_c + b_c * i.x AS p_c, a_v + b_v * i.x AS p_v, s_c, s_v,
+        |              row_number() OVER (ORDER BY i.rn) AS trn
+        |       FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn,
+        |        (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
+        |        abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
+        |       FROM te),
+        |roll AS (SELECT trn,
+        |        min(mse) OVER f AS rmin_mse,
+        |        min(mae_c) OVER f AS rmin_c,
+        |        min(mae_v) OVER f AS rmin_v
+        |       FROM sc
+        |       WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c,
+        |              max(rmin_v) AS th_v
+        |       FROM roll WHERE trn >= 6),
+        |fin AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
+        |               regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
+        |               min(click) AS mn_c,
+        |               CASE WHEN max(click) = min(click) THEN 1.0
+        |                    ELSE max(click) - min(click) END AS s_c,
+        |               min(view) AS mn_v,
+        |               CASE WHEN max(view) = min(view) THEN 1.0
+        |                    ELSE max(view) - min(view) END AS s_v
+        |        FROM idx),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.rn AS i,
+        |    i.click AS mic, i.view AS miv,
+        |    a_c + b_c * i.x AS moc, a_v + b_v * i.x AS mov,
+        |    abs((a_c + b_c * i.x - i.click) / s_c) AS tasc,
+        |    abs((a_v + b_v * i.x - i.view) / s_v) AS tasv,
+        |    abs(a_c + b_c * i.x - i.click) AS tauc,
+        |    abs(a_v + b_v * i.x - i.view) AS tauv
+        |  FROM idx i, fin),
+        |sm AS (SELECT a.i,
+        |    sum(b.tasc * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_tasc,
+        |    sum(b.tasv * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_tasv,
+        |    sum(b.tauc * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_tauc,
+        |    sum(b.tauv * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_tauv,
+        |    sum(((b.tasc*b.tasc + b.tasv*b.tasv)/2.0) * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_tots,
+        |    sum(((b.tauc*b.tauc + b.tauv*b.tauv)/2.0) * pow(1.0 - 2.0/7.0, a.i - b.i))
+        |      / sum(pow(1.0 - 2.0/7.0, a.i - b.i)) AS sm_totu
+        |  FROM frame a JOIN frame b ON b.i <= a.i
+        |  GROUP BY a.i)
+        |SELECT start, "end",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
+        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
+        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
+        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor(((tasc*tasc + tasv*tasv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor(((tauc*tauc + tauv*tauv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor(sm_tasc*10000 + 0.5)/10000 AS "smooth-tag-anomaly-scaled.click",
+        |  floor(sm_tasv*10000 + 0.5)/10000 AS "smooth-tag-anomaly-scaled.view",
+        |  floor(sm_tauc*10000 + 0.5)/10000 AS "smooth-tag-anomaly-unscaled.click",
+        |  floor(sm_tauv*10000 + 0.5)/10000 AS "smooth-tag-anomaly-unscaled.view",
+        |  floor(sm_tots*10000 + 0.5)/10000 AS "smooth-total-anomaly-scaled",
+        |  floor(sm_totu*10000 + 0.5)/10000 AS "smooth-total-anomaly-unscaled",
+        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame JOIN sm USING (i), th
         |ORDER BY start""".stripMargin,
     // AR(2) ridge forecast replay: 3×3 normal equations (intercept +
     // two lags, λ=1e-8 on the diagonal) solved by Cramer's rule; only
