@@ -66,7 +66,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is what the driver tails, and tailing has clipped
+    // the head of the query map two rounds running — persist the full
+    // record as a file artifact too (BENCH_LOCAL.json beside the repo
+    // root, or SPARK_GRAFT_BENCH_OUT)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
