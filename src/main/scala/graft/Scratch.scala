@@ -50,6 +50,18 @@ object Scratch {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8"))
     val key = md.take(8).map(b => f"$b%02x").mkString
-    new File(System.getProperty("java.io.tmpdir"), s"$prefix-$key").getPath
+    val tmp = new File(System.getProperty("java.io.tmpdir"))
+    val target = new File(tmp, s"$prefix-$key")
+    // best-effort sweep of STALE siblings — same prefix, different key:
+    // every witness regeneration re-keys the cache, and without the
+    // sweep each old dir would sit in /tmp forever. The strict
+    // `<prefix>-<16 hex>` match keeps unrelated dirs (including other
+    // prefixes that merely share a leading string) untouched.
+    val sibling = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
+    Option(tmp.listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d.getName != target.getName &&
+        sibling.matches(d.getName))
+      .foreach(d => deleteRecursively(d.toPath))
+    target.getPath
   }
 }

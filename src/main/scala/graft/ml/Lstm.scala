@@ -202,10 +202,16 @@ object Lstm {
       val mWy = Array.ofDim[Double](nu, nout); val vWy = Array.ofDim[Double](nu, nout)
       val mBy = new Array[Double](nout); val vBy = new Array[Double](nout)
 
-      // per-row forward caches for BPTT
-      val hAll = Array.ofDim[Double](n, nsteps + 1, nu) // h(0) = 0
-      val cAll = Array.ofDim[Double](n, nsteps + 1, nu)
-      val gate = Array.ofDim[Double](n, nsteps, 4, nu)  // post-activation
+      // single-row forward caches for BPTT: backward runs immediately
+      // after each row's forward, so only one row's states are ever
+      // live — O(nsteps·units) driver memory instead of O(n·nsteps·
+      // units). Slot 0 of h/c is the zero initial state and is never
+      // written; slots 1..nsteps (and every gate slot) are fully
+      // rewritten by each row's forward before backward reads them,
+      // so no per-row clearing is needed.
+      val hAll = Array.ofDim[Double](nsteps + 1, nu) // h(0) = 0
+      val cAll = Array.ofDim[Double](nsteps + 1, nu)
+      val gate = Array.ofDim[Double](nsteps, 4, nu)  // post-activation
       val lossHistory = new Array[Double](epochs)
 
       for (step <- 1 to epochs) {
@@ -230,14 +236,14 @@ object Lstm {
                 var f = 0
                 while (f < nfeat) { acc += xs(r)(seqIdx(s)(f)) * wx(g)(f)(u); f += 1 }
                 var u0 = 0
-                while (u0 < nu) { acc += hAll(r)(s)(u0) * wh(g)(u0)(u); u0 += 1 }
-                gate(r)(s)(g)(u) =
+                while (u0 < nu) { acc += hAll(s)(u0) * wh(g)(u0)(u); u0 += 1 }
+                gate(s)(g)(u) =
                   if (g == 2) math.tanh(acc) else sigmoid(acc)
                 g += 1
               }
-              cAll(r)(s + 1)(u) = gate(r)(s)(1)(u) * cAll(r)(s)(u) +
-                gate(r)(s)(0)(u) * gate(r)(s)(2)(u)
-              hAll(r)(s + 1)(u) = gate(r)(s)(3)(u) * math.tanh(cAll(r)(s + 1)(u))
+              cAll(s + 1)(u) = gate(s)(1)(u) * cAll(s)(u) +
+                gate(s)(0)(u) * gate(s)(2)(u)
+              hAll(s + 1)(u) = gate(s)(3)(u) * math.tanh(cAll(s + 1)(u))
               u += 1
             }
             s += 1
@@ -248,7 +254,7 @@ object Lstm {
           while (j < nout) {
             var acc = by(j)
             var u = 0
-            while (u < nu) { acc += hAll(r)(nsteps)(u) * wy(u)(j); u += 1 }
+            while (u < nu) { acc += hAll(nsteps)(u) * wy(u)(j); u += 1 }
             val e = acc - ys(r)(j)
             epochLoss += e * e
             dy(j) = 2.0 * e / (n.toDouble * nout)
@@ -262,7 +268,7 @@ object Lstm {
             var acc = 0.0
             var jj = 0
             while (jj < nout) {
-              gWy(u)(jj) += hAll(r)(nsteps)(u) * dy(jj)
+              gWy(u)(jj) += hAll(nsteps)(u) * dy(jj)
               acc += wy(u)(jj) * dy(jj)
               jj += 1
             }
@@ -276,12 +282,12 @@ object Lstm {
             val da = Array.ofDim[Double](4, nu)
             var u2 = 0
             while (u2 < nu) {
-              val ig = gate(r)(sb)(0)(u2); val fg = gate(r)(sb)(1)(u2)
-              val gg = gate(r)(sb)(2)(u2); val og = gate(r)(sb)(3)(u2)
-              val tc = math.tanh(cAll(r)(sb + 1)(u2))
+              val ig = gate(sb)(0)(u2); val fg = gate(sb)(1)(u2)
+              val gg = gate(sb)(2)(u2); val og = gate(sb)(3)(u2)
+              val tc = math.tanh(cAll(sb + 1)(u2))
               val dcTot = dc(u2) + dh(u2) * og * (1.0 - tc * tc)
               da(0)(u2) = dcTot * gg * ig * (1.0 - ig)
-              da(1)(u2) = dcTot * cAll(r)(sb)(u2) * fg * (1.0 - fg)
+              da(1)(u2) = dcTot * cAll(sb)(u2) * fg * (1.0 - fg)
               da(2)(u2) = dcTot * ig * (1.0 - gg * gg)
               da(3)(u2) = dh(u2) * tc * og * (1.0 - og)
               dc(u2) = dcTot * fg
@@ -301,7 +307,7 @@ object Lstm {
                 }
                 var u0 = 0
                 while (u0 < nu) {
-                  gWh(g)(u0)(u3) += hAll(r)(sb)(u0) * d
+                  gWh(g)(u0)(u3) += hAll(sb)(u0) * d
                   dhPrev(u0) += wh(g)(u0)(u3) * d
                   u0 += 1
                 }

@@ -309,4 +309,34 @@ class AdviceFixesSpec extends AnyFunSuite {
     val r = out.select(col("`a.x`"), col("`b.y`")).as[(Double, Double)].head()
     assert(r == ((3.0, 6.0)))
   }
+
+  test("cachedDir sweeps stale siblings but spares unrelated dirs (advice r5)") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val witness = java.io.File.createTempFile("advice-witness", ".bin")
+    witness.deleteOnExit()
+    Files.write(witness.toPath, Array[Byte](1, 2, 3))
+    // a stale sibling from a previous witness generation...
+    val stale = new java.io.File(tmp, "advice-sweep-0123456789abcdef")
+    assert(stale.mkdir())
+    Files.write(new java.io.File(stale, "payload").toPath, Array[Byte](9))
+    // ...and an UNRELATED dir sharing the leading string but not the
+    // `<prefix>-<16 hex>` shape — must survive the sweep
+    val unrelated = new java.io.File(tmp, "advice-sweep-spec")
+    assert(unrelated.mkdir() || unrelated.isDirectory)
+    try {
+      val d1 = Scratch.cachedDir("advice-sweep", witness.getPath)
+      assert(!stale.exists(), "stale sibling must be swept")
+      assert(unrelated.exists(), "non-key-shaped dir must be spared")
+      // re-keying on a modified witness sweeps the previous cache dir
+      assert(new java.io.File(d1).mkdir())
+      Files.write(witness.toPath, Array[Byte](1, 2, 3, 4))
+      witness.setLastModified(witness.lastModified() + 5000)
+      val d2 = Scratch.cachedDir("advice-sweep", witness.getPath)
+      assert(d2 != d1)
+      assert(!new java.io.File(d1).exists(), "old-key cache dir must be swept")
+    } finally {
+      unrelated.delete()
+      witness.delete()
+    }
+  }
 }
