@@ -59,7 +59,8 @@ object Project {
   def buildAll(spec: ProjectSpec, long: DataFrame, keyCol: String,
                tsCol: String, valueCol: String, outputRoot: String,
                registryDir: Option[String] = None,
-               parallelism: Int = 4): Seq[ModelBuilder.BuildResult] = {
+               parallelism: Int = 4,
+               closedForm: Boolean = false): Seq[ModelBuilder.BuildResult] = {
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -67,7 +68,7 @@ object Project {
         Future {
           ModelBuilder.buildSpec(m, long, keyCol, tsCol, valueCol,
             outputDir = s"$outputRoot/${m.name}",
-            registryDir = registryDir)
+            registryDir = registryDir, closedForm = closedForm)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

@@ -168,7 +168,17 @@ object Config {
 
   /** F7: minimal template expansion — `{{ key }}` placeholders replaced
     * from params (the jinja surface the CLI uses for model configs,
-    * `gordo/cli/cli.py:187-216`; full jinja is deliberately out). */
+    * `gordo/cli/cli.py:187-216`; full jinja is deliberately out).
+    *
+    * Scope evidence (surveyed round 6): no machine/model config in the
+    * reference uses any jinja construct at all — every YAML under
+    * `examples` and every config YAML under `tests` contains zero
+    * `{{ }}` or `{% %}` occurrences. Filters, conditionals, and loops
+    * appear ONLY in the Argo deployment template
+    * (`workflow_generator/resources/argo-workflow.yml.template`), which
+    * is the k8s workflow generator's internal surface, not the data
+    * engine's. `{{ var }}` substitution is therefore the complete
+    * config-facing feature set. */
   def expandTemplate(template: String, params: Map[String, String]): String =
     raw"\{\{\s*([A-Za-z0-9_.-]+)\s*\}\}".r.replaceAllIn(template, m =>
       scala.util.matching.Regex.quoteReplacement(

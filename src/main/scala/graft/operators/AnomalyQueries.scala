@@ -309,6 +309,119 @@ object AnomalyQueries {
       .orderBy($"start")
   }
 
+  /** §3.2 project layer gated: a 3-machine project config (globals
+    * PATCH each machine's dataset — the `normalized_config.py`
+    * asymmetry), built in PARALLEL driver threads through
+    * `Project.buildAll` with registry caching, then one summary row per
+    * machine × tag: the assembled frame's row count plus the trained
+    * error-scaler state (min / span over the frame — `diff.py:173`
+    * scaler.fit(y), refit on the full series). A second buildAll must
+    * come entirely from the cache registry and a first entirely fresh —
+    * violations throw, failing the gate. The oracle independently
+    * replays each machine's dataset assembly (resample → grid →
+    * interpolate → complete-rows filter) and the minmax arithmetic. */
+  def projectBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val yaml =
+      """
+        |globals:
+        |  dataset:
+        |    resolution: 1H
+        |    interpolation_limit: 6H
+        |    train_start_date: 2024-01-01T00:00:00Z
+        |    train_end_date: 2024-02-01T00:00:00Z
+        |  model:
+        |    gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |      base_estimator:
+        |        gordo.machine.model.models.KerasAutoEncoder:
+        |          kind: feedforward_hourglass
+        |machines:
+        |  - name: m-click-view
+        |    dataset: {tag_list: [click, view]}
+        |  - name: m-purchase-signup
+        |    dataset: {tag_list: [purchase, signup]}
+        |  - name: m-click-error
+        |    dataset: {tag_list: [click, error]}
+        |""".stripMargin
+    val spec = graft.build.Project.parse(yaml, "graft-q75")
+    val tmp = graft.Scratch.dir("graft-q75")
+    val results = graft.build.Project.buildAll(spec, long,
+      "tag", "ts", "value", outputRoot = s"$tmp/models",
+      registryDir = Some(s"$tmp/registry"), parallelism = 3,
+      closedForm = true)
+    require(results.forall(!_.fromCache), "first project build must be fresh")
+    val again = graft.build.Project.buildAll(spec, long,
+      "tag", "ts", "value", outputRoot = s"$tmp/models2",
+      registryDir = Some(s"$tmp/registry"), parallelism = 3,
+      closedForm = true)
+    require(again.forall(_.fromCache),
+      "second project build must hit the cache registry")
+    val rows = results.flatMap { r =>
+      val dsCfg = graft.config.Config.datasetConfig(r.spec)
+      val n = TimeSeries.getData(long, "tag", "ts", "value", dsCfg).count()
+      r.fitted.targets.map { t =>
+        val (ctr, span) = r.fitted.scaler.stats(t)
+        (r.spec.name, t, n, ctr, span)
+      }
+    }
+    rows.toDF("machine", "tag", "n_rows", "sc_min", "sc_span")
+      .select($"machine", $"tag", $"n_rows",
+        r4($"sc_min").as("sc_min"), r4($"sc_span").as("sc_span"))
+      .orderBy($"machine", $"tag")
+  }
+
+  /** One q75 machine's oracle block: dataset assembly (the q41/q68
+    * resample → grid → interpolate → complete-rows SQL, parameterized by
+    * tag pair) then the per-tag minmax scaler state as two rows. */
+  private def projectMachineSql(machine: String, tagA: String,
+                                tagB: String): String =
+    s"""SELECT machine, tag, n_rows,
+      |  floor(sc_min*10000 + 0.5)/10000 AS sc_min,
+      |  floor(sc_span*10000 + 0.5)/10000 AS sc_span
+      |FROM (
+      | WITH src AS (
+      |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+      |  FROM events
+      |  WHERE event_type IN ('$tagA', '$tagB')
+      |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
+      | r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+      | bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+      | grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+      |          FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+      | g AS (SELECT grid.tag, grid.bucket_ts, r.value
+      |       FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+      | i AS (SELECT tag, bucket_ts,
+      |    CASE WHEN value IS NOT NULL THEN value
+      |         WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+      |         THEN prevv + (nextv - prevv)
+      |              * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+      |    END AS v
+      |  FROM (SELECT *,
+      |    last_value(value IGNORE NULLS) OVER wb AS prevv,
+      |    last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+      |    first_value(value IGNORE NULLS) OVER wa AS nextv,
+      |    first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+      |   FROM g
+      |   WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+      | ww AS (SELECT a, b FROM (
+      |   SELECT bucket_ts,
+      |     max(CASE WHEN tag = '$tagA' THEN v END) AS a,
+      |     max(CASE WHEN tag = '$tagB' THEN v END) AS b
+      |   FROM i GROUP BY bucket_ts)
+      |  WHERE a IS NOT NULL AND b IS NOT NULL),
+      | st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |   min(a) AS mn_a, max(a) - min(a) AS sp_a,
+      |   min(b) AS mn_b, max(b) - min(b) AS sp_b FROM ww)
+      | SELECT '$machine' AS machine, '$tagA' AS tag, n AS n_rows,
+      |   mn_a AS sc_min, sp_a AS sc_span FROM st
+      | UNION ALL
+      | SELECT '$machine', '$tagB', n, mn_b, sp_b FROM st
+      |)""".stripMargin
+
   /** P8: the serve-path column contract
     * (`gordo/server/blueprints/anomaly.py:56-62`) — a REAL config build
     * with `window: 6` (so smooth-* groups exist), then
@@ -425,6 +538,7 @@ object AnomalyQueries {
     "q51_lstm_forecast" -> (lstmForecast _),
     "q72_lookahead_forecast" -> (lookaheadForecast _),
     "q74_ewm_anomaly_frame" -> (ewmAnomalyFrame _),
+    "q75_project_build" -> (projectBuild _),
     "q64_response_columns" -> (responseColumns _),
     "q69_streaming_anomaly" -> (streamingAnomaly _),
     "q70_metric_batch" -> (metricBatch _),
@@ -459,6 +573,13 @@ object AnomalyQueries {
       |            FROM $src)))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q75_project_build" ->
+      (projectMachineSql("m-click-view", "click", "view") +
+        "\nUNION ALL\n" +
+        projectMachineSql("m-click-error", "click", "error") +
+        "\nUNION ALL\n" +
+        projectMachineSql("m-purchase-signup", "purchase", "signup") +
+        "\nORDER BY machine, tag"),
     "q29_anomaly_frame" ->
       """WITH w AS (
         |  SELECT bucket_ts,
