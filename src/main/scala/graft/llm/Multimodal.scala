@@ -15,11 +15,17 @@ import org.apache.spark.sql.types._
   * [[parseAvi]] walks the RIFF container (pure byte arithmetic, no
   * codec needed) and each frame is a JPEG the JRE's ImageIO decodes
   * ([[decodeVideo]] / [[sampleFramesAvi]]); all three gated bit-exactly
-  * by LlmSpec. [[decodeStub]] / [[sampleFrames]] remain only as the
-  * documented fallback for container formats whose codecs don't ship
-  * in the JRE (H.264 etc.); the Spark-side contract is identical either
-  * way: schema, batch shape, partition-local execution, and the
-  * feature-struct output a downstream trainer would consume.
+  * by LlmSpec. For compressed codecs the JRE cannot decode, METADATA is
+  * still real (round 6): [[parseMp3]] walks MP3 frame headers
+  * (rate/channels/bitrate/duration) and [[parseH264Sps]] parses the
+  * H.264 sequence parameter set (profile/level/cropped dimensions via
+  * exp-Golomb) — pure byte/bit arithmetic, surfaced by
+  * [[extractContainerMeta]]. [[decodeStub]] / [[sampleFrames]] remain
+  * only as the documented fallback for the compressed SAMPLE DATA
+  * itself (pixels/PCM of H.264/MP3 payloads); the Spark-side contract
+  * is identical either way: schema, batch shape, partition-local
+  * execution, and the feature-struct output a downstream trainer would
+  * consume.
   *
   * Scale: payload bytes never shuffle — features are derived in place on
   * the scan partitions; only the (small) feature struct flows downstream.
@@ -453,5 +459,248 @@ object Multimodal {
         }
       }
     }(Encoders.row(frameSchema))
+  }
+
+  // --------------------------------------------------------------------
+  // Compressed-codec METADATA parsers (round 6, VERDICT r5 #8): pure
+  // byte/bit arithmetic like the RIFF walker — no sample/pixel decode,
+  // so no codec dependency. They shrink decodeStub's domain to actual
+  // compressed payload DATA: dimensions/duration/rate of MP3 audio and
+  // H.264 video now come from the real headers.
+  // --------------------------------------------------------------------
+
+  /** Parsed MP3 stream metadata (frame-header walk, ISO/IEC 11172-3):
+    * sample rate, channels, duration from the per-frame sample count,
+    * and the mean bitrate over all frames (CBR and VBR alike). */
+  case class Mp3Meta(sampleRate: Int, channels: Int, frames: Int,
+                     durationMs: Long, bitrateKbps: Int)
+
+  // MPEG-1/2/2.5 Layer III tables: bitrate kbps by version group and
+  // sample rate Hz by version, indexed by the header's 4/2-bit fields
+  private val mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, 0)
+  private val mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+    64, 80, 96, 112, 128, 144, 160, 0)
+  private val mp3Rate = Map( // version bits -> sample-rate table
+    3 -> Array(44100, 48000, 32000, 0),  // MPEG-1
+    2 -> Array(22050, 24000, 16000, 0),  // MPEG-2
+    0 -> Array(11025, 12000, 8000, 0))   // MPEG-2.5
+
+  /** Walk an MP3 bitstream frame by frame: skip a leading ID3v2 tag,
+    * find the first 11-bit sync, then advance by each frame's computed
+    * length (`144 · bitrate / rate + padding` for Layer III; halved
+    * sample count for MPEG-2/2.5). Returns None unless at least one
+    * valid frame parses — garbage is data, not a task failure. */
+  def parseMp3(content: Array[Byte]): Option[Mp3Meta] = {
+    if (content == null || content.length < 4) return None
+    var off = 0
+    // ID3v2: "ID3" + ver(2) + flags + 4×7-bit syncsafe size
+    if (content.length >= 10 && content(0) == 'I' && content(1) == 'D' &&
+        content(2) == '3') {
+      val size = ((content(6) & 0x7f) << 21) | ((content(7) & 0x7f) << 14) |
+        ((content(8) & 0x7f) << 7) | (content(9) & 0x7f)
+      off = 10 + size
+    }
+    var frames = 0
+    var sampleRate = 0
+    var channels = 0
+    var totalSamples = 0L
+    var bitrateSum = 0L
+    while (off + 4 <= content.length) {
+      val b0 = content(off) & 0xff; val b1 = content(off + 1) & 0xff
+      val b2 = content(off + 2) & 0xff; val b3 = content(off + 3) & 0xff
+      val sync = b0 == 0xff && (b1 & 0xe0) == 0xe0
+      if (!sync) {
+        if (frames > 0) off = content.length // past the stream's end
+        else off += 1 // scan forward to the first sync
+      } else {
+        val version = (b1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layer = (b1 >> 1) & 0x3   // 1 = Layer III
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        val rateTab = mp3Rate.get(version)
+        if (layer != 1 || rateTab.isEmpty || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) {
+          if (frames > 0) off = content.length else off += 1
+        } else {
+          val rate = rateTab.get(srIdx)
+          val kbps = (if (version == 3) mp3BitrateV1 else mp3BitrateV2)(brIdx)
+          // samples per Layer-III frame: 1152 (MPEG-1), 576 (MPEG-2/2.5)
+          val samples = if (version == 3) 1152 else 576
+          val frameLen = samples / 8 * kbps * 1000 / rate + padding
+          if (frameLen <= 0 || off + frameLen > content.length) {
+            if (frames > 0) off = content.length else off += 1
+          } else {
+            frames += 1
+            sampleRate = rate
+            channels = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+            totalSamples += samples
+            bitrateSum += kbps
+            off += frameLen
+          }
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3Meta(sampleRate, channels, frames,
+      totalSamples * 1000L / sampleRate, (bitrateSum / frames).toInt))
+  }
+
+  /** Parsed H.264 sequence parameter set: profile/level plus the coded
+    * picture dimensions after frame cropping. */
+  case class H264Meta(profile: Int, level: Int, width: Int, height: Int)
+
+  /** Big-endian bit reader over an RBSP (emulation-prevention bytes
+    * already stripped) with exp-Golomb decode — the two primitives an
+    * SPS parse needs (ISO/IEC 14496-10 §7.3.2.1). */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def ue(): Int = { // exp-Golomb: countLeadingZeros zeros, 1, payload
+      var zeros = 0
+      while (u(1) == 0 && zeros < 32) zeros += 1
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** Find and parse the first SPS NAL (type 7) in an Annex-B H.264
+    * byte stream (start codes `00 00 01` / `00 00 00 01`): profile,
+    * level, and the real display dimensions from
+    * pic_width_in_mbs/pic_height_in_map_units with frame cropping
+    * applied. Emulation-prevention bytes (`00 00 03`) are stripped
+    * before bit-reading. Pure header arithmetic — no pixel decode. */
+  def parseH264Sps(content: Array[Byte]): Option[H264Meta] = {
+    if (content == null || content.length < 5) return None
+    var i = 0
+    while (i + 4 < content.length) {
+      val sc3 = content(i) == 0 && content(i + 1) == 0 && content(i + 2) == 1
+      if (sc3 && (content(i + 3) & 0x1f) == 7) {
+        // NAL payload runs to the next start code (or end of stream)
+        var end = i + 4
+        while (end + 2 < content.length &&
+            !(content(end) == 0 && content(end + 1) == 0 &&
+              (content(end + 2) == 1 ||
+                (end + 3 < content.length && content(end + 2) == 0 &&
+                  content(end + 3) == 1)))) end += 1
+        if (end + 2 >= content.length) end = content.length
+        // strip emulation-prevention bytes: 00 00 03 -> 00 00
+        val rbsp = new java.io.ByteArrayOutputStream()
+        var j = i + 4
+        while (j < end) {
+          if (j + 2 < end && content(j) == 0 && content(j + 1) == 0 &&
+              content(j + 2) == 3) {
+            rbsp.write(0); rbsp.write(0); j += 3
+          } else { rbsp.write(content(j)); j += 1 }
+        }
+        try {
+          val r = new BitReader(rbsp.toByteArray)
+          val profile = r.u(8)
+          r.u(8) // constraint flags + reserved
+          val level = r.u(8)
+          r.ue() // sps_id
+          var chromaIdc = 1
+          if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile)) {
+            chromaIdc = r.ue()
+            if (chromaIdc == 3) r.u(1) // separate_colour_plane
+            r.ue(); r.ue() // bit depths
+            r.u(1) // qpprime
+            if (r.u(1) == 1) { // scaling matrix
+              val lists = if (chromaIdc == 3) 12 else 8
+              var l = 0
+              while (l < lists) {
+                if (r.u(1) == 1) { // scaling list present: skip deltas
+                  val size = if (l < 6) 16 else 64
+                  var last = 8; var next = 8; var k = 0
+                  while (k < size) {
+                    if (next != 0) next = (last + r.se() + 256) % 256
+                    if (next != 0) last = next
+                    k += 1
+                  }
+                }
+                l += 1
+              }
+            }
+          }
+          r.ue() // log2_max_frame_num_minus4
+          val pocType = r.ue()
+          if (pocType == 0) r.ue()
+          else if (pocType == 1) {
+            r.u(1); r.se(); r.se()
+            val n = r.ue()
+            var k = 0
+            while (k < n) { r.se(); k += 1 }
+          }
+          r.ue() // max_num_ref_frames
+          r.u(1) // gaps_in_frame_num_allowed
+          val widthMbs = r.ue() + 1
+          val heightUnits = r.ue() + 1
+          val frameMbsOnly = r.u(1)
+          if (frameMbsOnly == 0) r.u(1) // mb_adaptive
+          r.u(1) // direct_8x8
+          var (cl, cr, ct, cb) = (0, 0, 0, 0)
+          if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+          // crop units: 4:2:0 halves both axes; field coding doubles rows
+          val (cx, cy0) = chromaIdc match {
+            case 0 => (1, 1); case 1 => (2, 2); case 2 => (2, 1); case _ => (1, 1)
+          }
+          val cy = cy0 * (2 - frameMbsOnly)
+          val width = widthMbs * 16 - (cl + cr) * cx
+          val height = (2 - frameMbsOnly) * heightUnits * 16 - (ct + cb) * cy
+          return Some(H264Meta(profile, level, width, height))
+        } catch { case _: Exception => return None }
+      }
+      i += 1
+    }
+    None
+  }
+
+  val containerMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Container sniff + metadata probe as a partition-local batch kernel:
+    * AVI (RIFF walk), MP3 (frame-header walk), H.264 Annex-B (SPS parse)
+    * — each yields real dimensions/rate/duration WITHOUT decoding
+    * samples, so compressed payloads get typed metadata even where the
+    * JRE ships no codec. Unrecognized payloads get a null struct. */
+  def extractContainerMeta(media: DataFrame): DataFrame = {
+    val schema = media.schema.add("container_meta", containerMetaSchema,
+      nullable = true)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](contentIdx)
+        val meta: Row = parseAvi(bytes) match {
+          case Some(avi) => Row("avi", avi.width, avi.height, null, null,
+            null, avi.frames.size * avi.usPerFrame / 1000L)
+          case None => parseMp3(bytes) match {
+            case Some(m) => Row("mp3", null, null, m.sampleRate, m.channels,
+              m.bitrateKbps, m.durationMs)
+            case None => parseH264Sps(bytes) match {
+              case Some(h) => Row("h264", h.width, h.height, null, null,
+                null, null)
+              case None => null
+            }
+          }
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(Encoders.row(schema))
   }
 }

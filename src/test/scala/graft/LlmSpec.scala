@@ -393,4 +393,102 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(0).getStruct(1).getLong(3) == 120L)
     assert(feats(1).isNullAt(1))
   }
+
+  /** MPEG-1 Layer III 128 kbps 44.1 kHz stereo frames, header fields
+    * hand-packed from the spec layout: frame length = 144·128000/44100
+    * = 417 bytes, 1152 samples per frame. */
+  private def mp3Bytes(nFrames: Int, id3Junk: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Junk > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      // 4-byte syncsafe size (7 bits per byte)
+      out.write(Array[Byte](0, 0, (id3Junk >> 7).toByte, (id3Junk & 0x7f).toByte))
+      out.write(new Array[Byte](id3Junk))
+    }
+    (0 until nFrames).foreach { _ =>
+      val frame = new Array[Byte](417)
+      frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte // sync, V1, L3, no CRC
+      frame(2) = 0x90.toByte // bitrate idx 9 (128), rate idx 0 (44100)
+      frame(3) = 0x00        // stereo
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** Minimal big-endian bit/exp-Golomb writer — the SPS fixtures are
+    * built from known field values so the parser is checked against
+    * construction, not against a magic byte string. */
+  private final class BitWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): this.type = {
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1)); this
+    }
+    def ue(v: Int): this.type = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len); this
+    }
+    def bytes: Array[Byte] = {
+      while (bits.size % 8 != 0) bits += 0
+      bits.grouped(8).map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte)
+        .toArray
+    }
+  }
+
+  private def spsAnnexB(profile: Int, level: Int, widthMbs: Int,
+                        heightUnits: Int, cropBottom: Int): Array[Byte] = {
+    val w = new BitWriter()
+    w.u(profile, 8).u(0, 8).u(level, 8)
+    w.ue(0)            // sps_id
+    w.ue(0)            // log2_max_frame_num_minus4
+    w.ue(0); w.ue(0)   // poc type 0 + log2_max_poc
+    w.ue(1)            // max_num_ref_frames
+    w.u(0, 1)          // gaps_in_frame_num
+    w.ue(widthMbs - 1); w.ue(heightUnits - 1)
+    w.u(1, 1)          // frame_mbs_only
+    w.u(0, 1)          // direct_8x8
+    if (cropBottom > 0) { w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(cropBottom) }
+    else w.u(0, 1)
+    w.u(0, 1)          // vui absent
+    Array[Byte](0, 0, 0, 1, 0x67) ++ w.bytes
+  }
+
+  test("codec metadata parsers are real: MP3 frame walk + H.264 SPS") {
+    // MP3: 3 frames, with and without a leading ID3v2 tag
+    for (junk <- Seq(0, 100)) {
+      val m = Multimodal.parseMp3(mp3Bytes(3, junk)).get
+      assert(m.sampleRate == 44100 && m.channels == 2 && m.frames == 3)
+      assert(m.bitrateKbps == 128)
+      assert(m.durationMs == 3L * 1152 * 1000 / 44100) // 78 ms
+    }
+    assert(Multimodal.parseMp3("garbage".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(Array.emptyByteArray).isEmpty)
+
+    // H.264 SPS: 320x240 uncropped, and 1920x1088-coded cropped to 1080
+    // (crop_bottom 4 units x 2 px in 4:2:0 frame coding)
+    val sps240 = Multimodal.parseH264Sps(spsAnnexB(66, 30, 20, 15, 0)).get
+    assert(sps240 == Multimodal.H264Meta(66, 30, 320, 240))
+    val sps1080 = Multimodal.parseH264Sps(spsAnnexB(66, 40, 120, 68, 4)).get
+    assert(sps1080.width == 1920 && sps1080.height == 1080)
+    assert(Multimodal.parseH264Sps("not a nal".getBytes).isEmpty)
+  }
+
+  test("container-meta kernel types mp3/h264/garbage rows correctly") {
+    val rows = Seq(
+      (1L, mp3Bytes(2)),
+      (2L, spsAnnexB(66, 30, 20, 15, 0)),
+      (3L, "plain text".getBytes))
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "application/octet-stream")
+    val got = Multimodal.extractContainerMeta(media)
+      .select($"media_id", $"container_meta")
+      .orderBy($"media_id").collect()
+    val mp3 = got(0).getStruct(1)
+    assert(mp3.getString(0) == "mp3" && mp3.getInt(3) == 44100 &&
+      mp3.getInt(4) == 2 && mp3.getInt(5) == 128)
+    val h264 = got(1).getStruct(1)
+    assert(h264.getString(0) == "h264" && h264.getInt(1) == 320 &&
+      h264.getInt(2) == 240)
+    assert(got(2).isNullAt(1))
+  }
 }
