@@ -247,7 +247,45 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Streaming exact dedup, oracle-gated: the documents table replayed
+    * as a checkpointed file stream through `dedupStream`
+    * (`dropDuplicatesWithinWatermark` on the content key) into the
+    * exactly-once forwarder. Every document carries the SAME event time,
+    * so the watermark never passes and key state suppresses every later
+    * copy across micro-batches — the emitted set is exactly ONE row per
+    * distinct content, independent of file batching or partition races
+    * (which doc of a dup-set survives is arrival-dependent, so the gate
+    * projects the deterministic pair: content key + its char length,
+    * identical for all copies of a key). The oracle is the batch
+    * statement of the same semantics: SELECT DISTINCT md5(text),
+    * length(text). */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = graft.Scratch.cachedDir("graft-q76-in", s"$dir/documents.parquet")
+    if (!new java.io.File(s"$in/_SUCCESS").exists())
+      Tables(spark, dir, "documents")
+        .select($"doc_id", $"text",
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .repartition(8).write.mode("overwrite").parquet(in)
+    val tmp = graft.Scratch.dir("graft-q76")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "3")
+      .parquet(in)
+    val deduped = graft.streaming.StreamingScoring
+      .dedupStream(stream, "doc_id", "text", "ts")
+    val q = graft.streaming.Forwarder.toParquet(
+      deduped.select($"exact_key",
+        length($"text").cast("long").as("char_len")),
+      s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$tmp/out")
+      .select($"exact_key", $"char_len")
+      .orderBy($"exact_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_streaming_dedup" -> (streamingDedup _),
     "q58_sql_kernels" -> (sqlKernels _),
     "q50_winnowing" -> (winnowing _),
     "q42_embedding_neardup" -> (embeddingNearDups _),
@@ -439,6 +477,12 @@ object LlmQueries {
         | md5(array_to_string(list_sort(list_distinct(str_split(trim(text), ' '))), ' ')) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the batch statement of the streaming dedup semantics: one row per
+    // distinct content, its key and (copy-invariant) char length
+    "q76_streaming_dedup" ->
+      """SELECT DISTINCT md5(text) AS exact_key, length(text) AS char_len
+        |FROM documents
+        |ORDER BY exact_key""".stripMargin,
     "q34_minhash_dup_pairs" ->
       s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,
