@@ -268,4 +268,45 @@ class LstmSpec extends AnyFunSuite {
     val subModel = sub.metadata("model").asInstanceOf[Map[String, Any]]
     assert(subModel("impl") == "ridge" && subModel("impl_requested") == "lstm")
   }
+
+  test("lookahead=2 build trains the cell, persists, and serves with offset 3") {
+    val long = wide.selectExpr(
+      "stack(2, 'tx', tx, 'ty', ty) as (tag, value)",
+      "timestamp_seconds(bucket_ts) as ts")
+      .select($"tag", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lstm-la2").toString
+    val res = graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(
+        """
+          |name: lstm-la2-machine
+          |dataset:
+          |  tag_list: [tx, ty]
+          |  resolution: 10T
+          |model:
+          |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+          |    base_estimator:
+          |      gordo.machine.model.models.KerasLSTMForecast:
+          |        kind: lstm_symmetric
+          |        lookback_window: 2
+          |        lookahead: 2
+          |""".stripMargin),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("lstm-project"))
+    val model = res.metadata("model").asInstanceOf[Map[String, Any]]
+    assert(model("impl") == "lstm")
+    // J3 offset generalizes: lookback + lookahead − 1
+    assert(model("model_offset") == 3)
+    // the cell consumed the L-shifted lag set (oldest = lag3)
+    assert(res.fitted.model.params.keys.exists(_.startsWith("lu_")))
+    // save/load/score round-trip: the serve path re-applies the SAME
+    // L=2 window surgery from persisted state and drops 3 head rows
+    val wideRows = wide.count()
+    val frame = graft.build.ModelBuilder.score(
+      s"$tmp/model",
+      wide.withColumnRenamed("bucket_ts", "bucket_ts"), 600L)
+    assert(frame.count() == wideRows - 3)
+    val cols = frame.columns.toSet
+    assert(cols.contains("model-output.tx") && cols.contains("start"))
+  }
 }
