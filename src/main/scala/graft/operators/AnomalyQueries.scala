@@ -245,6 +245,48 @@ object AnomalyQueries {
         |      n_splits: 3
         |""".stripMargin, "graft-q49")
 
+  /** M7 gated end-to-end: a `KerasRawModelRegressor` base estimator —
+    * the explicit `{spec, compile}` kind map
+    * (`gordo/machine/model/models.py:401-460`) — compiled by the
+    * registry (Sequential/Dense validation, activation allowlist) and
+    * driven through the COMPLETE build path: getData assembly, closed-
+    * form substitution (recorded as `impl`/`impl_requested` in the
+    * saved metadata — never silent), CV thresholds, persistence, and
+    * score() from the saved dir. Same ridge replay as q41 on a
+    * different tag pair, so the oracle catches any raw-spec-specific
+    * routing drift in the build orchestration. */
+  def rawSpecBuild(spark: SparkSession, dir: String): DataFrame =
+    buildAndScore(spark, dir,
+      """
+        |name: graft-q77-machine
+        |dataset:
+        |  tag_list: [purchase, signup]
+        |  resolution: 1H
+        |  interpolation_limit: 6H
+        |  train_start_date: 2024-01-01T00:00:00Z
+        |  train_end_date: 2024-02-01T00:00:00Z
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasRawModelRegressor:
+        |        kind:
+        |          spec:
+        |            tensorflow.keras.models.Sequential:
+        |              layers:
+        |                - tensorflow.keras.layers.Dense:
+        |                    units: 4
+        |                    activation: tanh
+        |                - tensorflow.keras.layers.Dense:
+        |                    units: 2
+        |          compile:
+        |            loss: mse
+        |            optimizer: adam
+        |evaluation:
+        |  cv:
+        |    sklearn.model_selection.TimeSeriesSplit:
+        |      n_splits: 3
+        |""".stripMargin, "graft-q77")
+
   /** M6/M10 forecast analog (the KerasLSTMForecast data flow): a
     * lookback window of 2 materialized as lag FEATURE columns (W5's
     * input tensor flattened wide, built scale-safely by
@@ -535,6 +577,7 @@ object AnomalyQueries {
     "q41_config_build" -> (configDrivenBuild _),
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
+    "q77_raw_spec_build" -> (rawSpecBuild _),
     "q51_lstm_forecast" -> (lstmForecast _),
     "q72_lookahead_forecast" -> (lookaheadForecast _),
     "q74_ewm_anomaly_frame" -> (ewmAnomalyFrame _),
@@ -571,6 +614,123 @@ object AnomalyQueries {
       |              (covar_pop(view, view) - covar_pop(click, click))
       |                / (2.0 * covar_pop(click, view)) AS th
       |            FROM $src)))))""".stripMargin
+
+  /** q41's full oracle replay parameterized by the 2-tag pair: dataset
+    * assembly (resample → grid → interpolate → complete rows), cross-tag
+    * ridge fit on the last TimeSeriesSplit(3) fold, rolling(6).min.max
+    * thresholds, full-series refit, and the anomaly frame. The tag
+    * names appear only as the source filter, pivot keys, intermediate
+    * column names, and output aliases, so plain substitution keeps the
+    * SQL valid for identifier-safe tag names. */
+  private def ridgeBuildFrameSql(a: String, b: String): String =
+      """WITH src AS (
+        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
+        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
+        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
+        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
+        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
+        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
+        |i AS (SELECT tag, bucket_ts,
+        |   CASE WHEN value IS NOT NULL THEN value
+        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
+        |        THEN prevv + (nextv - prevv)
+        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
+        |   END AS v
+        | FROM (SELECT *,
+        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
+        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
+        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
+        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+        |ww AS (SELECT bucket_ts, click, view FROM (
+        |  SELECT bucket_ts,
+        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
+        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |  FROM i GROUP BY bucket_ts)
+        | WHERE click IS NOT NULL AND view IS NOT NULL),
+        |idx AS (SELECT bucket_ts, click, view,
+        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM ww),
+        |nn AS (SELECT count(*) AS n FROM idx),
+        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
+        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
+        |fm AS (SELECT
+        |    ((n + 1e-8)*sxy_c - sx_v*sy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS b_c,
+        |    (sy_c*(sxx_v + 1e-8) - sx_v*sxy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS a_c,
+        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
+        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
+        |    s_c, s_v
+        |  FROM (SELECT count(*) AS n,
+        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
+        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
+        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
+        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
+        |      max(click) - min(click) AS s_c, max(view) - min(view) AS s_v
+        |    FROM tr)),
+        |te AS (SELECT i.rn, i.click, i.view,
+        |    a_c + b_c * i.view AS p_c, a_v + b_v * i.click AS p_v, s_c, s_v,
+        |    row_number() OVER (ORDER BY i.rn) AS trn
+        |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
+        |sc AS (SELECT trn,
+        |    (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
+        |    abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
+        |  FROM te),
+        |roll AS (SELECT trn,
+        |    min(mse) OVER f AS rmin_mse,
+        |    min(mae_c) OVER f AS rmin_c,
+        |    min(mae_v) OVER f AS rmin_v
+        |  FROM sc
+        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c,
+        |       max(rmin_v) AS th_v
+        |  FROM roll WHERE trn >= 6),
+        |fin AS (SELECT
+        |    ((n + 1e-8)*sxy_c - sx_v*sy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS b_c,
+        |    (sy_c*(sxx_v + 1e-8) - sx_v*sxy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS a_c,
+        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
+        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
+        |    s_c, s_v
+        |  FROM (SELECT count(*) AS n,
+        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
+        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
+        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
+        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
+        |      CASE WHEN max(click) = min(click) THEN 1.0
+        |           ELSE max(click) - min(click) END AS s_c,
+        |      CASE WHEN max(view) = min(view) THEN 1.0
+        |           ELSE max(view) - min(view) END AS s_v
+        |    FROM idx)),
+        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
+        |    i.click AS mic, i.view AS miv,
+        |    a_c + b_c * i.view AS moc, a_v + b_v * i.click AS mov,
+        |    abs((a_c + b_c * i.view - i.click) / s_c) AS tasc,
+        |    abs((a_v + b_v * i.click - i.view) / s_v) AS tasv,
+        |    abs(a_c + b_c * i.view - i.click) AS tauc,
+        |    abs(a_v + b_v * i.click - i.view) AS tauv
+        |  FROM idx i, fin)
+        |SELECT start, "end",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
+        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
+        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
+        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
+        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
+        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor(((tasc*tasc + tasv*tasv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
+        |  floor(((tauc*tauc + tauv*tauv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
+        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
+        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
+        |FROM frame, th
+        |ORDER BY start""".stripMargin
+      .replace("click", a).replace("view", b)
 
   val oracleSql: Map[String, String] = Map(
     "q75_project_build" ->
@@ -926,114 +1086,8 @@ object AnomalyQueries {
         |  floor(((tas*tas)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin,
-    "q41_config_build" ->
-      """WITH src AS (
-        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-        |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
-        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
-        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-        |i AS (SELECT tag, bucket_ts,
-        |   CASE WHEN value IS NOT NULL THEN value
-        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-        |        THEN prevv + (nextv - prevv)
-        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-        |   END AS v
-        | FROM (SELECT *,
-        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
-        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
-        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-        |  FROM g
-        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
-        |ww AS (SELECT bucket_ts, click, view FROM (
-        |  SELECT bucket_ts,
-        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
-        |    max(CASE WHEN tag = 'view' THEN v END) AS view
-        |  FROM i GROUP BY bucket_ts)
-        | WHERE click IS NOT NULL AND view IS NOT NULL),
-        |idx AS (SELECT bucket_ts, click, view,
-        |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM ww),
-        |nn AS (SELECT count(*) AS n FROM idx),
-        |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
-        |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
-        |fm AS (SELECT
-        |    ((n + 1e-8)*sxy_c - sx_v*sy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS b_c,
-        |    (sy_c*(sxx_v + 1e-8) - sx_v*sxy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS a_c,
-        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
-        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
-        |    s_c, s_v
-        |  FROM (SELECT count(*) AS n,
-        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
-        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
-        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
-        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
-        |      max(click) - min(click) AS s_c, max(view) - min(view) AS s_v
-        |    FROM tr)),
-        |te AS (SELECT i.rn, i.click, i.view,
-        |    a_c + b_c * i.view AS p_c, a_v + b_v * i.click AS p_v, s_c, s_v,
-        |    row_number() OVER (ORDER BY i.rn) AS trn
-        |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
-        |sc AS (SELECT trn,
-        |    (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
-        |    abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
-        |  FROM te),
-        |roll AS (SELECT trn,
-        |    min(mse) OVER f AS rmin_mse,
-        |    min(mae_c) OVER f AS rmin_c,
-        |    min(mae_v) OVER f AS rmin_v
-        |  FROM sc
-        |  WINDOW f AS (ORDER BY trn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
-        |th AS (SELECT max(rmin_mse) AS agg_th, max(rmin_c) AS th_c,
-        |       max(rmin_v) AS th_v
-        |  FROM roll WHERE trn >= 6),
-        |fin AS (SELECT
-        |    ((n + 1e-8)*sxy_c - sx_v*sy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS b_c,
-        |    (sy_c*(sxx_v + 1e-8) - sx_v*sxy_c) / ((n + 1e-8)*(sxx_v + 1e-8) - sx_v*sx_v) AS a_c,
-        |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
-        |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
-        |    s_c, s_v
-        |  FROM (SELECT count(*) AS n,
-        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
-        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
-        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
-        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
-        |      CASE WHEN max(click) = min(click) THEN 1.0
-        |           ELSE max(click) - min(click) END AS s_c,
-        |      CASE WHEN max(view) = min(view) THEN 1.0
-        |           ELSE max(view) - min(view) END AS s_v
-        |    FROM idx)),
-        |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
-        |    i.click AS mic, i.view AS miv,
-        |    a_c + b_c * i.view AS moc, a_v + b_v * i.click AS mov,
-        |    abs((a_c + b_c * i.view - i.click) / s_c) AS tasc,
-        |    abs((a_v + b_v * i.click - i.view) / s_v) AS tasv,
-        |    abs(a_c + b_c * i.view - i.click) AS tauc,
-        |    abs(a_v + b_v * i.click - i.view) AS tauv
-        |  FROM idx i, fin)
-        |SELECT start, "end",
-        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
-        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
-        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
-        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
-        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
-        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
-        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
-        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
-        |  floor(((tasc*tasc + tasv*tasv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
-        |  floor(((tauc*tauc + tauv*tauv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
-        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
-        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
-        |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
-        |FROM frame, th
-        |ORDER BY start""".stripMargin,
+    "q41_config_build" -> ridgeBuildFrameSql("click", "view"),
+    "q77_raw_spec_build" -> ridgeBuildFrameSql("purchase", "signup"),
     "q49_target_tags_build" ->
       """WITH src AS (
         |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
