@@ -211,6 +211,76 @@ object ConfigQueries {
       .orderBy($"model_id", $"path", $"value")
   }
 
+  /** The q78 grid: every allowlist entry plus paths outside it. Shared
+    * with the oracle so both sides enumerate the identical surface. */
+  private val registryPaths: Seq[String] = Seq(
+    "sklearn.pipeline.Pipeline",
+    "sklearn.pipeline.FeatureUnion",
+    "sklearn.preprocessing.MinMaxScaler",
+    "sklearn.preprocessing.RobustScaler",
+    "sklearn.preprocessing.FunctionTransformer",
+    "gordo.machine.model.transformers.imputer.InfImputer",
+    "gordo.machine.model.models.KerasAutoEncoder",
+    "gordo.machine.model.models.KerasLSTMAutoEncoder",
+    "gordo.machine.model.models.KerasLSTMForecast",
+    "gordo.machine.model.models.KerasRawModelRegressor",
+    "sklearn.linear_model.LinearRegression",
+    "sklearn.decomposition.PCA",
+    "sklearn.model_selection.TimeSeriesSplit",
+    "sklearn.model_selection.KFold",
+    "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector",
+    "sklearn.svm.SVC",
+    "sklearn.ensemble.RandomForestRegressor",
+    "gordo.machine.model.models.KerasUnknownModel",
+    "builtins.eval",
+    "not.a.known.Class")
+
+  /** Canonical one-line shape of a compiled stage, defaults
+    * materialized — the q78 observable. */
+  private def describeStage(s: ModelRegistry.Stage): String = s match {
+    case ModelRegistry.Scaler(k) => s"scaler:$k"
+    case ModelRegistry.Imputer(st, d) => s"imputer:$st:$d"
+    case ModelRegistry.Multiply(f) => s"multiply:$f"
+    case ModelRegistry.RawSpec(layers, _) =>
+      "rawspec:" + layers.map { case (u, a) => s"$u-$a" }.mkString(",")
+    case ModelRegistry.Reconstruction(i, k) => s"recon:$i:$k"
+    case w: ModelRegistry.Windowed =>
+      s"windowed:lb=${w.lookback}:la=${w.lookahead}:off=${w.offset}:" +
+        describeStage(w.inner)
+    case ModelRegistry.PipelineOf(steps) =>
+      steps.map(describeStage).mkString("pipeline[", ",", "]")
+    case ModelRegistry.UnionOf(bs) =>
+      bs.map(describeStage).mkString("union[", ",", "]")
+    case ModelRegistry.Detector(b, sc, w, sm, sh) =>
+      s"detector:base=${describeStage(b)}:scaler=${describeStage(sc)}" +
+        s":window=${w.getOrElse(-1)}:smoothing=${sm.getOrElse("none")}" +
+        s":shuffle=$sh"
+    case ModelRegistry.CvSplit(m, n) => s"cv:$m:$n"
+  }
+
+  /** M8: the factory-registry allowlist (the reference resolves config
+    * class paths by dynamic import, `gordo/serializer/from_definition.py`;
+    * this engine resolves them against a FIXED allowlist — no
+    * reflection, ever). Each bare class path compiles DISTRIBUTED into
+    * its default-kwargs stage shape or a rejection message; the oracle
+    * pins the entire surface literally, so a silently added, removed, or
+    * re-defaulted factory hash-mismatches. */
+  def factoryRegistryGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registryPaths.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("idx", "class_path").as[(Int, String)]
+      .map { case (i, p) =>
+        val outcome =
+          try describeStage(ModelRegistry.compile(p))
+          catch {
+            case e: ModelRegistry.CompileException => s"rejected:${e.getMessage}"
+          }
+        (i, p, outcome)
+      }
+      .toDF("idx", "class_path", "outcome")
+      .orderBy($"idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_multiply_transform" -> (multiplyTransform _),
     "q60_hourglass_dims" -> (hourglassDims _),
@@ -218,6 +288,7 @@ object ConfigQueries {
     "q62_template_expand" -> (templateExpand _),
     "q65_fixup_resources" -> (fixupResourcesGrid _),
     "q66_into_definition" -> (intoDefinitionRows _),
+    "q78_factory_registry" -> (factoryRegistryGrid _),
   )
 
   /** Half-even rounding of a positive double expression (Python `rint` /
@@ -331,6 +402,42 @@ object ConfigQueries {
       s"""SELECT model_id, path, value FROM (VALUES
         |  $values) t(model_id, path, value)
         |ORDER BY model_id, path, value""".stripMargin
+    },
+    "q78_factory_registry" -> {
+      // expected outcomes hand-derived from the allowlist semantics (the
+      // reference's factory surface + this engine's documented defaults)
+      // — NOT computed by the code under test, so the gate is external
+      val MLP = "recon:mlp:feedforward_hourglass"
+      val expected: Seq[String] = Seq(
+        "rejected:Pipeline needs steps",
+        "rejected:FeatureUnion needs transformer_list",
+        "scaler:minmax",
+        "scaler:robust",
+        "rejected:unsupported FunctionTransformer func: None",
+        "imputer:minmax:2.0",
+        MLP,
+        "windowed:lb=1:la=0:off=0:recon:lstm:lstm_hourglass",
+        "windowed:lb=1:la=1:off=1:recon:lstm:lstm_hourglass",
+        "rejected:KerasRawModelRegressor needs a kind map",
+        "recon:ridge:linear",
+        "recon:pca:1",
+        "cv:timeseries:3",
+        "cv:kfold:5",
+        s"detector:base=$MLP:scaler=scaler:minmax" +
+          ":window=-1:smoothing=none:shuffle=false",
+        "rejected:unsupported class path: sklearn.svm.SVC",
+        "rejected:unsupported class path: sklearn.ensemble.RandomForestRegressor",
+        "rejected:unsupported class path: gordo.machine.model.models.KerasUnknownModel",
+        "rejected:unsupported class path: builtins.eval",
+        "rejected:unsupported class path: not.a.known.Class")
+      require(expected.length == registryPaths.length)
+      val values = registryPaths.zip(expected).zipWithIndex
+        .map { case ((p, o), i) => s"($i, '$p', '$o')" }
+        .mkString(",\n  ")
+      s"""SELECT CAST(idx AS INTEGER) AS idx, class_path, outcome
+        |FROM (VALUES
+        |  $values) t(idx, class_path, outcome)
+        |ORDER BY idx""".stripMargin
     },
   )
 }
