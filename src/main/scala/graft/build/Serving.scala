@@ -48,23 +48,32 @@ object Serving {
     * surgery would silently mis-resolve — scorers must use [[getFull]]
     * (or `ModelBuilder.score`, which does) rather than assembling
     * `anomaly` calls from [[get]] alone. */
+  /** The S5 cache discipline extracted: a bounded access-ordered map —
+    * every get (hit or miss) makes the key most-recently-used; inserting
+    * past capacity evicts the least-recently-used. Invariant (what q79
+    * gates): the cache holds exactly the `capacity` most recently
+    * accessed distinct keys. Thread-safe; `load` runs under the lock so
+    * parallel scorers never double-load one key. */
+  final class LruCache[K, V](capacity: Int)(load: K => V) {
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > capacity
+    }
+    def get(k: K): V = map.synchronized {
+      Option(map.get(k)).getOrElse { val v = load(k); map.put(k, v); v }
+    }
+    /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
+      * does not record an access). */
+    def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
+    def size: Int = map.synchronized(map.size())
+  }
+
   class ModelCache(capacity: Int = 2) {
     private type Entry = (FittedDetector, Option[(Seq[String], Int, Int)])
-    private val cache =
-      new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Entry]): Boolean =
-          size() > capacity
-      }
+    private val cache = new LruCache[String, Entry](capacity)(Persistence.loadFull)
     /** Detector plus its windowing spec (base tags, lookback, lookahead). */
-    def getFull(dir: String): Entry = cache.synchronized {
-      Option(cache.get(dir)).getOrElse {
-        val entry = Persistence.loadFull(dir)
-        cache.put(dir, entry)
-        entry
-      }
-    }
+    def getFull(dir: String): Entry = cache.get(dir)
     def get(dir: String): FittedDetector = getFull(dir)._1
-    def size: Int = cache.synchronized(cache.size())
+    def size: Int = cache.size
   }
 }

@@ -123,6 +123,37 @@ object ServingQueries {
       .orderBy($"pos")
   }
 
+  /** S5: the model-cache LRU discipline (`gordo/server/utils.py:334-401`
+    * — the reference caches loaded models per worker process). A
+    * deterministic 500-access key trace (multiplicative-hash keys 0..6
+    * over sampled event ids, so repeats arrive at varying stride) drives
+    * the EXTRACTED cache class ([[Serving.LruCache]] — the exact object
+    * `ModelCache` serves from) at capacity 3, probing containment before
+    * each get. The oracle replays the access-order invariant in SQL: an
+    * access hits iff fewer than `capacity` distinct keys intervened
+    * since that key's previous access. A cache that reloads on hit
+    * breaks the loader-count require; one that never evicts, evicts the
+    * wrong victim, or fails to MRU-bump on hit hash-mismatches. */
+  def lruCacheTrace(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables(spark, dir, "events")
+      .filter($"event_id" % 13 === 0)
+      .orderBy($"event_id")
+      .limit(500)
+      .select((($"event_id" * 2654435761L) % 97 % 7).cast("int").as("k"))
+      .as[Int].collect() // bounded access trace — driver-side state like
+                         // the reference's per-worker cache
+    var loads = 0
+    val cache = new Serving.LruCache[Int, String](3)(k => { loads += 1; s"loaded-$k" })
+    val rows = keys.zipWithIndex.map { case (k, i) =>
+      val hit = cache.contains(k)
+      require(cache.get(k) == s"loaded-$k", "wrong value served")
+      ((i + 1).toLong, k, if (hit) 1 else 0)
+    }
+    require(loads == rows.count(_._3 == 0), "loader calls must equal misses")
+    rows.toSeq.toDF("pos", "cache_key", "hit").orderBy($"pos")
+  }
+
   /** S4: the request-body scan (`gordo/server/utils.py:256-331`) — a
     * dict-of-dicts JSON body `{tag: {iso_ts: value}}` assembled from the
     * January hourly click/view series (a bounded request window, like the
@@ -206,6 +237,7 @@ object ServingQueries {
     "q56_normalize_tags" -> (normalizeTagsQuery _),
     "q63_json_body" -> (jsonBodyScan _),
     "q67_jdbc_readback" -> (jdbcReadback _),
+    "q79_lru_cache" -> (lruCacheTrace _),
   )
 
   private val hourlyWideSql =
@@ -288,5 +320,26 @@ object ServingQueries {
         |  CAST(CASE WHEN event_type IN ('click', 'view') THEN 2 ELSE 1 END
         |       AS INTEGER) AS version
         |FROM events GROUP BY event_type ORDER BY name""".stripMargin,
+    // LRU replay: a cache of capacity c holds exactly the c most
+    // recently accessed distinct keys, so access i of key k hits iff
+    // fewer than c distinct keys appeared strictly between k's previous
+    // access and i. The correlated distinct-count is O(n²) but n = 500.
+    "q79_lru_cache" ->
+      """WITH sel AS (
+        |  SELECT event_id FROM events WHERE event_id % 13 = 0
+        |  ORDER BY event_id LIMIT 500),
+        |acc AS (SELECT row_number() OVER (ORDER BY event_id) AS pos,
+        |    CAST((event_id * 2654435761) % 97 % 7 AS INTEGER) AS cache_key
+        |  FROM sel),
+        |p AS (SELECT pos, cache_key,
+        |    max(pos) OVER (PARTITION BY cache_key ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM acc)
+        |SELECT p.pos, p.cache_key,
+        |  CASE WHEN p.prev IS NOT NULL AND
+        |    (SELECT count(DISTINCT a.cache_key) FROM acc a
+        |      WHERE a.pos > p.prev AND a.pos < p.pos) < 3
+        |  THEN 1 ELSE 0 END AS hit
+        |FROM p ORDER BY p.pos""".stripMargin,
   )
 }
