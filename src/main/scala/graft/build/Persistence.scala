@@ -53,9 +53,10 @@ object Persistence {
       case c => c.toString
     } + "\""
 
-  /** F9: sha3-512 hex of the canonical JSON of the build-relevant config
-    * (`build_model.py:571-631`) — 128 hex chars. */
-  def cacheKey(spec: Config.MachineSpec, closedForm: Boolean = false): String = {
+  /** The canonical JSON the cache key hashes (F9, exposed so q82 can
+    * pin the canonicalization separately from the digest). */
+  def cacheKeyPayload(spec: Config.MachineSpec,
+                      closedForm: Boolean = false): String = {
     val base = Map[String, Any](
       "name" -> spec.name,
       "model_config" -> spec.model,
@@ -64,12 +65,19 @@ object Persistence {
     // a closed-form-substituted build trains a different estimator family
     // than the full build of the same spec — it must never alias in the
     // registry. Default builds keep their historical keys.
-    val json = toJson(
-      if (closedForm) base + ("closed_form" -> true) else base)
-    MessageDigest.getInstance("SHA3-512")
-      .digest(json.getBytes("US-ASCII"))
-      .map(b => f"$b%02x").mkString
+    toJson(if (closedForm) base + ("closed_form" -> true) else base)
   }
+
+  /** SHA3-512 hex of an ASCII string — 128 hex chars. */
+  def sha3hex(s: String): String =
+    MessageDigest.getInstance("SHA3-512")
+      .digest(s.getBytes("US-ASCII"))
+      .map(b => f"$b%02x").mkString
+
+  /** F9: sha3-512 hex of the canonical JSON of the build-relevant config
+    * (`build_model.py:571-631`) — 128 hex chars. */
+  def cacheKey(spec: Config.MachineSpec, closedForm: Boolean = false): String =
+    sha3hex(cacheKeyPayload(spec, closedForm))
 
   // ---- dump / load ----
 

@@ -179,26 +179,133 @@ object AnomalyQueries {
     * dir. The base estimator is the cross-tag ridge reconstruction,
     * whose 2-tag closed form the oracle recomputes as plain
     * regr_slope/intercept between the tags. */
+  private val q41Yaml =
+    """
+      |name: graft-q41-machine
+      |dataset:
+      |  tag_list: [click, view]
+      |  resolution: 1H
+      |  interpolation_limit: 6H
+      |  train_start_date: 2024-01-01T00:00:00Z
+      |  train_end_date: 2024-02-01T00:00:00Z
+      |model:
+      |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+      |    base_estimator:
+      |      gordo.machine.model.models.KerasAutoEncoder:
+      |        kind: feedforward_hourglass
+      |evaluation:
+      |  cv:
+      |    sklearn.model_selection.TimeSeriesSplit:
+      |      n_splits: 3
+      |""".stripMargin
+
   def configDrivenBuild(spark: SparkSession, dir: String): DataFrame =
-    buildAndScore(spark, dir,
-      """
-        |name: graft-q41-machine
-        |dataset:
-        |  tag_list: [click, view]
-        |  resolution: 1H
-        |  interpolation_limit: 6H
-        |  train_start_date: 2024-01-01T00:00:00Z
-        |  train_end_date: 2024-02-01T00:00:00Z
-        |model:
-        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
-        |    base_estimator:
-        |      gordo.machine.model.models.KerasAutoEncoder:
-        |        kind: feedforward_hourglass
-        |evaluation:
-        |  cv:
-        |    sklearn.model_selection.TimeSeriesSplit:
-        |      n_splits: 3
-        |""".stripMargin, "graft-q41")
+    buildAndScore(spark, dir, q41Yaml, "graft-q41")
+
+  /** One closed-form q41-config build, returning the BuildResult (the
+    * persistence-layer gates q80/q81 need the model dir, not the frame). */
+  private def buildQ41(spark: SparkSession, dir: String,
+                       prefix: String): graft.build.ModelBuilder.BuildResult = {
+    import spark.implicits._
+    val long = Tables(spark, dir, "events")
+      .select($"event_type".as("tag"), $"ts", $"value")
+    val tmp = graft.Scratch.dir(prefix)
+    graft.build.ModelBuilder.build(
+      graft.config.Config.parseYaml(q41Yaml),
+      globals = graft.config.Config.defaultGlobals,
+      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/model", projectName = Some("graft-project"),
+      closedForm = true)
+  }
+
+  /** K1: the model-dump filesystem contract (`gordo/serializer/
+    * serializer.py:150-196` dumps a directory the serve path reloads
+    * from). One closed-form build dumps, then the gate inventories the
+    * artifact: the exact file set, every top-level key of model.json /
+    * metadata.json / info.json, the metadata's model-block keys (incl.
+    * the recorded closed-form substitution), and integrity facts — the
+    * info.json checksum must equal a locally recomputed sha256 of
+    * model.json, and the cache key must be 128 hex chars. All facts are
+    * SF-independent, so the oracle pins them as literals. */
+  def modelDumpLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val res = buildQ41(spark, dir, "graft-q80")
+    val p = java.nio.file.Paths.get(res.modelDir)
+    val files = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      } finally s.close()
+    }
+    val modelJson = java.nio.file.Files.readString(p.resolve("model.json"))
+    val model = graft.config.Config.parseYaml(modelJson)
+    val meta = graft.build.Persistence.loadMetadata(res.modelDir)
+    val metaModel = meta("model").asInstanceOf[Map[String, Any]]
+    val info = graft.config.Config.parseYaml(
+      java.nio.file.Files.readString(p.resolve("info.json")))
+    val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(modelJson.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rows: Seq[(String, String)] =
+      files.map(f => ("file", f)) ++
+        model.keys.toSeq.sorted.map(("model_key", _)) ++
+        meta.keys.toSeq.sorted.map(("metadata_key", _)) ++
+        metaModel.keys.toSeq.sorted.map(("metadata_model_key", _)) ++
+        info.keys.toSeq.sorted.map(("info_key", _)) ++
+        Seq(
+          ("integrity", "checksum_matches_" +
+            (info("checksum").toString == sha256).toString),
+          ("integrity", "cache_key_hex128_" +
+            meta("cache_key").toString.matches("[0-9a-f]{128}").toString))
+    rows.toDF("section", "name").orderBy($"section", $"name")
+  }
+
+  /** M3: serializer round-trip gated externally — dump → load → re-dump
+    * must reproduce model.json BIT-identically (every fitted number
+    * survives the JSON canonicalization), and each loaded parameter
+    * must equal its in-memory original. Rows carry |before − after|
+    * deltas the oracle pins to exactly 0.0 per name — any float that
+    * fails to survive serialization surfaces as a nonzero delta on its
+    * own named row. */
+  def serializerRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val res = buildQ41(spark, dir, "graft-q81")
+    val p = java.nio.file.Paths.get(res.modelDir)
+    val modelJson1 = java.nio.file.Files.readString(p.resolve("model.json"))
+    val m1 = graft.config.Config.parseYaml(modelJson1)
+    val (fd, windowing) = graft.build.Persistence.loadFull(res.modelDir)
+    // re-dump the LOADED state through the same writer
+    val dir2 = graft.Scratch.dir("graft-q81-redump") + "/model"
+    graft.build.Persistence.save(dir2,
+      graft.build.Persistence.stateOf(fd, m1("impl").toString,
+        m1("epoch0").toString.toLong,
+        Option(m1("preprocess")).map(_.asInstanceOf[List[Map[String, Any]]])
+          .getOrElse(Nil),
+        windowing),
+      metadata = Map.empty)
+    val modelJson2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir2, "model.json"))
+    val paramRows = res.fitted.model.params.toSeq.sorted.map {
+      case (k, v) => (s"param:$k", math.abs(v - fd.model.params(k)))
+    }
+    val scalerRows = res.fitted.scaler.stats.toSeq.sortBy(_._1).map {
+      case (t, (a, b)) =>
+        val (a2, b2) = fd.scaler.stats(t)
+        (s"scaler:$t", math.abs(a - a2) + math.abs(b - b2))
+    }
+    val thrRows = {
+      val t1 = res.fitted.thresholds
+      val t2 = fd.thresholds
+      t1.featureThresholds.toSeq.sortBy(_._1).map { case (t, v) =>
+        (s"threshold:$t", math.abs(v - t2.featureThresholds(t)))
+      } :+ ("threshold:aggregate",
+        math.abs(t1.aggregateThreshold - t2.aggregateThreshold))
+    }
+    val rows = paramRows ++ scalerRows ++ thrRows :+
+      ("model_json_redump_delta",
+        if (modelJson1 == modelJson2) 0.0 else 1.0)
+    rows.toDF("name", "delta").orderBy($"name")
+  }
 
   /** M4/M5 analog gated end-to-end: the PCA(1) linear autoencoder as the
     * base estimator over the same 2-tag frame — fit (covariance +
@@ -578,6 +685,8 @@ object AnomalyQueries {
     "q43_pca_anomaly" -> (pcaAnomalyFrame _),
     "q49_target_tags_build" -> (configDrivenTargetBuild _),
     "q77_raw_spec_build" -> (rawSpecBuild _),
+    "q80_model_dump_layout" -> (modelDumpLayout _),
+    "q81_serializer_roundtrip" -> (serializerRoundtrip _),
     "q51_lstm_forecast" -> (lstmForecast _),
     "q72_lookahead_forecast" -> (lookaheadForecast _),
     "q74_ewm_anomaly_frame" -> (ewmAnomalyFrame _),
@@ -1088,6 +1197,43 @@ object AnomalyQueries {
         |ORDER BY start""".stripMargin,
     "q41_config_build" -> ridgeBuildFrameSql("click", "view"),
     "q77_raw_spec_build" -> ridgeBuildFrameSql("purchase", "signup"),
+    // q80/q81: persistence-contract literals — SF-independent facts of
+    // the dump layout and round-trip, validated against save()/stateOf()
+    "q80_model_dump_layout" -> {
+      val rows: Seq[(String, String)] =
+        Seq("info.json", "metadata.json", "model.json").map(("file", _)) ++
+          Seq("checksum").map(("info_key", _)) ++
+          Seq("cache_key_hex128_true", "checksum_matches_true")
+            .map(("integrity", _)) ++
+          Seq("cache_key", "dataset", "model", "name", "project_name",
+            "user_defined").map(("metadata_key", _)) ++
+          Seq("aggregate-threshold", "aggregate-thresholds-per-fold",
+            "cross_validation", "definition", "feature-thresholds", "impl",
+            "impl_requested", "impl_substitution", "model_offset",
+            "model_training_duration_sec").map(("metadata_model_key", _)) ++
+          Seq("aggregateThreshold", "epoch0", "featureThresholds", "impl",
+            "modelParams", "orderCol", "perFoldAggregate", "preprocess",
+            "scalerKind", "scalerStats", "smoothAggregateThreshold",
+            "smoothFeatureThresholds", "smoothingMethod", "tags", "targets",
+            "window", "windowing").map(("model_key", _))
+      val values = rows.map { case (s, n) => s"('$s', '$n')" }
+        .mkString(",\n  ")
+      s"""SELECT section, name FROM (VALUES
+        |  $values) t(section, name)
+        |ORDER BY section, name""".stripMargin
+    },
+    "q81_serializer_roundtrip" -> {
+      val names = Seq("model_json_redump_delta",
+        "param:w_click_0", "param:w_click_2",
+        "param:w_view_0", "param:w_view_1",
+        "scaler:click", "scaler:view",
+        "threshold:aggregate", "threshold:click", "threshold:view")
+      val values = names.map(n => s"('$n', CAST(0.0 AS DOUBLE))")
+        .mkString(",\n  ")
+      s"""SELECT name, delta FROM (VALUES
+        |  $values) t(name, delta)
+        |ORDER BY name""".stripMargin
+    },
     "q49_target_tags_build" ->
       """WITH src AS (
         |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.build.{Reporters, Responses, Serving}
+import graft.build.{Persistence, Reporters, Responses, Serving}
 import graft.config.Config
 import graft.data.TimeSeries
 import graft.ml.CrossValidate
@@ -154,6 +154,40 @@ object ServingQueries {
     rows.toSeq.toDF("pos", "cache_key", "hit").orderBy($"pos")
   }
 
+  /** F9: the sha3-512 cache key (`gordo/builder/build_model.py:571-631`
+    * hashes the build-relevant config). DuckDB ships no sha3, so the
+    * oracle pins literals computed with an INDEPENDENT implementation
+    * (CPython hashlib.sha3_512) — the JVM digest must agree. Cases:
+    * the two public FIPS-202 answers ("" and "abc"), then full
+    * cache-key payloads (canonical JSON) and their keys for a machine
+    * spec in both default and closed-form flavors — so canonicalization
+    * drift and digest drift each mismatch on their own row. */
+  def sha3CacheKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val yaml =
+      """
+        |name: graft-q82-machine
+        |dataset:
+        |  tag_list: [click, view]
+        |  resolution: 1H
+        |model:
+        |  gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector:
+        |    base_estimator:
+        |      gordo.machine.model.models.KerasAutoEncoder:
+        |        kind: feedforward_hourglass
+        |""".stripMargin
+    val spec = Config.machineFromConfig(Config.parseYaml(yaml),
+      Some("graft-q82"), Config.defaultGlobals)
+    val rows = Seq(
+      ("fips_empty", "", Persistence.sha3hex("")),
+      ("fips_abc", "abc", Persistence.sha3hex("abc")),
+      ("spec_default", Persistence.cacheKeyPayload(spec),
+        Persistence.cacheKey(spec)),
+      ("spec_closed_form", Persistence.cacheKeyPayload(spec, closedForm = true),
+        Persistence.cacheKey(spec, closedForm = true)))
+    rows.toDF("case_id", "payload", "sha3_hex").orderBy($"case_id")
+  }
+
   /** S4: the request-body scan (`gordo/server/utils.py:256-331`) — a
     * dict-of-dicts JSON body `{tag: {iso_ts: value}}` assembled from the
     * January hourly click/view series (a bounded request window, like the
@@ -238,6 +272,7 @@ object ServingQueries {
     "q63_json_body" -> (jsonBodyScan _),
     "q67_jdbc_readback" -> (jdbcReadback _),
     "q79_lru_cache" -> (lruCacheTrace _),
+    "q82_sha3_cache_key" -> (sha3CacheKey _),
   )
 
   private val hourlyWideSql =
@@ -341,5 +376,38 @@ object ServingQueries {
         |      WHERE a.pos > p.prev AND a.pos < p.pos) < 3
         |  THEN 1 ELSE 0 END AS hit
         |FROM p ORDER BY p.pos""".stripMargin,
+    // sha3 hexes computed with CPython hashlib.sha3_512 over the exact
+    // payload strings (independent of the JVM implementation under
+    // test); the first two are the public FIPS-202 known answers.
+    "q82_sha3_cache_key" -> {
+      val specJson =
+        """{"data_config":{"resolution":"1H","tag_list":["click","view"]},""" +
+          """"evaluation_config":{"cv_mode":"full_build","metrics":""" +
+          """["explained_variance_score","r2_score","mean_squared_error",""" +
+          """"mean_absolute_error"],"scoring_scaler":""" +
+          """"sklearn.preprocessing.MinMaxScaler"},"model_config":""" +
+          """{"gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector":""" +
+          """{"base_estimator":{"gordo.machine.model.models.KerasAutoEncoder":""" +
+          """{"kind":"feedforward_hourglass"}}}},"name":"graft-q82-machine"}"""
+      val closedJson = """{"closed_form":true,""" + specJson.stripPrefix("{")
+      val rows = Seq(
+        ("fips_abc", "abc",
+          "b751850b1a57168a5693cd924b6b096e08f621827444f70d884f5d0240d2712e" +
+            "10e116e9192af3c91a7ec57647e3934057340b4cf408d5a56592f8274eec53f0"),
+        ("fips_empty", "",
+          "a69f73cca23a9ac5c8b567dc185a756e97c982164fe25859e0d1dcc1475c80a6" +
+            "15b2123af1f5f94c11e3e9402c3ac558f500199d95b6d3e301758586281dcd26"),
+        ("spec_closed_form", closedJson,
+          "3c9d9dc0b0cd744ca6fd159948b3f53a4aae11654f512596c66ff89d39a3a52f" +
+            "902f635d63dd95a10604ac48b6625763d406d37e8e3efc74c4a702bebe10c9d0"),
+        ("spec_default", specJson,
+          "d412b8f92582244bea8099b275624d5daa370f3e9ac4e3a25f5f0a6f9bb8ef2c" +
+            "649ed5d050e539e96cb93894f02d406dfbb12620b47fe7693e962f4cd64c5754"))
+      val values = rows.map { case (c, p, h) => s"('$c', '$p', '$h')" }
+        .mkString(",\n  ")
+      s"""SELECT case_id, payload, sha3_hex FROM (VALUES
+        |  $values) t(case_id, payload, sha3_hex)
+        |ORDER BY case_id""".stripMargin
+    },
   )
 }
