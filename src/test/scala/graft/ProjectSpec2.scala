@@ -100,6 +100,30 @@ class ProjectSpec2 extends AnyFunSuite {
     assert(cache.size == 1)
   }
 
+  test("LruCache loads each key once under parallel access") {
+    val loads = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    val cache = new Serving.LruCache[Int, String](capacity = 8)(k => {
+      loads.merge(k, 1, (a, b) => a + b)
+      Thread.sleep(1) // widen the double-load race window
+      s"v$k"
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (0 until 200).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = cache.get(i % 8)
+        })
+      }
+      futures.zipWithIndex.foreach { case (f, i) =>
+        assert(f.get() == s"v${i % 8}")
+      }
+    } finally pool.shutdown()
+    // load-under-lock: 16 threads hammering 8 keys within capacity must
+    // invoke the loader exactly once per key
+    assert((0 until 8).forall(k => loads.get(k) == 1))
+    assert(cache.size == 8)
+  }
+
   test("reporter upserts machine records keyed by name") {
     val tmp = Files.createTempDirectory("graft-rep").toString
     val rep = new Reporters.JsonDirReporter(tmp)
