@@ -44,6 +44,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SQ8 scalar-quantized ANN scan (the public FAISS
+    * `ScalarQuantizer`/SQ8 pattern): train = per-dimension corpus
+    * (min, max) — one tiny distributed agg (D rows via map-side
+    * combine); encode = an 8-bit uniform code per element, the 4×
+    * memory compression that keeps a 100 TB float32 corpus scannable;
+    * search = ASYMMETRIC — exact query floats against code-center
+    * reconstructions (the ADC discipline), so recall loss stays
+    * one-sided. Every step is deterministic double arithmetic with a
+    * fixed reduction order, so an external engine can replay it
+    * bit-for-bit. Queries must be small (broadcast). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("d"))
+      .collect() // D rows (one per dimension) — bounded by the embedding width
+    val loArr = stats.map(_.getAs[Float]("lo").toDouble)
+    val stepArr = stats.map { r =>
+      val lo = r.getAs[Float]("lo").toDouble
+      val hi = r.getAs[Float]("hi").toDouble
+      if (hi == lo) 0.0 else (hi - lo) / 255.0
+    }
+    val loL = lit(loArr)
+    val stepL = lit(stepArr)
+    // encode→reconstruct fused: code = clamp(round((x−lo)/step), 0, 255),
+    // r = lo + code·step. step=0 (constant dimension) reconstructs lo.
+    def recon(e: Column): Column = transform(e, (x, i) => {
+      val l = element_at(loL, i + 1)
+      val s = element_at(stepL, i + 1)
+      when(s === 0.0, l).otherwise(
+        l + least(lit(255.0),
+          greatest(lit(0.0), floor((x - l) / s + lit(0.5)))) * s)
+    })
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(embCol).as("qe"), norm(col(embCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cid"), recon(col(embCol)).as("re"))
+      .select(col("cid"), col("re"), norm(col("re")).as("rn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): an LCG step mapped to [−1, 1). Pure integer arithmetic —
     * identical in any engine. */

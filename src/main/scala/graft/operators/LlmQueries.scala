@@ -96,6 +96,20 @@ object LlmQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** SQ8 scalar-quantized ANN (the public FAISS SQ8 pattern): per-dim
+    * corpus (min, max) trains the quantizer, corpus vectors reconstruct
+    * from their 8-bit code centers, queries stay exact (asymmetric /
+    * ADC). Same query set and k as q35, so the pair brackets the
+    * quantization error at 4× scan density. */
+  def annSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.sq8TopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+      "embedding", k = 5)
+      .select($"qid", $"rank", $"cid", r4($"cos").as("cos"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,
     * occupancy and id-checksum per bucket — verifies the scale-path
     * bucketing arithmetic itself. */
@@ -304,6 +318,7 @@ object LlmQueries {
     // construction, so the oracle is the same recomputation
     "q47_ann_ivf_topk" -> (annIvfTopK _),
     "q48_fingerprint_dup_groups" -> (fingerprintDupGroups _),
+    "q83_ann_sq8_topk" -> (annSq8TopK _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
@@ -524,6 +539,40 @@ object LlmQueries {
         |  FROM embeddings)
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+    // SQ8 replay: per-dim (min, max) -> step = (hi-lo)/255, corpus
+    // reconstructs code centers lo + clamp(round((x-lo)/step), 0, 255)
+    // * step, queries exact — identical double arithmetic and reduction
+    // order to Similarity.sq8TopK
+    "q83_ann_sq8_topk" ->
+      s"""WITH dd AS (SELECT max(len(embedding)) AS nd FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, nd)) AS d FROM dd),
+        |stats AS (SELECT d, min(embedding[d]) AS lo, max(embedding[d]) AS hi
+        |  FROM embeddings, dims GROUP BY d),
+        |lists AS (SELECT
+        |    list(CAST(lo AS DOUBLE) ORDER BY d) AS lo_l,
+        |    list(CASE WHEN hi = lo THEN 0.0
+        |              ELSE (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 255.0
+        |         END ORDER BY d) AS step_l
+        |  FROM stats),
+        |c AS (SELECT vec_id AS cid,
+        |    list_transform(generate_series(1, len(embedding)), i ->
+        |      CASE WHEN step_l[i] = 0.0 THEN lo_l[i]
+        |           ELSE lo_l[i] + LEAST(255.0, GREATEST(0.0,
+        |             floor((CAST(embedding[i] AS DOUBLE) - lo_l[i])
+        |               / step_l[i] + 0.5))) * step_l[i]
+        |      END) AS re
+        |  FROM embeddings, lists),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |      WHERE vec_id < 10),
+        |scored AS (SELECT qid, cid,
+        |    (${dotOf("qe", "re")}) / (${normSql("qe")} * ${normSql("re")}) AS cos
+        |  FROM q JOIN c ON qid != cid),
+        |ranked AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, floor(cos*10000 + 0.5)/10000 AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "q37_multimodal_features" ->
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes
         |FROM documents
