@@ -157,6 +157,42 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (got=$got brute=$brute)")
   }
 
+  test("SQ8 quantization bounds per-element error by step/2 and keeps top-k recall high") {
+    val emb = Tables(spark, sf, "embeddings")
+    val sq8 = Similarity.sq8TopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+    // |Q|·N broadcast scan, never an N² cartesian
+    val plan = sq8.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"))
+    assert(!plan.contains("CartesianProduct"))
+    // uniform-quantizer guarantee: reconstructed value within step/2 of
+    // the original, per element, for EVERY corpus vector
+    val stats = emb.select(posexplode($"embedding").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .orderBy($"d")
+      .as[(Int, Float, Float)].collect()
+    val step = stats.map { case (_, lo, hi) =>
+      if (hi == lo) 0.0 else (hi.toDouble - lo.toDouble) / 255.0 }
+    val rows = emb.select($"embedding").as[Seq[Float]].collect()
+    rows.foreach { v =>
+      v.zipWithIndex.foreach { case (x, d) =>
+        val (_, lo, _) = stats(d)
+        val code = math.max(0.0, math.min(255.0,
+          math.floor((x - lo.toDouble) / (if (step(d) == 0) 1 else step(d)) + 0.5)))
+        val recon = if (step(d) == 0) lo.toDouble else lo.toDouble + code * step(d)
+        assert(math.abs(recon - x) <= step(d) / 2 + 1e-12,
+          s"dim $d: |$recon - $x| > ${step(d) / 2}")
+      }
+    }
+    // quantized top-3 retains most of the exact top-3
+    val brute = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val got = sq8.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall too low (got=$got brute=$brute)")
+  }
+
   test("multimodal resize and frame-sample keep the media plumbing shape") {
     val media = Multimodal.asMedia(
       Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("id", "payload"),
