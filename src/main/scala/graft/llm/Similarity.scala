@@ -100,15 +100,20 @@ object Similarity {
 
   /** Sign-bucket key from `planes` random hyperplanes: the classic
     * random-projection LSH for cosine similarity. `table` offsets the
-    * plane indices so each hash table draws independent hyperplanes. */
-  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column =
-    concat_ws("", (0 until planes).map { j =>
-      val d = aggregate(
-        transform(emb, (x, i) =>
-          x.cast("double") * hyperplane(table * planes + j, i.cast("long"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    * plane indices so each hash table draws independent hyperplanes.
+    * Delegates to the native [[graft.functions.ArrayOps.lshBandKeys]]
+    * kernel — one primitive pass per row, where the previous HOF fold
+    * evaluated planes × dims interpreted lambdas per row — and strips
+    * the kernel's "t#" prefix; bit-identical signatures (same LCG, same
+    * left-to-right double accumulation), so the q36 oracle is unmoved.
+    * (For table > 0 the kernel also computes tables 0..table−1; every
+    * hot path uses table = 0.) */
+  def lshBucket(emb: Column, planes: Int, table: Int = 0): Column = {
+    val prefix = table.toString.length + 2 // "t#", 1-based substring start
+    substring(element_at(
+      graft.functions.ArrayOps.lshBandKeys(emb, planes, table + 1),
+      table + 1), prefix, planes)
+  }
 
   /** Banded multi-table LSH candidate pairs: `tables` independent hash
     * tables of `planes` hyperplanes each. A pair is a candidate when it
