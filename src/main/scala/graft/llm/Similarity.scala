@@ -62,10 +62,11 @@ object Similarity {
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy(col("d"))
       .collect() // D rows (one per dimension) — bounded by the embedding width
-    val loArr = stats.map(_.getAs[Float]("lo").toDouble)
+    // Number, not Float: the kernel contract is array<float|double>
+    val loArr = stats.map(_.getAs[Number]("lo").doubleValue)
     val stepArr = stats.map { r =>
-      val lo = r.getAs[Float]("lo").toDouble
-      val hi = r.getAs[Float]("hi").toDouble
+      val lo = r.getAs[Number]("lo").doubleValue
+      val hi = r.getAs[Number]("hi").doubleValue
       if (hi == lo) 0.0 else (hi - lo) / 255.0
     }
     val loL = lit(loArr)
