@@ -56,11 +56,18 @@ object Scratch {
     // every witness regeneration re-keys the cache, and without the
     // sweep each old dir would sit in /tmp forever. The strict
     // `<prefix>-<16 hex>` match keeps unrelated dirs (including other
-    // prefixes that merely share a leading string) untouched.
+    // prefixes that merely share a leading string) untouched. AGE-GATED:
+    // a different key is NOT proof of staleness — distinct witnesses
+    // (sf0.01 vs sf0.1 inputs) legitimately hold live sibling caches at
+    // once, and an unconditional sweep would delete them mid-use (or
+    // thrash rebuilds when scales alternate). Only siblings untouched
+    // for 6+ hours — cross-session orphans, the leak ADVICE r5 named —
+    // are removed.
     val sibling = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
+    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty[File])
       .filter(d => d.isDirectory && d.getName != target.getName &&
-        sibling.matches(d.getName))
+        sibling.matches(d.getName) && d.lastModified < staleBefore)
       .foreach(d => deleteRecursively(d.toPath))
     target.getPath
   }

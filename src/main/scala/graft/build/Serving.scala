@@ -39,6 +39,37 @@ object Serving {
     }
   }
 
+  /** The S5 cache discipline extracted: a bounded access-ordered map —
+    * every get (hit or miss) makes the key most-recently-used; inserting
+    * past capacity evicts the least-recently-used. Invariant (what q79
+    * gates): the cache holds exactly the `capacity` most recently
+    * accessed distinct keys. Thread-safe with per-key load memoization:
+    * the map lock covers only the lookup/insert of a lazy holder, the
+    * load itself runs under that holder's own lock — so a cold load on
+    * one key never blocks hits on other keys, and concurrent gets of
+    * one key still invoke `load` exactly once. A load that THROWS is
+    * not cached (Scala lazy-val failed-init semantics): the next get of
+    * that key retries. */
+  final class LruCache[K, V](capacity: Int)(load: K => V) {
+    private final class Holder(k: K) { lazy val value: V = load(k) }
+    private val map = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, Holder]): Boolean =
+        size() > capacity
+    }
+    def get(k: K): V = {
+      val h = map.synchronized {
+        Option(map.get(k)).getOrElse {
+          val nh = new Holder(k); map.put(k, nh); nh
+        }
+      }
+      h.value
+    }
+    /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
+      * does not record an access). */
+    def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
+    def size: Int = map.synchronized(map.size())
+  }
+
   /** S5: bounded LRU cache of loaded models keyed by model dir (the
     * reference caches 2 models per worker). Thread-safe for parallel
     * scoring threads on one driver.
@@ -48,26 +79,6 @@ object Serving {
     * surgery would silently mis-resolve — scorers must use [[getFull]]
     * (or `ModelBuilder.score`, which does) rather than assembling
     * `anomaly` calls from [[get]] alone. */
-  /** The S5 cache discipline extracted: a bounded access-ordered map —
-    * every get (hit or miss) makes the key most-recently-used; inserting
-    * past capacity evicts the least-recently-used. Invariant (what q79
-    * gates): the cache holds exactly the `capacity` most recently
-    * accessed distinct keys. Thread-safe; `load` runs under the lock so
-    * parallel scorers never double-load one key. */
-  final class LruCache[K, V](capacity: Int)(load: K => V) {
-    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > capacity
-    }
-    def get(k: K): V = map.synchronized {
-      Option(map.get(k)).getOrElse { val v = load(k); map.put(k, v); v }
-    }
-    /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
-      * does not record an access). */
-    def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
-    def size: Int = map.synchronized(map.size())
-  }
-
   class ModelCache(capacity: Int = 2) {
     private type Entry = (FittedDetector, Option[(Seq[String], Int, Int)])
     private val cache = new LruCache[String, Entry](capacity)(Persistence.loadFull)

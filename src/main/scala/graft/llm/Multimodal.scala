@@ -542,7 +542,11 @@ object Multimodal {
         }
       }
     }
-    if (frames == 0) None
+    // the standard sniff: one plausible header found by byte-scan is
+    // weak evidence (~6e-5 per offset in random bytes); demand at least
+    // two CHAINED frames — the second header must sit exactly frameLen
+    // after the first, which random data essentially never satisfies
+    if (frames < 2) None
     else Some(Mp3Meta(sampleRate, channels, frames,
       totalSamples * 1000L / sampleRate, (bitrateSum / frames).toInt))
   }
@@ -686,15 +690,20 @@ object Multimodal {
         val bytes =
           if (r.isNullAt(contentIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](contentIdx)
+        // sniff order: most-specific first. The start-code-anchored SPS
+        // parse runs BEFORE the MP3 scan — entropy-coded H.264 payload
+        // bytes routinely contain 0xFF 0xEx pairs that pass a
+        // single-frame MP3 header check, while a genuine MP3 stream
+        // essentially never embeds a valid Annex-B SPS NAL
         val meta: Row = parseAvi(bytes) match {
           case Some(avi) => Row("avi", avi.width, avi.height, null, null,
             null, avi.frames.size * avi.usPerFrame / 1000L)
-          case None => parseMp3(bytes) match {
-            case Some(m) => Row("mp3", null, null, m.sampleRate, m.channels,
-              m.bitrateKbps, m.durationMs)
-            case None => parseH264Sps(bytes) match {
-              case Some(h) => Row("h264", h.width, h.height, null, null,
-                null, null)
+          case None => parseH264Sps(bytes) match {
+            case Some(h) => Row("h264", h.width, h.height, null, null,
+              null, null)
+            case None => parseMp3(bytes) match {
+              case Some(m) => Row("mp3", null, null, m.sampleRate, m.channels,
+                m.bitrateKbps, m.durationMs)
               case None => null
             }
           }

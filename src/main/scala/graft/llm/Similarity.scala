@@ -108,7 +108,13 @@ object Similarity {
     * the kernel's "t#" prefix; bit-identical signatures (same LCG, same
     * left-to-right double accumulation), so the q36 oracle is unmoved.
     * (For table > 0 the kernel also computes tables 0..table−1; every
-    * hot path uses table = 0.) */
+    * hot path uses table = 0.)
+    *
+    * Null semantics (deliberate change from the HOF form): a null
+    * embedding — or any null element — yields a NULL bucket, so such
+    * rows drop out of bucket-equality joins instead of pooling into a
+    * shared all-zeros bucket where they'd cross-join each other and
+    * score null cosines anyway. */
   def lshBucket(emb: Column, planes: Int, table: Int = 0): Column = {
     val prefix = table.toString.length + 2 // "t#", 1-based substring start
     substring(element_at(

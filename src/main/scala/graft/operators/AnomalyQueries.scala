@@ -530,32 +530,8 @@ object AnomalyQueries {
       |  floor(sc_min*10000 + 0.5)/10000 AS sc_min,
       |  floor(sc_span*10000 + 0.5)/10000 AS sc_span
       |FROM (
-      | WITH src AS (
-      |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-      |  FROM events
-      |  WHERE event_type IN ('$tagA', '$tagB')
-      |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-      |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
-      | r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-      | bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-      | grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-      |          FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-      | g AS (SELECT grid.tag, grid.bucket_ts, r.value
-      |       FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-      | i AS (SELECT tag, bucket_ts,
-      |    CASE WHEN value IS NOT NULL THEN value
-      |         WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-      |         THEN prevv + (nextv - prevv)
-      |              * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-      |    END AS v
-      |  FROM (SELECT *,
-      |    last_value(value IGNORE NULLS) OVER wb AS prevv,
-      |    last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-      |    first_value(value IGNORE NULLS) OVER wa AS nextv,
-      |    first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-      |   FROM g
-      |   WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |          wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+      | WITH ${OracleSql.assemblyCtes(tagA, tagB,
+          "2024-01-01 00:00:00", "2024-02-01 00:00:00")},
       | ww AS (SELECT a, b FROM (
       |   SELECT bucket_ts,
       |     max(CASE WHEN tag = '$tagA' THEN v END) AS a,
@@ -732,33 +708,9 @@ object AnomalyQueries {
     * column names, and output aliases, so plain substitution keeps the
     * SQL valid for identifier-safe tag names. */
   private def ridgeBuildFrameSql(a: String, b: String): String =
-      """WITH src AS (
-        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-        |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
-        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
-        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-        |i AS (SELECT tag, bucket_ts,
-        |   CASE WHEN value IS NOT NULL THEN value
-        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-        |        THEN prevv + (nextv - prevv)
-        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-        |   END AS v
-        | FROM (SELECT *,
-        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
-        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
-        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-        |  FROM g
-        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
-        |ww AS (SELECT bucket_ts, click, view FROM (
+    ("WITH " + OracleSql.assemblyCtes("click", "view",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00") + ",\n" +
+    """ww AS (SELECT bucket_ts, click, view FROM (
         |  SELECT bucket_ts,
         |    max(CASE WHEN tag = 'click' THEN v END) AS click,
         |    max(CASE WHEN tag = 'view' THEN v END) AS view
@@ -838,7 +790,7 @@ object AnomalyQueries {
         |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
-        |ORDER BY start""".stripMargin
+        |ORDER BY start""".stripMargin)
       .replace("click", a).replace("view", b)
 
   val oracleSql: Map[String, String] = Map(

@@ -414,111 +414,21 @@ object TimeSeriesQueries {
         |FROM r GROUP BY bucket_ts
         |ORDER BY bucket_ts""".stripMargin,
     "q21_getdata_composed" ->
-      """WITH src AS (
-        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND ts >= TIMESTAMP '2024-01-02 00:00:00'
-        |    AND ts <  TIMESTAMP '2024-01-28 00:00:00'),
-        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
-        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-        |i AS (SELECT tag, bucket_ts,
-        |   CASE WHEN value IS NOT NULL THEN value
-        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-        |        THEN prevv + (nextv - prevv)
-        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-        |   END AS v
-        | FROM (SELECT *,
-        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
-        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
-        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-        |  FROM g
-        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
-        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
-        |  SELECT bucket_ts,
-        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
-        |    max(CASE WHEN tag = 'view' THEN v END) AS view
-        |  FROM i GROUP BY bucket_ts)
-        |WHERE click IS NOT NULL AND view IS NOT NULL
-        |ORDER BY bucket_ts""".stripMargin,
+      ("WITH " + OracleSql.assemblyCtes("click", "view",
+        "2024-01-02 00:00:00", "2024-01-28 00:00:00") +
+        "\n" + OracleSql.widePivotTail("click", "view")),
     // identical derivation to q21 over the 2024-01-10..20 train window —
     // the Spark side reads the PARTITIONED layout, the oracle the
     // original single file; layout must not change the answer
     "q68_partitioned_source" ->
-      """WITH src AS (
-        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-        |    AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
-        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
-        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-        |i AS (SELECT tag, bucket_ts,
-        |   CASE WHEN value IS NOT NULL THEN value
-        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-        |        THEN prevv + (nextv - prevv)
-        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-        |   END AS v
-        | FROM (SELECT *,
-        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
-        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
-        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-        |  FROM g
-        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
-        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
-        |  SELECT bucket_ts,
-        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
-        |    max(CASE WHEN tag = 'view' THEN v END) AS view
-        |  FROM i GROUP BY bucket_ts)
-        |WHERE click IS NOT NULL AND view IS NOT NULL
-        |ORDER BY bucket_ts""".stripMargin,
+      ("WITH " + OracleSql.assemblyCtes("click", "view",
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00") +
+        "\n" + OracleSql.widePivotTail("click", "view")),
     // q73 replays q68's getData arithmetic on its own train window —
     // the JDBC round-trip on the Spark side must be value-invisible.
     "q73_jdbc_source" ->
-      """WITH src AS (
-        |  SELECT event_type AS tag, (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts, value
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view')
-        |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
-        |    AND ts <  TIMESTAMP '2024-01-12 00:00:00'),
-        |r AS (SELECT tag, bucket_ts, avg(value) AS value FROM src GROUP BY 1, 2),
-        |bounds AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM r),
-        |grid AS (SELECT tag, unnest(generate_series(b0, b1, 3600)) AS bucket_ts
-        |         FROM bounds CROSS JOIN (SELECT DISTINCT tag FROM r) t),
-        |g AS (SELECT grid.tag, grid.bucket_ts, r.value
-        |      FROM grid LEFT JOIN r USING (tag, bucket_ts)),
-        |i AS (SELECT tag, bucket_ts,
-        |   CASE WHEN value IS NOT NULL THEN value
-        |        WHEN prevb IS NOT NULL AND nextb IS NOT NULL AND nextb - prevb <= 21600
-        |        THEN prevv + (nextv - prevv)
-        |             * (CAST(bucket_ts - prevb AS DOUBLE) / CAST(nextb - prevb AS DOUBLE))
-        |   END AS v
-        | FROM (SELECT *,
-        |   last_value(value IGNORE NULLS) OVER wb AS prevv,
-        |   last_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS prevb,
-        |   first_value(value IGNORE NULLS) OVER wa AS nextv,
-        |   first_value(CASE WHEN value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nextb
-        |  FROM g
-        |  WINDOW wb AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         wa AS (PARTITION BY tag ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
-        |SELECT bucket_ts, floor((click)*10000 + 0.5)/10000 AS click, floor((view)*10000 + 0.5)/10000 AS view FROM (
-        |  SELECT bucket_ts,
-        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
-        |    max(CASE WHEN tag = 'view' THEN v END) AS view
-        |  FROM i GROUP BY bucket_ts)
-        |WHERE click IS NOT NULL AND view IS NOT NULL
-        |ORDER BY bucket_ts""".stripMargin,
+      ("WITH " + OracleSql.assemblyCtes("click", "view",
+        "2024-01-05 00:00:00", "2024-01-12 00:00:00") +
+        "\n" + OracleSql.widePivotTail("click", "view")),
   )
 }

@@ -310,31 +310,46 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(r == ((3.0, 6.0)))
   }
 
-  test("cachedDir sweeps stale siblings but spares unrelated dirs (advice r5)") {
+  test("cachedDir sweeps aged-out siblings, spares fresh and unrelated dirs (advice r5)") {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val sixHoursAgo = System.currentTimeMillis() - 7L * 3600 * 1000
     val witness = java.io.File.createTempFile("advice-witness", ".bin")
     witness.deleteOnExit()
     Files.write(witness.toPath, Array[Byte](1, 2, 3))
-    // a stale sibling from a previous witness generation...
+    // an aged-out sibling from a long-dead session...
     val stale = new java.io.File(tmp, "advice-sweep-0123456789abcdef")
     assert(stale.mkdir())
     Files.write(new java.io.File(stale, "payload").toPath, Array[Byte](9))
+    assert(stale.setLastModified(sixHoursAgo))
+    // ...a FRESH sibling with a different key (a live cache for another
+    // witness — e.g. another sf dir in the same session) — must survive
+    val fresh = new java.io.File(tmp, "advice-sweep-fedcba9876543210")
+    assert(fresh.mkdir())
     // ...and an UNRELATED dir sharing the leading string but not the
     // `<prefix>-<16 hex>` shape — must survive the sweep
     val unrelated = new java.io.File(tmp, "advice-sweep-spec")
     assert(unrelated.mkdir() || unrelated.isDirectory)
     try {
       val d1 = Scratch.cachedDir("advice-sweep", witness.getPath)
-      assert(!stale.exists(), "stale sibling must be swept")
+      assert(!stale.exists(), "aged-out sibling must be swept")
+      assert(fresh.exists(), "fresh sibling (live cache) must be spared")
       assert(unrelated.exists(), "non-key-shaped dir must be spared")
-      // re-keying on a modified witness sweeps the previous cache dir
+      // re-keying on a modified witness keeps the recent old-key cache
+      // (no thrash / no mid-use deletion when witnesses alternate)...
       assert(new java.io.File(d1).mkdir())
       Files.write(witness.toPath, Array[Byte](1, 2, 3, 4))
       witness.setLastModified(witness.lastModified() + 5000)
       val d2 = Scratch.cachedDir("advice-sweep", witness.getPath)
       assert(d2 != d1)
-      assert(!new java.io.File(d1).exists(), "old-key cache dir must be swept")
+      assert(new java.io.File(d1).exists(),
+        "recent old-key cache dir must survive the sweep")
+      // ...and sweeps it once it ages out
+      assert(new java.io.File(d1).setLastModified(sixHoursAgo))
+      Scratch.cachedDir("advice-sweep", witness.getPath)
+      assert(!new java.io.File(d1).exists(),
+        "aged-out old-key cache dir must be swept")
     } finally {
+      fresh.delete()
       unrelated.delete()
       witness.delete()
     }

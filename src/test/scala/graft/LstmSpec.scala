@@ -302,9 +302,7 @@ class LstmSpec extends AnyFunSuite {
     // save/load/score round-trip: the serve path re-applies the SAME
     // L=2 window surgery from persisted state and drops 3 head rows
     val wideRows = wide.count()
-    val frame = graft.build.ModelBuilder.score(
-      s"$tmp/model",
-      wide.withColumnRenamed("bucket_ts", "bucket_ts"), 600L)
+    val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 600L)
     assert(frame.count() == wideRows - 3)
     val cols = frame.columns.toSet
     assert(cols.contains("model-output.tx") && cols.contains("start"))
