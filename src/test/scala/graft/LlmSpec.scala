@@ -527,4 +527,25 @@ class LlmSpec extends AnyFunSuite {
       h264.getInt(2) == 240)
     assert(got(2).isNullAt(1))
   }
+
+  test("a lone plausible MP3 header never hijacks the sniff (review fix)") {
+    // a single valid-looking Layer-III header (0xFF 0xFB 0x90 0x00 =
+    // MPEG-1 L3 128kbps 44100Hz) not followed by a chained second frame
+    val loneHeader = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
+    // ...buried in an H.264 stream's entropy-coded payload: must still
+    // type as h264 (sniff order + the two-chained-frames rule)
+    val h264WithDecoy = spsAnnexB(66, 30, 20, 15, 0) ++
+      Array.fill(64)(0x5a.toByte) ++ loneHeader ++ Array.fill(64)(0x3c.toByte)
+    // ...and buried in arbitrary bytes: must type as nothing at all
+    val junkWithDecoy = Array.fill(64)(0x11.toByte) ++ loneHeader ++
+      Array.fill(200)(0x22.toByte)
+    val media = Multimodal.asMedia(
+      Seq((1L, h264WithDecoy), (2L, junkWithDecoy)).toDF("id", "payload"),
+      "id", "payload", "application/octet-stream")
+    val got = Multimodal.extractContainerMeta(media)
+      .select($"media_id", $"container_meta")
+      .orderBy($"media_id").collect()
+    assert(got(0).getStruct(1).getString(0) == "h264")
+    assert(got(1).isNullAt(1), "a lone header in junk must not type as mp3")
+  }
 }
