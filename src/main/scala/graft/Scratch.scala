@@ -63,6 +63,11 @@ object Scratch {
     // thrash rebuilds when scales alternate). Only siblings untouched
     // for 6+ hours — cross-session orphans, the leak ADVICE r5 named —
     // are removed.
+    // renew this cache's lease on EVERY access (reads included): the
+    // sweep below keys staleness on lastModified, and a long-lived
+    // session that only reads an old cache must not have it deleted
+    // out from under it by a sibling session's sweep
+    if (target.isDirectory) target.setLastModified(System.currentTimeMillis())
     val sibling = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
     val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty[File])

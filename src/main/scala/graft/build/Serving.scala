@@ -46,10 +46,14 @@ object Serving {
     * accessed distinct keys. Thread-safe with per-key load memoization:
     * the map lock covers only the lookup/insert of a lazy holder, the
     * load itself runs under that holder's own lock — so a cold load on
-    * one key never blocks hits on other keys, and concurrent gets of
-    * one key still invoke `load` exactly once. A load that THROWS is
-    * not cached (Scala lazy-val failed-init semantics): the next get of
-    * that key retries. */
+    * one key never blocks hits on other keys, and concurrent gets of a
+    * CACHED key invoke `load` exactly once. If an in-flight load's
+    * holder is evicted before the load completes (capacity pressure
+    * from other keys), the finished value is re-inserted — at most one
+    * extra load can race in that window, and the loaded value is never
+    * silently dropped. A load that THROWS is not cached (Scala
+    * lazy-val failed-init semantics): the next get of that key
+    * retries. */
   final class LruCache[K, V](capacity: Int)(load: K => V) {
     private final class Holder(k: K) { lazy val value: V = load(k) }
     private val map = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
@@ -62,7 +66,11 @@ object Serving {
           val nh = new Holder(k); map.put(k, nh); nh
         }
       }
-      h.value
+      val v = h.value
+      // eviction raced the load: this get must still leave k cached as
+      // the most-recently-used key, holding the value just computed
+      map.synchronized { if (map.get(k) ne h) map.put(k, h) }
+      v
     }
     /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
       * does not record an access). */

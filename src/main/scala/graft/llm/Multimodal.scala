@@ -587,7 +587,11 @@ object Multimodal {
     var i = 0
     while (i + 4 < content.length) {
       val sc3 = content(i) == 0 && content(i + 1) == 0 && content(i + 2) == 1
-      if (sc3 && (content(i + 3) & 0x1f) == 7) {
+      // forbidden_zero_bit (0x80) MUST be 0 in a real NAL header — a
+      // chance `00 00 01 x7` inside entropy-coded or junk payload is
+      // rejected here, and a malformed candidate below falls through to
+      // the next start code instead of giving up on the whole stream
+      if (sc3 && (content(i + 3) & 0x80) == 0 && (content(i + 3) & 0x1f) == 7) {
         // NAL payload runs to the next start code (or end of stream)
         var end = i + 4
         while (end + 2 < content.length &&
@@ -605,7 +609,7 @@ object Multimodal {
             rbsp.write(0); rbsp.write(0); j += 3
           } else { rbsp.write(content(j)); j += 1 }
         }
-        try {
+        val attempt: Option[H264Meta] = try {
           val r = new BitReader(rbsp.toByteArray)
           val profile = r.u(8)
           r.u(8) // constraint flags + reserved
@@ -659,8 +663,14 @@ object Multimodal {
           val cy = cy0 * (2 - frameMbsOnly)
           val width = widthMbs * 16 - (cl + cr) * cx
           val height = (2 - frameMbsOnly) * heightUnits * 16 - (ct + cb) * cy
-          return Some(H264Meta(profile, level, width, height))
-        } catch { case _: Exception => return None }
+          Some(H264Meta(profile, level, width, height))
+        } catch { case _: Exception => None }
+        // sanity gate: a parse that "succeeds" with nonpositive
+        // dimensions is a decoy; keep scanning for the next candidate
+        attempt.filter(m => m.width > 0 && m.height > 0) match {
+          case some @ Some(_) => return some
+          case None           => () // fall through: advance past this start code
+        }
       }
       i += 1
     }

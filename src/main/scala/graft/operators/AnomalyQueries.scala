@@ -705,18 +705,20 @@ object AnomalyQueries {
     * ridge fit on the last TimeSeriesSplit(3) fold, rolling(6).min.max
     * thresholds, full-series refit, and the anomaly frame. The tag
     * names appear only as the source filter, pivot keys, intermediate
-    * column names, and output aliases, so plain substitution keeps the
-    * SQL valid for identifier-safe tag names. */
+    * column names, and output aliases, interpolated per-site (never
+    * whole-text substitution, which would corrupt the shared CTEs if a
+    * tag pair ever collided with a template substring). Tag names must
+    * be identifier-safe. */
   private def ridgeBuildFrameSql(a: String, b: String): String =
-    ("WITH " + OracleSql.assemblyCtes("click", "view",
+    "WITH " + OracleSql.assemblyCtes(a, b,
       "2024-01-01 00:00:00", "2024-02-01 00:00:00") + ",\n" +
-    """ww AS (SELECT bucket_ts, click, view FROM (
+    s"""ww AS (SELECT bucket_ts, ${a}, ${b} FROM (
         |  SELECT bucket_ts,
-        |    max(CASE WHEN tag = 'click' THEN v END) AS click,
-        |    max(CASE WHEN tag = 'view' THEN v END) AS view
+        |    max(CASE WHEN tag = '${a}' THEN v END) AS ${a},
+        |    max(CASE WHEN tag = '${b}' THEN v END) AS ${b}
         |  FROM i GROUP BY bucket_ts)
-        | WHERE click IS NOT NULL AND view IS NOT NULL),
-        |idx AS (SELECT bucket_ts, click, view,
+        | WHERE ${a} IS NOT NULL AND ${b} IS NOT NULL),
+        |idx AS (SELECT bucket_ts, ${a}, ${b},
         |    row_number() OVER (ORDER BY bucket_ts) - 1 AS rn FROM ww),
         |nn AS (SELECT count(*) AS n FROM idx),
         |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
@@ -728,19 +730,19 @@ object AnomalyQueries {
         |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
         |    s_c, s_v
         |  FROM (SELECT count(*) AS n,
-        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
-        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
-        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
-        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
-        |      max(click) - min(click) AS s_c, max(view) - min(view) AS s_v
+        |      sum(${b}) AS sx_v, sum(${b}*${b}) AS sxx_v,
+        |      sum(${a}) AS sx_c, sum(${a}*${a}) AS sxx_c,
+        |      sum(${a}) AS sy_c, sum(${b}*${a}) AS sxy_c,
+        |      sum(${b}) AS sy_v, sum(${a}*${b}) AS sxy_v,
+        |      max(${a}) - min(${a}) AS s_c, max(${b}) - min(${b}) AS s_v
         |    FROM tr)),
-        |te AS (SELECT i.rn, i.click, i.view,
-        |    a_c + b_c * i.view AS p_c, a_v + b_v * i.click AS p_v, s_c, s_v,
+        |te AS (SELECT i.rn, i.${a}, i.${b},
+        |    a_c + b_c * i.${b} AS p_c, a_v + b_v * i.${a} AS p_v, s_c, s_v,
         |    row_number() OVER (ORDER BY i.rn) AS trn
         |  FROM idx i, lastfold, fm WHERE i.rn >= test_start),
         |sc AS (SELECT trn,
-        |    (pow((p_c - click) / s_c, 2) + pow((p_v - view) / s_v, 2)) / 2.0 AS mse,
-        |    abs(click - p_c) AS mae_c, abs(view - p_v) AS mae_v
+        |    (pow((p_c - ${a}) / s_c, 2) + pow((p_v - ${b}) / s_v, 2)) / 2.0 AS mse,
+        |    abs(${a} - p_c) AS mae_c, abs(${b} - p_v) AS mae_v
         |  FROM te),
         |roll AS (SELECT trn,
         |    min(mse) OVER f AS rmin_mse,
@@ -758,40 +760,39 @@ object AnomalyQueries {
         |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v,
         |    s_c, s_v
         |  FROM (SELECT count(*) AS n,
-        |      sum(view) AS sx_v, sum(view*view) AS sxx_v,
-        |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
-        |      sum(click) AS sy_c, sum(view*click) AS sxy_c,
-        |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
-        |      CASE WHEN max(click) = min(click) THEN 1.0
-        |           ELSE max(click) - min(click) END AS s_c,
-        |      CASE WHEN max(view) = min(view) THEN 1.0
-        |           ELSE max(view) - min(view) END AS s_v
+        |      sum(${b}) AS sx_v, sum(${b}*${b}) AS sxx_v,
+        |      sum(${a}) AS sx_c, sum(${a}*${a}) AS sxx_c,
+        |      sum(${a}) AS sy_c, sum(${b}*${a}) AS sxy_c,
+        |      sum(${b}) AS sy_v, sum(${a}*${b}) AS sxy_v,
+        |      CASE WHEN max(${a}) = min(${a}) THEN 1.0
+        |           ELSE max(${a}) - min(${a}) END AS s_c,
+        |      CASE WHEN max(${b}) = min(${b}) THEN 1.0
+        |           ELSE max(${b}) - min(${b}) END AS s_v
         |    FROM idx)),
         |frame AS (SELECT i.bucket_ts AS start, i.bucket_ts + 3600 AS "end",
-        |    i.click AS mic, i.view AS miv,
-        |    a_c + b_c * i.view AS moc, a_v + b_v * i.click AS mov,
-        |    abs((a_c + b_c * i.view - i.click) / s_c) AS tasc,
-        |    abs((a_v + b_v * i.click - i.view) / s_v) AS tasv,
-        |    abs(a_c + b_c * i.view - i.click) AS tauc,
-        |    abs(a_v + b_v * i.click - i.view) AS tauv
+        |    i.${a} AS mic, i.${b} AS miv,
+        |    a_c + b_c * i.${b} AS moc, a_v + b_v * i.${a} AS mov,
+        |    abs((a_c + b_c * i.${b} - i.${a}) / s_c) AS tasc,
+        |    abs((a_v + b_v * i.${a} - i.${b}) / s_v) AS tasv,
+        |    abs(a_c + b_c * i.${b} - i.${a}) AS tauc,
+        |    abs(a_v + b_v * i.${a} - i.${b}) AS tauv
         |  FROM idx i, fin)
         |SELECT start, "end",
-        |  floor(mic*10000 + 0.5)/10000 AS "model-input.click",
-        |  floor(miv*10000 + 0.5)/10000 AS "model-input.view",
-        |  floor(moc*10000 + 0.5)/10000 AS "model-output.click",
-        |  floor(mov*10000 + 0.5)/10000 AS "model-output.view",
-        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.click",
-        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.view",
-        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.click",
-        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.view",
+        |  floor(mic*10000 + 0.5)/10000 AS "model-input.${a}",
+        |  floor(miv*10000 + 0.5)/10000 AS "model-input.${b}",
+        |  floor(moc*10000 + 0.5)/10000 AS "model-output.${a}",
+        |  floor(mov*10000 + 0.5)/10000 AS "model-output.${b}",
+        |  floor(tasc*10000 + 0.5)/10000 AS "tag-anomaly-scaled.${a}",
+        |  floor(tasv*10000 + 0.5)/10000 AS "tag-anomaly-scaled.${b}",
+        |  floor(tauc*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.${a}",
+        |  floor(tauv*10000 + 0.5)/10000 AS "tag-anomaly-unscaled.${b}",
         |  floor(((tasc*tasc + tasv*tasv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-scaled",
         |  floor(((tauc*tauc + tauv*tauv)/2.0)*10000 + 0.5)/10000 AS "total-anomaly-unscaled",
-        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.click",
-        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.view",
+        |  floor((tauc/th_c)*10000 + 0.5)/10000 AS "anomaly-confidence.${a}",
+        |  floor((tauv/th_v)*10000 + 0.5)/10000 AS "anomaly-confidence.${b}",
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
-        |ORDER BY start""".stripMargin)
-      .replace("click", a).replace("view", b)
+        |ORDER BY start""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q75_project_build" ->

@@ -354,4 +354,21 @@ class AdviceFixesSpec extends AnyFunSuite {
       witness.delete()
     }
   }
+
+  test("cachedDir renews the lease of an in-use cache on every access") {
+    val witness = java.io.File.createTempFile("advice-lease-w", ".bin")
+    Files.write(witness.toPath, Array[Byte](9, 9, 9))
+    try {
+      val d = new java.io.File(Scratch.cachedDir("advice-lease", witness.getPath))
+      assert(d.mkdir() || d.isDirectory)
+      // simulate a cache built long ago but still actively read: without
+      // lease renewal a sibling session's sweep would delete it mid-read
+      val old = System.currentTimeMillis() - 7L * 3600 * 1000
+      assert(d.setLastModified(old))
+      Scratch.cachedDir("advice-lease", witness.getPath) // a read access
+      assert(d.lastModified > old + 3600 * 1000,
+        "read access must refresh lastModified so the cache keeps its lease")
+      d.delete()
+    } finally witness.delete()
+  }
 }

@@ -507,6 +507,19 @@ class LlmSpec extends AnyFunSuite {
     val sps1080 = Multimodal.parseH264Sps(spsAnnexB(66, 40, 120, 68, 4)).get
     assert(sps1080.width == 1920 && sps1080.height == 1080)
     assert(Multimodal.parseH264Sps("not a nal".getBytes).isEmpty)
+
+    // forbidden_zero_bit set (0xE7 = 0x80 | type 7): a chance start-code
+    // decoy inside entropy-coded payload must NOT be typed as an SPS
+    val valid = spsAnnexB(66, 30, 20, 15, 0)
+    val decoy = Array[Byte](0, 0, 1, 0xE7.toByte) ++ valid.drop(5)
+    assert(Multimodal.parseH264Sps(decoy).isEmpty)
+
+    // a malformed SPS candidate (truncated payload → bit-reader overrun)
+    // must not abort the scan: the real SPS after it still parses
+    val malformedThenValid =
+      Array[Byte](0, 0, 1, 0x67, 0, 0) ++ valid
+    assert(Multimodal.parseH264Sps(malformedThenValid)
+      .contains(Multimodal.H264Meta(66, 30, 320, 240)))
   }
 
   test("container-meta kernel types mp3/h264/garbage rows correctly") {

@@ -124,6 +124,32 @@ class ProjectSpec2 extends AnyFunSuite {
     assert(cache.size == 8)
   }
 
+  test("LruCache re-caches a value whose holder was evicted mid-load") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val loads = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val started = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    val cache = new Serving.LruCache[String, String](capacity = 1)(k => {
+      loads.merge(k, 1, (a, b) => a + b)
+      if (k == "slow") { started.countDown(); gate.await(5, TimeUnit.SECONDS) }
+      s"v$k"
+    })
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      val f = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.get("slow")
+      })
+      assert(started.await(5, TimeUnit.SECONDS))
+      cache.get("fast") // capacity 1: evicts the in-flight slow holder
+      gate.countDown()
+      assert(f.get() == "vslow")
+      // the finished load must be re-inserted as MRU, not silently lost
+      assert(cache.contains("slow"))
+      assert(cache.get("slow") == "vslow")
+      assert(loads.get("slow") == 1, "evicted-mid-load key must not reload")
+    } finally pool.shutdown()
+  }
+
   test("reporter upserts machine records keyed by name") {
     val tmp = Files.createTempDirectory("graft-rep").toString
     val rep = new Reporters.JsonDirReporter(tmp)
