@@ -208,6 +208,79 @@ object Similarity {
     val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(embCol).as("ce"),
         norm(col(embCol)).as("cn")))
+    ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred)
+  }
+
+  /** Seeded Lloyd's k-means training for the IVF coarse quantizer (the
+    * library path): deterministic init — the `nCentroids` smallest-id
+    * corpus vectors, the exact seed the gated quantizer freezes at —
+    * then `iters` Lloyd rounds of cosine assignment + per-dimension
+    * mean update. Each round is one broadcast join over the corpus and
+    * one (cid, dim) aggregation whose result is nCentroids × D rows —
+    * driver traffic bounded by QUANTIZER size, never corpus size, so
+    * the training pass scales exactly like the assignment pass it
+    * reuses. An empty cluster keeps its previous centroid (the FAISS
+    * behavior for dead centroids). Deterministic: fixed init, fixed
+    * iteration count, commutative-mean updates.
+    *
+    * The gated q47 stays on the 0-iteration id-centroid quantizer (an
+    * external oracle can replay that); this trained path exists because
+    * arbitrary-id centroids under-cover real data distributions — the
+    * recall gap is measured in COVERAGE.md's ANN probe table. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                        nCentroids: Int, iters: Int = 5): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("e"),
+      norm(col(embCol)).as("nrm"))
+    var cents: Seq[(Int, Seq[Double])] = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("int").as("cid"),
+        col(embCol).cast("array<double>").as("ce"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    var it = 0
+    while (it < iters) {
+      val cdf = broadcast(cents.toDF("cid", "ce")
+        .select($"cid", $"ce", norm($"ce").as("cn")))
+      val wAssign = Window.partitionBy($"id")
+        .orderBy($"ccos".desc, $"cid".asc)
+      val means = vecs.join(cdf)
+        .select($"id", $"e", $"cid",
+          (dot($"e", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter($"arank" === 1)
+        .select($"cid", posexplode($"e").as(Seq("d", "x")))
+        .groupBy($"cid", $"d").agg(avg($"x").as("m"))
+        .collect() // nCentroids × D rows — quantizer-sized, not corpus-sized
+      val byCid = means.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          case None => (cid, old) // dead centroid: carry forward
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with externally supplied centroids (typically
+    * [[trainIvfCentroids]] output): same probe/rank shape, same plan —
+    * only the coarse quantizer differs. */
+  def ivfTopKWith(corpus: DataFrame, idCol: String, embCol: String,
+                  centroids: Seq[(Int, Seq[Double])], nprobe: Int, k: Int,
+                  queryPred: Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cid", "ce")
+      .select($"cid", $"ce", norm($"ce").as("cn")))
+    ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred)
+  }
+
+  private def ivfBody(corpus: DataFrame, idCol: String, embCol: String,
+                      cents: DataFrame, nprobe: Int, k: Int,
+                      queryPred: Column): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"))
     // coarse assignment: nearest centroid per vector (ties → smaller cid)

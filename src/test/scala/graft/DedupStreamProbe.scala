@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only streaming-dedup scale probe (test scope): runs the q76
+  * operator — file stream → `dropDuplicatesWithinWatermark` on the
+  * content key → exactly-once parquet sink — over a given documents
+  * dir, with event times SPREAD across hours and duplicate copies
+  * arriving within the watermark window, under time-ordered file
+  * arrival. Reports wall, rows in/out, micro-batch count, and the
+  * state-store row counts from the engine's own progress metrics.
+  *
+  * The claim under test: key state is bounded by the watermark window
+  * (keys whose event time the watermark has passed are EVICTED), so max
+  * live state tracks the per-window distinct-key rate — not the
+  * all-time distinct count — while emitted rows stay exactly one per
+  * distinct content. A plain `dropDuplicates` would hold every key
+  * forever and the max-state line would equal the distinct count.
+  *
+  * Run: `sbt "Test/runMain graft.DedupStreamProbe <dir>"` over
+  * /root/testdata/sf0.1 and /tmp/scale10.
+  */
+object DedupStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val distinctTexts = docs
+      .select(graft.llm.TextDedup.exactKey($"text").as("k"))
+      .distinct().count()
+
+    val in = Scratch.cachedDir("graft-dedup-probe", s"$dir/documents.parquet")
+    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+      // arrival timeline: ~200 docs/hour of first occurrences, plus a
+      // 20% duplicate echo 30 min after each original — inside the 1 h
+      // watermark window, so the dedup state must still hold the
+      // original's key when the echo arrives
+      val epoch0 = lit(1704067200L)
+      val firsts = docs.select($"doc_id", $"text",
+        timestamp_seconds(epoch0 + ($"doc_id" % 1000000L) / 200L * 3600L
+          + ($"doc_id" * 17L) % 3600L).as("ts"))
+      val echoes = firsts.filter($"doc_id" % 5 === 0)
+        .withColumn("ts", $"ts" + expr("INTERVAL 30 MINUTES"))
+      val long = firsts.unionAll(echoes)
+      long.repartitionByRange(40, $"ts").sortWithinPartitions($"ts")
+        .write.mode("overwrite").parquet(in)
+      // FileStreamSource schedules by mtime: pin strictly increasing
+      // mtimes in path (= ts-range) order so replay is time-ordered and
+      // the watermark advances batch by batch, evicting expired keys
+      new java.io.File(in).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 1000L) }
+    }
+    val nIn = spark.read.parquet(in).count()
+
+    val tmp = Scratch.dir("graft-dedup-probe-run")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "4")
+      .parquet(in)
+    val t0 = System.nanoTime()
+    val deduped = graft.streaming.StreamingScoring
+      .dedupStream(stream, "doc_id", "text", "ts", watermarkDelay = "1 hour")
+    val q = graft.streaming.Forwarder.toParquet(
+      deduped.select($"exact_key", $"doc_id"), s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val outRows = spark.read.parquet(s"$tmp/out").count()
+
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal)
+    println(s"""{"probe":"q76_dedup_stream","dir":"$dir","input_rows":$nIn,""" +
+      s""""docs":$nDocs,"distinct_texts":$distinctTexts,"out_rows":$outRows,""" +
+      f""""wall_sec":$wall%.1f,"micro_batches":${progress.size},""" +
+      s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+      s""""state_rows_last":${stateRows.takeRight(2).mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}
