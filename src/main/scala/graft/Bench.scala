@@ -38,13 +38,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.view.filterKeys(s).toMap)
+    // sub-second queries get extra reps on top of `reps`: at the 0.3–1 s
+    // scale a single noisy-neighbor rep dominates min-of-3, and three
+    // rounds of phantom 4–11× "regressions" (r4 q36/q37/q48, r6, r7
+    // q31/q32/q42/q56) all judge-re-benched to box noise
+    val subSecExtra = sys.env.getOrElse("SPARK_GRAFT_SUBSEC_EXTRA", "2").toInt
     var errors = List.empty[(String, String)]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL reps contribute to the min — a fast-failing rep
       // of an intermittently failing query must not masquerade as its
       // steady-state time (it already surfaces in `errors`). All-failed
       // queries record NaN (strict-JSON-quoted below).
-      val times = (1 to reps).flatMap { _ =>
+      def timeOnce(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -56,6 +61,9 @@ object Bench {
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      var times = (1 to reps).flatMap(_ => timeOnce())
+      if (times.nonEmpty && times.min < 1.0)
+        times = times ++ (1 to subSecExtra).flatMap(_ => timeOnce())
       name -> (if (times.isEmpty) Double.NaN else times.min)
     }
     def jq(s: String): String =
@@ -66,7 +74,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""subsec_extra_reps":$subSecExtra,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is what the driver tails, and tailing has clipped
     // the head of the query map two rounds running — persist the full

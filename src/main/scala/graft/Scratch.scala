@@ -67,7 +67,14 @@ object Scratch {
     // sweep below keys staleness on lastModified, and a long-lived
     // session that only reads an old cache must not have it deleted
     // out from under it by a sibling session's sweep
-    if (target.isDirectory) target.setLastModified(System.currentTimeMillis())
+    // a failed touch (foreign-owned dir, odd /tmp permissions) must be
+    // VISIBLE: an unrenewable lease means a sibling session's 6h sweep
+    // can delete this cache while it is in use
+    if (target.isDirectory &&
+        !target.setLastModified(System.currentTimeMillis()))
+      System.err.println(
+        s"[graft.Scratch] WARN: lease renewal (setLastModified) failed " +
+        s"for $target — cache is eligible for a sibling session's sweep")
     val sibling = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
     val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty[File])

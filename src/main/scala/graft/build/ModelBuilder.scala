@@ -291,4 +291,18 @@ object ModelBuilder {
     if (allColumns) frame
     else frame.drop(frame.columns.filter(_.startsWith("smooth-")): _*)
   }
+
+  /** [[score]] routed through a [[Serving.ModelCache]] — the S5
+    * serving discipline: hot models stay loaded across requests,
+    * capacity-evicted ones reload on demand (the reference worker
+    * holds 2 models per process and reloads the rest). */
+  def scoreCached(cache: Serving.ModelCache, modelDir: String,
+                  wide: DataFrame, resolutionSec: Long,
+                  allColumns: Boolean = false): DataFrame = {
+    val (fd, windowing) = cache.getFull(modelDir)
+    val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
+      resolutionSec)
+    if (allColumns) frame
+    else frame.drop(frame.columns.filter(_.startsWith("smooth-")): _*)
+  }
 }

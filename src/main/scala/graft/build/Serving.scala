@@ -68,8 +68,12 @@ object Serving {
       }
       val v = h.value
       // eviction raced the load: this get must still leave k cached as
-      // the most-recently-used key, holding the value just computed
-      map.synchronized { if (map.get(k) ne h) map.put(k, h) }
+      // the most-recently-used key, holding the value just computed.
+      // Re-insert ONLY into an empty slot — if a concurrent get already
+      // installed a NEWER holder for k, overwriting it would let an
+      // older value replace a newer one (visible if `load` reads
+      // mutable state, e.g. a rewritten model dir)
+      map.synchronized { if (map.get(k) eq null) map.put(k, h) }
       v
     }
     /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
@@ -89,10 +93,16 @@ object Serving {
     * `anomaly` calls from [[get]] alone. */
   class ModelCache(capacity: Int = 2) {
     private type Entry = (FittedDetector, Option[(Seq[String], Int, Int)])
-    private val cache = new LruCache[String, Entry](capacity)(Persistence.loadFull)
+    private val loadCount = new java.util.concurrent.atomic.AtomicLong
+    private val cache = new LruCache[String, Entry](capacity)(dir => {
+      loadCount.incrementAndGet(); Persistence.loadFull(dir)
+    })
     /** Detector plus its windowing spec (base tags, lookback, lookahead). */
     def getFull(dir: String): Entry = cache.get(dir)
     def get(dir: String): FittedDetector = getFull(dir)._1
     def size: Int = cache.size
+    /** Disk loads performed so far — `1 - loads/accesses` is the hit
+      * rate a serving deployment sizes its capacity by. */
+    def loads: Long = loadCount.get
   }
 }

@@ -211,54 +211,70 @@ object Similarity {
     ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred)
   }
 
-  /** Seeded Lloyd's k-means training for the IVF coarse quantizer (the
-    * library path): deterministic init — the `nCentroids` smallest-id
-    * corpus vectors, the exact seed the gated quantizer freezes at —
-    * then `iters` Lloyd rounds of cosine assignment + per-dimension
-    * mean update. Each round is one broadcast join over the corpus and
-    * one (cid, dim) aggregation whose result is nCentroids × D rows —
-    * driver traffic bounded by QUANTIZER size, never corpus size, so
-    * the training pass scales exactly like the assignment pass it
-    * reuses. An empty cluster keeps its previous centroid (the FAISS
-    * behavior for dead centroids). Deterministic: fixed init, fixed
-    * iteration count, commutative-mean updates.
-    *
-    * The gated q47 stays on the 0-iteration id-centroid quantizer (an
-    * external oracle can replay that); this trained path exists because
-    * arbitrary-id centroids under-cover real data distributions — the
-    * recall gap is measured in COVERAGE.md's ANN probe table. */
+  /** Seeded SPHERICAL k-means training for the IVF coarse quantizer
+    * (the library path): deterministic init — the `nCentroids`
+    * smallest-id corpus vectors, unit-normalized — then `iters` Lloyd
+    * rounds where the update rule MATCHES the assignment metric:
+    * cosine assignment, then each centroid becomes the renormalized
+    * resultant (sum of unit vectors) of its cluster. A plain
+    * arithmetic mean is inconsistent with cosine assignment (long
+    * vectors drag the mean off the cluster's angular center); the
+    * spherical update is the textbook fix. Each round is one broadcast
+    * join over the corpus and one (cid, dim) aggregation whose result
+    * is nCentroids × D rows — driver traffic bounded by QUANTIZER
+    * size, never corpus size, so the training pass scales exactly like
+    * the assignment pass it reuses. An empty or degenerate
+    * (zero-resultant) cluster keeps its previous centroid (the FAISS
+    * behavior for dead centroids) — a zero centroid would make every
+    * cosine NaN, and NaN sorts first under `desc`, so one dead
+    * centroid would otherwise swallow the whole corpus. Init,
+    * iteration count, and tie-breaks are fixed; the distributed sums
+    * are commutative but floating-point addition is not associative,
+    * so the result is stable in practice rather than bit-pinned across
+    * partitionings — which is why the gated q47 stays on the
+    * 0-iteration id-centroid quantizer (an external oracle CAN replay
+    * that). The recall/cost trade between the two quantizers is
+    * measured in COVERAGE.md's ANN probe table. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
-                        nCentroids: Int, iters: Int = 5): Seq[(Int, Seq[Double])] = {
+                        nCentroids: Int, iters: Int = 10): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    def unitOpt(v: Seq[Double]): Option[Seq[Double]] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-12) Some(v.map(_ / n)) else None
+    }
     val vecs = corpus.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("e"),
       norm(col(embCol)).as("nrm"))
+      .filter($"nrm" > 0)
     var cents: Seq[(Int, Seq[Double])] = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("int").as("cid"),
         col(embCol).cast("array<double>").as("ce"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .flatMap { case (cid, v) => unitOpt(v).map((cid, _)) }
     var it = 0
     while (it < iters) {
       val cdf = broadcast(cents.toDF("cid", "ce")
         .select($"cid", $"ce", norm($"ce").as("cn")))
       val wAssign = Window.partitionBy($"id")
         .orderBy($"ccos".desc, $"cid".asc)
-      val means = vecs.join(cdf)
-        .select($"id", $"e", $"cid",
-          (dot($"e", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+      val sums = vecs.join(cdf)
+        .select($"id", $"e", $"nrm", $"cid",
+          when($"cn" > 0, dot($"e", $"ce") / ($"nrm" * $"cn"))
+            .otherwise(lit(-2.0)).as("ccos"))
         .withColumn("arank", row_number().over(wAssign))
         .filter($"arank" === 1)
-        .select($"cid", posexplode($"e").as(Seq("d", "x")))
-        .groupBy($"cid", $"d").agg(avg($"x").as("m"))
+        .select($"cid",
+          posexplode(transform($"e", x => x / $"nrm")).as(Seq("d", "x")))
+        .groupBy($"cid", $"d").agg(sum($"x").as("m"))
         .collect() // nCentroids × D rows — quantizer-sized, not corpus-sized
-      val byCid = means.groupBy(_.getInt(0))
+      val byCid = sums.groupBy(_.getInt(0))
       cents = cents.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case Some(rows) =>
-            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          case None => (cid, old) // dead centroid: carry forward
-        }
+        byCid.get(cid)
+          .flatMap(rows =>
+            unitOpt(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq))
+          .map((cid, _))
+          .getOrElse((cid, old)) // dead/degenerate centroid: carry forward
       }
       it += 1
     }
@@ -278,30 +294,31 @@ object Similarity {
     ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred)
   }
 
+  /** Diagnostic for the recall/cost trade: the average per-query
+    * candidate-list size an IVF configuration scans. Recall alone is
+    * not comparable across quantizers — a degenerate quantizer that
+    * lumps the corpus into a few giant lists reaches high recall by
+    * scanning most of the corpus; this reports the scan cost that
+    * recall was bought at. */
+  def ivfCandCount(corpus: DataFrame, idCol: String, embCol: String,
+                   centroids: Seq[(Int, Seq[Double])], nprobe: Int,
+                   queryPred: Column): Double = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cid", "ce")
+      .select($"cid", $"ce", norm($"ce").as("cn")))
+    val (assigned, probes) =
+      ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
+    val sizes = assigned.groupBy($"cid").agg(count(lit(1)).as("sz"))
+    probes.join(sizes, "cid").groupBy($"qid").agg(sum($"sz").as("c"))
+      .agg(avg($"c")).as[Double].head()
+  }
+
   private def ivfBody(corpus: DataFrame, idCol: String, embCol: String,
                       cents: DataFrame, nprobe: Int, k: Int,
                       queryPred: Column): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
-      norm(col(embCol)).as("nrm"))
-    // coarse assignment: nearest centroid per vector (ties → smaller cid)
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = vecs.join(cents)
-      .select(col("id"), col("e"), col("nrm"), col("cid"),
-        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("id"), col("e"), col("nrm"), col("cid"))
-    // probe lists: each query's nprobe nearest centroids
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val probes = vecs.filter(queryPred).join(cents)
-      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        col("cid"),
-        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    val (assigned, probes) =
+      ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
     // rank candidates from the probed lists only
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cand").asc)
@@ -311,6 +328,43 @@ object Similarity {
         (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
+  }
+
+  /** The two IVF building blocks shared by search and diagnostics:
+    * (corpus rows tagged with their nearest-centroid list, query rows
+    * expanded to their `nprobe` probed lists). */
+  private def ivfParts(corpus: DataFrame, idCol: String, embCol: String,
+                       cents: DataFrame, nprobe: Int,
+                       queryPred: Column): (DataFrame, DataFrame) = {
+    val vecs = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
+      norm(col(embCol)).as("nrm"))
+    // zero-norm guard: NaN sorts FIRST under desc in Spark, so an
+    // unguarded 0/0 cosine would make a zero-norm centroid attract the
+    // entire corpus; -2 sorts a degenerate pair below every real cosine.
+    // Value-identical to the raw ratio whenever both norms are positive
+    // (which the q47 oracle replay relies on).
+    def safeCos(d: Column, den: Column): Column =
+      when(den > 0, d / den).otherwise(lit(-2.0))
+    // coarse assignment: nearest centroid per vector (ties → smaller cid)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = vecs.join(cents)
+      .select(col("id"), col("e"), col("nrm"), col("cid"),
+        safeCos(dot(col("e"), col("ce")), col("nrm") * col("cn")).as("ccos"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("e"), col("nrm"), col("cid"))
+    // probe lists: each query's nprobe nearest centroids
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = vecs.filter(queryPred).join(cents)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("cid"),
+        safeCos(dot(col("e"), col("ce")), col("nrm") * col("cn")).as("ccos"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    (assigned, probes)
   }
 
   /** Bucketed approximate top-k: candidates are same-bucket rows only —

@@ -708,8 +708,27 @@ object AnomalyQueries {
     * column names, and output aliases, interpolated per-site (never
     * whole-text substitution, which would corrupt the shared CTEs if a
     * tag pair ever collided with a template substring). Tag names must
-    * be identifier-safe. */
-  private def ridgeBuildFrameSql(a: String, b: String): String =
+    * be identifier-safe — enforced below, since an unquoted identifier
+    * colliding with a template name (tag, v, rn, n, a CTE) or a
+    * reserved word would produce invalid or subtly wrong SQL. */
+  private def ridgeBuildFrameSql(a: String, b: String): String = {
+    // every identifier the template itself binds (CTE names, column
+    // aliases) — a tag sharing one would shadow it inside the SQL
+    val templateNames = Set("i", "ww", "idx", "nn", "lastfold", "tr",
+      "fm", "te", "sc", "roll", "th", "fin", "sco", "bucket_ts", "tag",
+      "v", "rn", "trn", "n", "test_start", "mse", "mae_c", "mae_v",
+      "p_c", "p_v", "a_c", "b_c", "a_v", "b_v", "s_c", "s_v",
+      "sx_v", "sxx_v", "sx_c", "sxx_c", "sy_c", "sxy_c", "sy_v",
+      "sxy_v", "rmin_mse", "rmin_c", "rmin_v", "agg_th", "th_c", "th_v",
+      "f", "frame", "start", "end", "mic", "miv", "moc", "mov",
+      "tasc", "tasv", "tauc", "tauv")
+    Seq(a, b).foreach { t =>
+      require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"tag name '$t' is not identifier-safe for SQL interpolation")
+      require(!templateNames.contains(t.toLowerCase),
+        s"tag name '$t' collides with a template identifier")
+    }
+    require(a != b, s"tag pair must be distinct, got '$a' twice")
     "WITH " + OracleSql.assemblyCtes(a, b,
       "2024-01-01 00:00:00", "2024-02-01 00:00:00") + ",\n" +
     s"""ww AS (SELECT bucket_ts, ${a}, ${b} FROM (
@@ -793,6 +812,7 @@ object AnomalyQueries {
         |  floor((((tasc*tasc + tasv*tasv)/2.0)/agg_th)*10000 + 0.5)/10000 AS "total-anomaly-confidence"
         |FROM frame, th
         |ORDER BY start""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q75_project_build" ->

@@ -8,24 +8,37 @@ import graft.llm.Similarity
 /** Dev-only ANN scale/recall probe (test scope — not part of the
   * shipped library): runs the exact brute-force baseline, the SQ8
   * scalar-quantized scan, and both IVF variants (gated id-centroid
-  * quantizer vs seeded-k-means-trained quantizer) over a given
-  * embeddings dir, and reports wall seconds AND recall@k against the
-  * exact result for each. The claims under test:
+  * quantizer vs seeded-spherical-k-means-trained quantizer) over a
+  * given embeddings dir, and reports wall seconds, recall@k against
+  * the exact result, AND the average candidate-list size each IVF
+  * variant scanned — recall is only comparable at its scan cost (a
+  * degenerate quantizer reaches high recall by scanning most of the
+  * corpus through a few giant lists).
   *
+  * The query set starts at `qOffset` (default 100), deliberately
+  * DISJOINT from the id-centroid seed ids `0 until nCentroids`: a
+  * query that IS a centroid always probes its own list first with
+  * perfect affinity, which inflates the id-quantizer's recall — the
+  * round-7 probe had exactly that bias (queries 0..9 vs seeds 0..15).
+  *
+  * Claims under test:
   *  - SQ8's 4× compression costs bounded recall (the FAISS trade) and
   *    its scan stays ~linear in corpus size;
-  *  - a trained coarse quantizer recovers the recall the deterministic
-  *    id-centroid quantizer gives up at real data distributions, at
-  *    identical search cost.
+  *  - the trained spherical-k-means quantizer beats (or matches) the
+  *    id-centroid quantizer on recall at comparable-or-smaller
+  *    candidate cost on unbiased queries.
   *
-  * Run: `sbt "Test/runMain graft.AnnProbe <dir> [k] [nq]"` over
-  * /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100.
+  * Run: `sbt "Test/runMain graft.AnnProbe <dir> [k] [nq] [qOffset]
+  * [nprobe] [nCentroids]"` over /root/testdata/sf0.1, /tmp/scale10.
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = if (args.length > 1) args(1).toInt else 10
     val nq = if (args.length > 2) args(2).toInt else 10
+    val qOffset = if (args.length > 3) args(3).toLong else 100L
+    val nprobe = if (args.length > 4) args(4).toInt else 2
+    val nCentroids = if (args.length > 5) args(5).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +50,9 @@ object AnnProbe {
 
     val emb = Tables(spark, dir, "embeddings")
     val n = emb.count()
-    val queries = emb.filter(col("vec_id") < nq)
+    val qPredCol = col("vec_id") >= qOffset && col("vec_id") < qOffset + nq
+    val qPredId = col("id") >= qOffset && col("id") < qOffset + nq
+    val queries = emb.filter(qPredCol)
 
     // (wall, result pairs) for a top-k frame with (qid, <cand col>) rows
     def run(df: => DataFrame, candCol: String): (Double, Set[(Long, Long)]) = {
@@ -57,23 +72,34 @@ object AnnProbe {
       Similarity.sq8TopK(emb, queries, "vec_id", "embedding", k), "cid")
 
     val (ivfIdSec, ivfId) = run(
-      Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 16,
-        nprobe = 2, k = k, queryPred = col("id") < nq), "cand")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids,
+        nprobe, k, queryPred = qPredId), "cand")
+    // iters=0 reproduces the id-centroid quantizer (unit-normalized,
+    // same cosine assignments) for the cost diagnostic
+    val idCents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nCentroids, iters = 0)
+    val idCand = Similarity.ivfCandCount(emb, "vec_id", "embedding",
+      idCents, nprobe, qPredId)
 
     val tTrain0 = System.nanoTime()
     val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
-      nCentroids = 16, iters = 5)
+      nCentroids, iters = 10)
     val trainSec = (System.nanoTime() - tTrain0) / 1e9
     val (ivfKmSec, ivfKm) = run(
       Similarity.ivfTopKWith(emb, "vec_id", "embedding", trained,
-        nprobe = 2, k = k, queryPred = col("id") < nq), "cand")
+        nprobe, k, queryPred = qPredId), "cand")
+    val kmCand = Similarity.ivfCandCount(emb, "vec_id", "embedding",
+      trained, nprobe, qPredId)
 
-    println(f"""{"probe":"ann","dir":"$dir","n":$n,"k":$k,"nq":$nq,""" +
+    println(f"""{"probe":"ann","dir":"$dir","n":$n,"k":$k,"nq":$nq,"q_offset":$qOffset,""" +
+      f""""nprobe":$nprobe,"n_centroids":$nCentroids,""" +
       f""""exact_sec":$exactSec%.2f,""" +
       f""""sq8_sec":$sq8Sec%.2f,"sq8_recall":${recall(sq8)}%.3f,""" +
       f""""ivf_id_sec":$ivfIdSec%.2f,"ivf_id_recall":${recall(ivfId)}%.3f,""" +
+      f""""ivf_id_cand":$idCand%.0f,""" +
       f""""ivf_kmeans_train_sec":$trainSec%.2f,""" +
-      f""""ivf_kmeans_sec":$ivfKmSec%.2f,"ivf_kmeans_recall":${recall(ivfKm)}%.3f}""")
+      f""""ivf_kmeans_sec":$ivfKmSec%.2f,"ivf_kmeans_recall":${recall(ivfKm)}%.3f,""" +
+      f""""ivf_kmeans_cand":$kmCand%.0f}""")
     spark.stop()
   }
 }

@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
   * The claim under test: key state is bounded by the watermark window
   * (keys whose event time the watermark has passed are EVICTED), so max
   * live state tracks the per-window distinct-key rate — not the
-  * all-time distinct count — while emitted rows stay exactly one per
-  * distinct content. A plain `dropDuplicates` would hold every key
-  * forever and the max-state line would equal the distinct count.
+  * all-time distinct count. A plain `dropDuplicates` would hold every
+  * key forever and the max-state line would equal the distinct count.
+  *
+  * The OUTPUT contract is `dropDuplicatesWithinWatermark`'s, stated
+  * precisely: a duplicate is dropped only while the earlier
+  * occurrence's state is still live — duplicates separated by more
+  * than the watermark delay legitimately RE-EMIT (that re-emission is
+  * the price of bounded state; it is not a bug). The probe therefore
+  * brackets out_rows between `distinct_texts` (perfect dedup, the
+  * floor) and `expected_max` (a per-key greedy chain that re-emits
+  * whenever the gap from the last emitted occurrence exceeds the
+  * delay — the ceiling, since the engine's lagging watermark can only
+  * hold state LONGER than the ideal chain assumes, never shorter).
   *
   * Run: `sbt "Test/runMain graft.DedupStreamProbe <dir>"` over
   * /root/testdata/sf0.1 and /tmp/scale10.
@@ -65,6 +75,28 @@ object DedupStreamProbe {
     }
     val nIn = spark.read.parquet(in).count()
 
+    // ceiling for out_rows: per-key greedy chain over arrival times —
+    // an occurrence re-emits iff its gap from the LAST EMITTED
+    // occurrence of the same key exceeds the 1 h delay. The real
+    // engine's watermark lags event time by batch granularity, so its
+    // state lives at least this long → out_rows <= expectedMax.
+    val expectedMax = spark.read.parquet(in)
+      .select(graft.llm.TextDedup.exactKey($"text").as("k"), $"ts")
+      .groupBy($"k").agg(sort_array(collect_list($"ts")).as("tss"))
+      .select($"tss")
+      .as[Seq[java.sql.Timestamp]]
+      .map { tss =>
+        var cnt = 0L
+        var last = Long.MinValue
+        tss.foreach { t =>
+          val ms = t.getTime
+          if (last == Long.MinValue || ms - last > 3600 * 1000L) {
+            cnt += 1; last = ms
+          }
+        }
+        cnt
+      }.reduce(_ + _)
+
     val tmp = Scratch.dir("graft-dedup-probe-run")
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
@@ -82,10 +114,18 @@ object DedupStreamProbe {
     val progress = q.recentProgress.toSeq
     val stateRows = progress.flatMap(_.stateOperators.toSeq)
       .map(_.numRowsTotal)
+    val maxState = if (stateRows.isEmpty) 0L else stateRows.max
+    // the stated contract, asserted: dedup floor <= out <= greedy ceiling,
+    // and live state bounded by the window, not the all-time key count
+    assert(outRows >= distinctTexts && outRows <= expectedMax,
+      s"out_rows $outRows outside [$distinctTexts, $expectedMax]")
+    assert(maxState < distinctTexts,
+      s"state_rows_max $maxState not watermark-bounded (distinct=$distinctTexts)")
     println(s"""{"probe":"q76_dedup_stream","dir":"$dir","input_rows":$nIn,""" +
-      s""""docs":$nDocs,"distinct_texts":$distinctTexts,"out_rows":$outRows,""" +
+      s""""docs":$nDocs,"distinct_texts":$distinctTexts,""" +
+      s""""expected_max":$expectedMax,"out_rows":$outRows,""" +
       f""""wall_sec":$wall%.1f,"micro_batches":${progress.size},""" +
-      s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+      s""""state_rows_max":$maxState,""" +
       s""""state_rows_last":${stateRows.takeRight(2).mkString("[", ",", "]")}}""")
     spark.stop()
   }

@@ -150,6 +150,35 @@ class ProjectSpec2 extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("LruCache evicted-mid-load re-insert never clobbers a newer holder") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val loads = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val started = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    // returns "<key>-<load #>": the FIRST load of "k" blocks on the
+    // gate, later loads run straight through — so a second get of "k"
+    // after the first holder was evicted installs a NEWER value
+    val cache = new Serving.LruCache[String, String](capacity = 1)(k => {
+      val n = loads.merge(k, 1, (a, b) => a + b)
+      if (k == "k" && n == 1) { started.countDown(); gate.await(5, TimeUnit.SECONDS) }
+      s"$k-$n"
+    })
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      val f = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.get("k")
+      })
+      assert(started.await(5, TimeUnit.SECONDS))
+      cache.get("other") // capacity 1: evicts the in-flight first holder
+      assert(cache.get("k") == "k-2") // fresh holder, second load
+      gate.countDown()
+      assert(f.get() == "k-1") // the stale load still returns its value...
+      // ...but must NOT replace the newer cached one
+      assert(cache.get("k") == "k-2")
+      assert(loads.get("k") == 2)
+    } finally pool.shutdown()
+  }
+
   test("reporter upserts machine records keyed by name") {
     val tmp = Files.createTempDirectory("graft-rep").toString
     val rep = new Reporters.JsonDirReporter(tmp)
