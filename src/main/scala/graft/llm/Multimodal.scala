@@ -551,6 +551,96 @@ object Multimodal {
       totalSamples * 1000L / sampleRate, (bitrateSum / frames).toInt))
   }
 
+  /** Parsed ADTS AAC stream summary (ISO/IEC 14496-3 §1.A.3). */
+  case class AacMeta(sampleRate: Int, channels: Int, frames: Int,
+                     durationMs: Long, bitrateKbps: Int)
+
+  // ADTS sampling_frequency_index table (13 valid entries)
+  private val adtsRate = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Walk ADTS AAC frames: 12-bit 0xFFF syncword with layer bits 00
+    * (which no MP3 header has — MP3's valid layers are nonzero, so the
+    * two sniffs cannot claim each other's streams), sampling-frequency
+    * index, channel configuration, and the 13-bit frame length that
+    * chains frame to frame. Same hardening as [[parseMp3]]: one
+    * plausible header in random bytes is weak evidence — demand at
+    * least two CHAINED frames, and treat a malformed candidate before
+    * the first accepted frame as scan-forward, after it as stream end.
+    * Pure header arithmetic — no sample decode. */
+  def parseAdtsAac(content: Array[Byte]): Option[AacMeta] = {
+    if (content == null || content.length < 7) return None
+    var off = 0
+    var frames = 0
+    var sampleRate = 0
+    var channels = 0
+    var totalSamples = 0L
+    var payloadBytes = 0L
+    while (off + 7 <= content.length) {
+      val b0 = content(off) & 0xff; val b1 = content(off + 1) & 0xff
+      val b2 = content(off + 2) & 0xff; val b3 = content(off + 3) & 0xff
+      val b4 = content(off + 4) & 0xff; val b5 = content(off + 5) & 0xff
+      val b6 = content(off + 6) & 0xff
+      // syncword FFF + layer 00 (mask keeps the MPEG-version bit free)
+      val sync = b0 == 0xff && (b1 & 0xf6) == 0xf0
+      if (!sync) {
+        if (frames > 0) off = content.length else off += 1
+      } else {
+        val srIdx = (b2 >> 2) & 0xf
+        val chanCfg = ((b2 & 1) << 2) | (b3 >> 6)
+        val frameLen = ((b3 & 0x3) << 11) | (b4 << 3) | (b5 >> 5)
+        val rdb = (b6 & 0x3) + 1 // raw data blocks per frame
+        if (srIdx >= adtsRate.length || chanCfg == 0 || frameLen < 7 ||
+            off + frameLen > content.length) {
+          if (frames > 0) off = content.length else off += 1
+        } else {
+          frames += 1
+          sampleRate = adtsRate(srIdx)
+          channels = if (chanCfg == 7) 8 else chanCfg
+          totalSamples += 1024L * rdb
+          payloadBytes += frameLen
+          off += frameLen
+        }
+      }
+    }
+    if (frames < 2 || sampleRate == 0) None
+    else {
+      val durMs = totalSamples * 1000L / sampleRate
+      Some(AacMeta(sampleRate, channels, frames, durMs,
+        if (durMs > 0) (payloadBytes * 8 / durMs).toInt else 0))
+    }
+  }
+
+  /** Parsed FLAC STREAMINFO summary (the mandatory first metadata
+    * block of every FLAC stream). */
+  case class FlacMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                      totalSamples: Long, durationMs: Long)
+
+  /** Parse the FLAC STREAMINFO header: `fLaC` magic, then the spec-
+    * mandated first metadata block (type 0, length 34) whose packed
+    * fields carry sample rate (20 bits), channels−1 (3), bits-per-
+    * sample−1 (5), and total samples (36). The magic plus the fixed
+    * block shape make this sniff exact — no chained-frame heuristic
+    * needed. Pure header arithmetic — no sample decode. */
+  def parseFlac(content: Array[Byte]): Option[FlacMeta] = {
+    if (content == null || content.length < 8 + 34) return None
+    if (!(content(0) == 'f' && content(1) == 'L' && content(2) == 'a' &&
+          content(3) == 'C')) return None
+    val blockType = content(4) & 0x7f
+    val blockLen = ((content(5) & 0xff) << 16) | ((content(6) & 0xff) << 8) |
+      (content(7) & 0xff)
+    if (blockType != 0 || blockLen != 34) return None
+    def b(i: Int): Int = content(8 + i) & 0xff
+    val sampleRate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+    if (sampleRate == 0) return None // 0 is invalid per the format spec
+    val channels = ((b(12) >> 1) & 0x7) + 1
+    val bps = (((b(12) & 1) << 4) | (b(13) >> 4)) + 1
+    val totalSamples = ((b(13) & 0xf).toLong << 32) | (b(14).toLong << 24) |
+      (b(15).toLong << 16) | (b(16).toLong << 8) | b(17).toLong
+    Some(FlacMeta(sampleRate, channels, bps, totalSamples,
+      totalSamples * 1000L / sampleRate))
+  }
+
   /** Parsed H.264 sequence parameter set: profile/level plus the coded
     * picture dimensions after frame cropping. */
   case class H264Meta(profile: Int, level: Int, width: Int, height: Int)
@@ -687,10 +777,11 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)))
 
   /** Container sniff + metadata probe as a partition-local batch kernel:
-    * AVI (RIFF walk), MP3 (frame-header walk), H.264 Annex-B (SPS parse)
-    * — each yields real dimensions/rate/duration WITHOUT decoding
-    * samples, so compressed payloads get typed metadata even where the
-    * JRE ships no codec. Unrecognized payloads get a null struct. */
+    * AVI (RIFF walk), FLAC (STREAMINFO), H.264 Annex-B (SPS parse),
+    * ADTS AAC and MP3 (chained-frame-header walks) — each yields real
+    * dimensions/rate/duration WITHOUT decoding samples, so compressed
+    * payloads get typed metadata even where the JRE ships no codec.
+    * Unrecognized payloads get a null struct. */
   def extractContainerMeta(media: DataFrame): DataFrame = {
     val schema = media.schema.add("container_meta", containerMetaSchema,
       nullable = true)
@@ -700,21 +791,32 @@ object Multimodal {
         val bytes =
           if (r.isNullAt(contentIdx)) Array.emptyByteArray
           else r.getAs[Array[Byte]](contentIdx)
-        // sniff order: most-specific first. The start-code-anchored SPS
-        // parse runs BEFORE the MP3 scan — entropy-coded H.264 payload
-        // bytes routinely contain 0xFF 0xEx pairs that pass a
-        // single-frame MP3 header check, while a genuine MP3 stream
-        // essentially never embeds a valid Annex-B SPS NAL
+        // sniff order: most-specific first. Magic-anchored formats
+        // (RIFF/AVI, fLaC) lead — they cannot be decoys. Then the
+        // start-code-anchored SPS parse BEFORE the frame-walk scans —
+        // entropy-coded H.264 payload bytes routinely contain 0xFF 0xEx
+        // pairs that pass a single-frame audio header check, while a
+        // genuine audio stream essentially never embeds a valid Annex-B
+        // SPS NAL. AAC (layer bits 00) and MP3 (layer nonzero) headers
+        // are mutually exclusive, so their relative order is free.
         val meta: Row = parseAvi(bytes) match {
           case Some(avi) => Row("avi", avi.width, avi.height, null, null,
             null, avi.frames.size * avi.usPerFrame / 1000L)
-          case None => parseH264Sps(bytes) match {
-            case Some(h) => Row("h264", h.width, h.height, null, null,
-              null, null)
-            case None => parseMp3(bytes) match {
-              case Some(m) => Row("mp3", null, null, m.sampleRate, m.channels,
-                m.bitrateKbps, m.durationMs)
-              case None => null
+          case None => parseFlac(bytes) match {
+            case Some(fl) => Row("flac", null, null, fl.sampleRate,
+              fl.channels, null, fl.durationMs)
+            case None => parseH264Sps(bytes) match {
+              case Some(h) => Row("h264", h.width, h.height, null, null,
+                null, null)
+              case None => parseAdtsAac(bytes) match {
+                case Some(a) => Row("aac", null, null, a.sampleRate,
+                  a.channels, a.bitrateKbps, a.durationMs)
+                case None => parseMp3(bytes) match {
+                  case Some(m) => Row("mp3", null, null, m.sampleRate,
+                    m.channels, m.bitrateKbps, m.durationMs)
+                  case None => null
+                }
+              }
             }
           }
         }

@@ -522,6 +522,82 @@ class LlmSpec extends AnyFunSuite {
       .contains(Multimodal.H264Meta(66, 30, 320, 240)))
   }
 
+  /** ADTS AAC fixture: `nFrames` chained 100-byte frames — AAC-LC,
+    * 44100 Hz (srIdx 4), stereo (chanCfg 2), one raw data block. */
+  private def aacBytes(nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { _ =>
+      val frame = new Array[Byte](100)
+      frame(0) = 0xff.toByte; frame(1) = 0xf1.toByte // sync, MPEG-4, layer 00
+      frame(2) = 0x50                 // AAC-LC, srIdx 4, chanCfg high bit 0
+      frame(3) = 0x80.toByte          // chanCfg 2; frameLen bits 12-11 = 0
+      frame(4) = 12                   // frameLen 100, bits 10-3
+      frame(5) = 0x80.toByte          // frameLen bits 2-0 = 4, fullness hi
+      frame(6) = 0x00                 // fullness lo + rdb 0 (= 1 block)
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** FLAC fixture: magic + the mandatory 34-byte STREAMINFO built from
+    * field values (packed 20/3/5/36-bit layout). */
+  private def flacBytes(rate: Int, channels: Int, bps: Int,
+                        samples: Long): Array[Byte] = {
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag set, type 0
+    out(7) = 34
+    def si(i: Int, v: Int): Unit = out(8 + i) = v.toByte
+    si(10, rate >> 12); si(11, (rate >> 4) & 0xff)
+    si(12, ((rate & 0xf) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+    si(13, (((bps - 1) & 0xf) << 4) | ((samples >> 32) & 0xf).toInt)
+    si(14, ((samples >> 24) & 0xff).toInt)
+    si(15, ((samples >> 16) & 0xff).toInt)
+    si(16, ((samples >> 8) & 0xff).toInt)
+    si(17, (samples & 0xff).toInt)
+    out
+  }
+
+  test("codec metadata parsers are real: ADTS AAC frame walk + FLAC STREAMINFO") {
+    val a = Multimodal.parseAdtsAac(aacBytes(3)).get
+    assert(a.sampleRate == 44100 && a.channels == 2 && a.frames == 3)
+    assert(a.durationMs == 3L * 1024 * 1000 / 44100) // 69 ms
+    assert(a.bitrateKbps == 3L * 100 * 8 / a.durationMs)
+    // one plausible header without a chained successor is a decoy
+    assert(Multimodal.parseAdtsAac(aacBytes(1)).isEmpty)
+    assert(Multimodal.parseAdtsAac("garbage".getBytes).isEmpty)
+    // an MP3 header (layer bits nonzero) must not be typed as AAC,
+    // and vice versa — the layer field keeps the sniffs disjoint
+    assert(Multimodal.parseAdtsAac(mp3Bytes(3, 0)).isEmpty)
+    assert(Multimodal.parseMp3(aacBytes(3)).isEmpty)
+
+    val fl = Multimodal.parseFlac(flacBytes(44100, 2, 16, 441000L)).get
+    assert(fl == Multimodal.FlacMeta(44100, 2, 16, 441000L, 10000L))
+    val hi = Multimodal.parseFlac(flacBytes(96000, 6, 24, 960000L)).get
+    assert(hi.sampleRate == 96000 && hi.channels == 6 &&
+      hi.bitsPerSample == 24 && hi.durationMs == 10000L)
+    assert(Multimodal.parseFlac("fLaX not flac".getBytes).isEmpty)
+    // STREAMINFO must be the first block with the spec length
+    val wrongType = flacBytes(44100, 2, 16, 441000L)
+    wrongType(4) = 0x04 // VORBIS_COMMENT first — invalid per spec
+    assert(Multimodal.parseFlac(wrongType).isEmpty)
+  }
+
+  test("container-meta kernel types aac/flac rows correctly") {
+    val rows = Seq((1L, aacBytes(2)), (2L, flacBytes(48000, 2, 16, 480000L)))
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "application/octet-stream")
+    val got = Multimodal.extractContainerMeta(media)
+      .select($"media_id", $"container_meta")
+      .orderBy($"media_id").collect()
+    val aac = got(0).getStruct(1)
+    assert(aac.getString(0) == "aac" && aac.getInt(3) == 44100 &&
+      aac.getInt(4) == 2)
+    val flac = got(1).getStruct(1)
+    assert(flac.getString(0) == "flac" && flac.getInt(3) == 48000 &&
+      flac.getInt(4) == 2 && flac.getLong(6) == 10000L)
+  }
+
   test("container-meta kernel types mp3/h264/garbage rows correctly") {
     val rows = Seq(
       (1L, mp3Bytes(2)),
