@@ -221,6 +221,59 @@ object ServingQueries {
       .orderBy($"tag", $"bucket_ts")
   }
 
+  /** Influx dialect round-trip: the reference's integration environment
+    * serves sensor series from InfluxDB (measurement rows tagged
+    * `{tag: name}` with a `Value` field, `tests/utils.py:80-144`).
+    * [[graft.data.Influx.queryFor]] builds the per-tag range-scan
+    * InfluxQL; a standard `/query` wire response carrying the January
+    * hourly click/view series (columns deliberately ordered
+    * `[Value, time]` — the parser must locate cells by NAME, not
+    * position) is assembled driver-side, then parsed DISTRIBUTED by
+    * [[graft.data.Influx.fromQueryResponse]]. The oracle recomputes the
+    * same triples straight from events — a dropped series, a swapped
+    * column, a mis-parsed RFC3339 time, or a corrupted double all
+    * hash-mismatch. */
+  def influxSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables(spark, dir, "events")
+      .filter($"event_type".isin("click", "view") &&
+        $"ts" >= lit("2024-01-01").cast("timestamp") &&
+        $"ts" < lit("2024-02-01").cast("timestamp"))
+      .groupBy($"event_type",
+        (floor(unix_timestamp($"ts") / 3600) * 3600).cast("long").as("bucket"))
+      .agg(avg($"value").as("value"))
+      .collect()
+    // the request side: one range scan per tag (shape-checked here so
+    // drift in the query builder fails the gate too)
+    val qs = graft.data.Influx.queriesFor("sensors", Seq("click", "view"),
+      "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")
+    require(qs == Seq(
+      """SELECT "Value" FROM "sensors" WHERE "tag" = 'click' """ +
+        """AND time >= '2024-01-01T00:00:00Z' AND time < '2024-02-01T00:00:00Z'""",
+      """SELECT "Value" FROM "sensors" WHERE "tag" = 'view' """ +
+        """AND time >= '2024-01-01T00:00:00Z' AND time < '2024-02-01T00:00:00Z'"""),
+      "per-tag InfluxQL drifted")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val series = root.putArray("results").addObject().putArray("series")
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (tag, rs) =>
+      val s = series.addObject()
+      s.put("name", "sensors")
+      s.putObject("tags").put("tag", tag)
+      val cols = s.putArray("columns"); cols.add("Value"); cols.add("time")
+      val vals = s.putArray("values")
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        val cells = vals.addArray()
+        cells.add(r.getDouble(2))
+        cells.add(java.time.Instant.ofEpochSecond(r.getLong(1)).toString)
+      }
+    }
+    graft.data.Influx.fromQueryResponse(spark, om.writeValueAsString(root))
+      .select($"tag", unix_timestamp($"ts").as("bucket_ts"),
+        r4($"value").as("value"))
+      .orderBy($"tag", $"bucket_ts")
+  }
+
   /** K4: JDBC reporter round-trip (`gordo/reporters/postgres.py:62-109`)
     * — per-event-type build stats reported into the embedded-Derby
     * `machine` table via [[Reporters.JdbcReporter]] (INSERT path), then
@@ -270,6 +323,7 @@ object ServingQueries {
     "q55_verify_columns" -> (verifyColumnsQuery _),
     "q56_normalize_tags" -> (normalizeTagsQuery _),
     "q63_json_body" -> (jsonBodyScan _),
+    "q84_influx_source" -> (influxSource _),
     "q67_jdbc_readback" -> (jdbcReadback _),
     "q79_lru_cache" -> (lruCacheTrace _),
     "q82_sha3_cache_key" -> (sha3CacheKey _),
@@ -337,6 +391,18 @@ object ServingQueries {
         |SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS BIGINT) AS pos, tag
         |FROM f ORDER BY pos""".stripMargin,
     "q63_json_body" ->
+      """SELECT event_type AS tag,
+        |  (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
+        |  floor(avg(value)*10000 + 0.5)/10000 AS value
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY tag, bucket_ts
+        |ORDER BY tag, bucket_ts""".stripMargin,
+    // same ground truth as q63 — the round-trip under test is the
+    // influx /query response encode→parse, which must be lossless
+    "q84_influx_source" ->
       """SELECT event_type AS tag,
         |  (epoch_us(ts)//1000000//3600)*3600 AS bucket_ts,
         |  floor(avg(value)*10000 + 0.5)/10000 AS value
