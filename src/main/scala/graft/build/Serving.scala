@@ -58,7 +58,7 @@ object Serving {
     private final class Holder(k: K) { lazy val value: V = load(k) }
     private val map = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, Holder]): Boolean =
-        size() > capacity
+        this.size() > capacity // `this.` disambiguates from LruCache.size
     }
     def get(k: K): V = {
       val h = map.synchronized {
