@@ -80,9 +80,14 @@ object Influx {
         $"s.columns".as("columns"),
         explode($"s.values").as("cells"))
       .select($"tag",
-        element_at($"cells", array_position($"columns", "time").cast("int"))
+        // array_position yields 0 for a missing column, and
+        // element_at(_, 0) is an ERROR in Spark — nullif turns a
+        // malformed series into null cells instead of a failed job
+        element_at($"cells",
+          nullif(array_position($"columns", "time"), lit(0L)).cast("int"))
           .as("ts_str"),
-        element_at($"cells", array_position($"columns", valueField).cast("int"))
+        element_at($"cells",
+          nullif(array_position($"columns", valueField), lit(0L)).cast("int"))
           .as("v"))
       .select($"tag", to_timestamp($"ts_str").as("ts"),
         $"v".cast("double").as("value"))

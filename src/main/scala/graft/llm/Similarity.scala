@@ -311,7 +311,7 @@ object Similarity {
       ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
     val sizes = assigned.groupBy($"cid").agg(count(lit(1)).as("sz"))
     probes.join(sizes, "cid").groupBy($"qid").agg(sum($"sz").as("c"))
-      .agg(avg($"c")).as[Double].head()
+      .agg(coalesce(avg($"c"), lit(0.0))).as[Double].head() // 0.0 when no queries match
   }
 
   private def ivfBody(corpus: DataFrame, idCol: String, embCol: String,

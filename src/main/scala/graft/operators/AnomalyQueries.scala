@@ -721,7 +721,10 @@ object AnomalyQueries {
       "sx_v", "sxx_v", "sx_c", "sxx_c", "sy_c", "sxy_c", "sy_v",
       "sxy_v", "rmin_mse", "rmin_c", "rmin_v", "agg_th", "th_c", "th_v",
       "f", "frame", "start", "end", "mic", "miv", "moc", "mov",
-      "tasc", "tasv", "tauc", "tauv")
+      "tasc", "tasv", "tauc", "tauv",
+      // assemblyCtes bindings (OracleSql.scala)
+      "src", "r", "bounds", "grid", "g", "t", "b0", "b1", "value",
+      "prevv", "prevb", "nextv", "nextb", "wa", "wb")
     Seq(a, b).foreach { t =>
       require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"tag name '$t' is not identifier-safe for SQL interpolation")

@@ -53,6 +53,18 @@ class InfluxSpec extends AnyFunSuite {
       ("click", 1704074400L, None)))
   }
 
+  test("fromQueryResponse survives a series missing the value column") {
+    // a malformed series (no "Value" column) must yield null-valued
+    // rows, not a failed job — element_at(_, 0) is an error in Spark
+    val json =
+      """{"results":[{"series":[
+        |{"name":"s","tags":{"tag":"a"},"columns":["time","other"],
+        | "values":[["2024-01-01T00:00:00Z",9.0]]}]}]}""".stripMargin
+    val got = Influx.fromQueryResponse(spark, json).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a" && got(0).isNullAt(2))
+  }
+
   test("toLineProtocol escapes and emits nanosecond timestamps") {
     val df = Seq(("tag with space,eq=x", "2024-01-01T00:00:00Z", 0.5))
       .toDF("tag", "ts_str", "value")
