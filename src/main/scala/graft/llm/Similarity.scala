@@ -92,6 +92,184 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PQ codebook: `codebook(m)(j)` is the j-th centroid of subspace m
+    * (a `D / M`-dim sub-vector). M = codebook.length subspaces,
+    * K = codebook(m).length centroids each. */
+  type PqCodebook = Seq[Seq[Seq[Double]]]
+
+  /** Product-quantization ANN scan (the public FAISS `IndexPQ`
+    * pattern, Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the D-dim space splits into M orthogonal
+    * subspaces of D/M dims; each sub-vector encodes as the id of its
+    * nearest (L2) codebook centroid, so a vector stores as M small
+    * codes — at M=8, K=16 over D=64 float32 that is 8 bytes against
+    * 256, a 32× compression (SQ8's is 4×), which is what makes a
+    * 100 TB corpus RAM-resident at scan time. Search is ASYMMETRIC
+    * (ADC): the query stays exact and scores against each candidate's
+    * reconstruction — computed here literally as the concatenation of
+    * its chosen centroids, which is arithmetically identical to the
+    * production trick of summing M lookup-table entries
+    * (dot(q, concat_m c_m) = Σ_m dot(q_m, c_m)) while staying
+    * replayable by an external SQL engine.
+    *
+    * This gated variant uses the deterministic 0-iteration codebook
+    * (sub-vectors of the `nCentroids` smallest-id corpus rows — the
+    * same oracle-replayable seeding discipline as [[ivfTopK]]);
+    * [[trainPqCodebook]] is the trained library path. Encode is a
+    * stateless per-row map (no shuffle — whole-stage codegen over
+    * K × M literal sub-distance folds); scoring is the same broadcast
+    * |Q|·N scan as [[sq8TopK]]. Ties in the sub-space argmin break to
+    * the smaller centroid id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, mSub: Int, nCentroids: Int, k: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, embCol,
+      pqCodebookFromIds(corpus, idCol, embCol, mSub, nCentroids), k)
+
+  /** The deterministic seed codebook: subspace slices of the
+    * `nCentroids` smallest-id corpus vectors. Bounded driver traffic:
+    * nCentroids × D doubles. */
+  def pqCodebookFromIds(corpus: DataFrame, idCol: String, embCol: String,
+                        mSub: Int, nCentroids: Int): PqCodebook = {
+    val rows = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("e"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    require(rows.nonEmpty, "empty corpus prefix: no codebook seeds")
+    val d = rows.head.length
+    require(d % mSub == 0, s"dim $d not divisible into $mSub subspaces")
+    val ds = d / mSub
+    (0 until mSub).map(m => rows.toSeq.map(_.slice(m * ds, m * ds + ds)))
+  }
+
+  /** [[pqTopK]] with an externally supplied codebook (typically
+    * [[trainPqCodebook]] output): same encode/ADC shape, only the
+    * codebook differs. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, codebook: PqCodebook, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(embCol).as("qe"), norm(col(embCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cid"),
+        pqReconstruct(col(embCol).cast("array<double>"), codebook).as("re"))
+      .select(col("cid"), col("re"), norm(col("re")).as("rn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Encode→reconstruct fused as one codegen'd column expression: per
+    * subspace, fold the K squared sub-distances (left-to-right, index
+    * order — bit-portable to the oracle's `list_reduce`), pick the
+    * argmin centroid via an `array_sort` on (d2, j) structs (ties →
+    * smaller j), and concatenate the chosen centroids. Public as the
+    * PQ decode path: `pqReconstruct(e, cb)` is the code-center
+    * approximation of `e` under the codebook. */
+  def pqReconstruct(e: Column, codebook: PqCodebook): Column = {
+    val parts = codebook.zipWithIndex.map { case (cents, m) =>
+      val ds = cents.head.length
+      val sub = slice(e, m * ds + 1, ds)
+      val scored = array(cents.zipWithIndex.map { case (cvec, j) =>
+        val d2 = aggregate(
+          zip_with(sub, lit(cvec.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(j).as("j"))
+      }: _*)
+      val codeJ = array_sort(scored).getItem(0).getField("j")
+      element_at(array(cents.map(cvec => lit(cvec.toArray)): _*), codeJ + 1)
+    }
+    concat(parts: _*)
+  }
+
+  /** Trained PQ codebook: per-subspace Lloyd's k-means under L2 (the
+    * metric PQ encodes with — unlike [[trainIvfCentroids]]'s spherical
+    * update, the arithmetic-mean update here IS consistent with the
+    * L2 assignment). Deterministic init from [[pqCodebookFromIds]];
+    * each round is one broadcast-assign over the exploded (row ×
+    * subspace) frame and one (m, j, dim) average whose result is
+    * M × K × D/M rows — driver traffic bounded by CODEBOOK size, never
+    * corpus size. Dead clusters carry their previous centroid forward
+    * (the FAISS behavior). Distributed sums are commutative but not
+    * associativity-pinned, so results are stable in practice rather
+    * than bit-pinned across partitionings — which is why the gated
+    * q85 stays on the 0-iteration id codebook. */
+  def trainPqCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                      mSub: Int, nCentroids: Int, iters: Int = 10): PqCodebook = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cb = pqCodebookFromIds(corpus, idCol, embCol, mSub, nCentroids)
+    val ds = cb.head.head.length
+    val subs = corpus.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("e"))
+      .select($"id", posexplode(
+        array((0 until mSub).map(m => slice($"e", m * ds + 1, ds)): _*))
+        .as(Seq("m", "sub")))
+    var it = 0
+    while (it < iters) {
+      val flat = cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (cvec, j) => (m, j, cvec) }
+      }
+      val cbDf = broadcast(flat.toDF("m", "j", "c"))
+      val wAssign = Window.partitionBy($"id", $"m")
+        .orderBy($"d2".asc, $"j".asc)
+      val means = subs.join(cbDf, "m")
+        .withColumn("d2", aggregate(
+          zip_with($"sub", $"c", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("r", row_number().over(wAssign))
+        .filter($"r" === 1)
+        .select($"m", $"j", posexplode($"sub").as(Seq("d", "x")))
+        .groupBy($"m", $"j", $"d").agg(avg($"x").as("mu"))
+        .collect() // M × K × (D/M) rows — codebook-sized, not corpus-sized
+      val byMj = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = cb.zipWithIndex.map { case (cents, m) =>
+        cents.zipWithIndex.map { case (old, j) =>
+          byMj.get((m, j))
+            .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+            .getOrElse(old) // dead cluster: carry forward
+        }
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** IVF-PQ: the production 100-TB serving composition (the FAISS
+    * `IndexIVFPQ` shape, non-residual variant) — the IVF coarse
+    * quantizer bounds the SCAN (each query reads ~nprobe/C of the
+    * corpus) while PQ bounds the MEMORY (candidates score against
+    * their 32×-compressed reconstructions, ADC-style; queries stay
+    * exact). Composes [[ivfTopKWith]]'s list structure with
+    * [[pqReconstruct]]'s encoding: when the PQ codebook is lossless
+    * for a corpus (e.g. seed-only), this equals [[ivfTopKWith]]
+    * exactly — the LlmSpec invariant. FAISS's residual refinement
+    * (PQ over x − coarse-centroid) is deliberately not modeled: under
+    * the cosine metric the residual is not scale-invariant, so the
+    * non-residual form is the honest composition. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, embCol: String,
+                centroids: Seq[(Int, Seq[Double])], codebook: PqCodebook,
+                nprobe: Int, k: Int, queryPred: Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cid", "ce")
+      .select(col("cid"), col("ce"), norm(col("ce")).as("cn")))
+    val (assigned, probes) =
+      ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
+    val enc = assigned.select(col("id"), col("cid"),
+        pqReconstruct(col("e").cast("array<double>"), codebook).as("re"))
+      .select(col("id"), col("cid"), col("re"), norm(col("re")).as("rn"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cand").asc)
+    probes.join(enc, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cand"),
+        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim d): an LCG step mapped to [−1, 1). Pure integer arithmetic —
     * identical in any engine. */

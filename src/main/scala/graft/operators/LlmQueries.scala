@@ -110,6 +110,22 @@ object LlmQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** PQ product-quantized ANN (the public FAISS IndexPQ pattern):
+    * 8 subspaces × 16 centroids over the 64-dim embeddings — 8 codes
+    * per vector, a 32× compression against float32. Deterministic
+    * 0-iteration codebook (subspace slices of corpus rows 0..15, the
+    * q47 seeding discipline) so DuckDB replays encode→reconstruct→rank
+    * exactly. Same query set and k as q35/q83: the trio brackets
+    * recall at 1× / 4× / 32× compression. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter($"vec_id" < 10), "vec_id",
+      "embedding", mSub = 8, nCentroids = 16, k = 5)
+      .select($"qid", $"rank", $"cid", r4($"cos").as("cos"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,
     * occupancy and id-checksum per bucket — verifies the scale-path
     * bucketing arithmetic itself. */
@@ -319,6 +335,7 @@ object LlmQueries {
     "q47_ann_ivf_topk" -> (annIvfTopK _),
     "q48_fingerprint_dup_groups" -> (fingerprintDupGroups _),
     "q83_ann_sq8_topk" -> (annSq8TopK _),
+    "q85_ann_pq_topk" -> (annPqTopK _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
@@ -567,6 +584,44 @@ object LlmQueries {
         |scored AS (SELECT qid, cid,
         |    (${dotOf("qe", "re")}) / (${normSql("qe")} * ${normSql("re")}) AS cos
         |  FROM q JOIN c ON qid != cid),
+        |ranked AS (SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, floor(cos*10000 + 0.5)/10000 AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // PQ replay: codebook = subspace slices (8 × 8 dims) of corpus rows
+    // 0..15; encode = per-subspace L2 argmin (ties -> smaller j, the
+    // row_number tie-break); reconstruct = chosen centroids
+    // concatenated in subspace order; queries exact (ADC). The d2 fold
+    // is list_reduce in index order — identical arithmetic and
+    // reduction order to Similarity.pqReconstruct's aggregate(zip_with)
+    "q85_ann_pq_topk" ->
+      s"""WITH cb AS (SELECT vec_id AS j,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |dist AS (SELECT v.id, s.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8), i ->
+        |      (v.e[s.m*8 + i] - cb.ce[s.m*8 + i])
+        |        * (v.e[s.m*8 + i] - cb.ce[s.m*8 + i])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN subs s CROSS JOIN cb),
+        |code AS (SELECT id, m, j FROM (
+        |    SELECT id, m, j,
+        |      row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, j ASC) AS r
+        |    FROM dist) WHERE r = 1),
+        |rec AS (SELECT code.id AS cid,
+        |    flatten(list(cb.ce[code.m*8 + 1 : code.m*8 + 8] ORDER BY code.m)) AS re
+        |  FROM code JOIN cb ON cb.j = code.j GROUP BY code.id),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |      WHERE vec_id < 10),
+        |scored AS (SELECT qid, cid,
+        |    (${dotOf("qe", "re")}) / (${normSql("qe")} * ${normSql("re")}) AS cos
+        |  FROM q JOIN rec ON qid != cid),
         |ranked AS (SELECT qid, cid, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
         |  FROM scored)

@@ -26,7 +26,10 @@ import graft.llm.Similarity
   *    its scan stays ~linear in corpus size;
   *  - the trained spherical-k-means quantizer beats (or matches) the
   *    id-centroid quantizer on recall at comparable-or-smaller
-  *    candidate cost on unbiased queries.
+  *    candidate cost on unbiased queries;
+  *  - PQ's 32× compression (8 codes over D=64) costs more recall than
+  *    SQ8's 4× but the trained per-subspace codebook recovers part of
+  *    it over the seed codebook.
   *
   * Run: `sbt "Test/runMain graft.AnnProbe <dir> [k] [nq] [qOffset]
   * [nprobe] [nCentroids]"` over /root/testdata/sf0.1, /tmp/scale10.
@@ -91,6 +94,34 @@ object AnnProbe {
     val kmCand = Similarity.ivfCandCount(emb, "vec_id", "embedding",
       trained, nprobe, qPredId)
 
+    // PQ (8 subspaces x 16 centroids over D=64 — 32x compression):
+    // seed codebook (the gated q85 configuration) vs the L2-k-means
+    // trained one. Same linear |Q|·N ADC scan as SQ8; the question the
+    // rows answer is what recall the extra 8x compression costs.
+    val (pqIdSec, pqId) = run(
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        mSub = 8, nCentroids = 16, k), "cid")
+    // FAISS training discipline: the codebook trains on a BOUNDED
+    // deterministic sample (full corpus below 20k) — codebook quality
+    // saturates with the sample, so training cost stays O(sample),
+    // independent of corpus size (at 1×/10× this IS the full corpus)
+    val pqTrainN = math.min(n, 20000L)
+    val tPq0 = System.nanoTime()
+    val pqCb = Similarity.trainPqCodebook(
+      emb.filter(col("vec_id") < pqTrainN), "vec_id", "embedding",
+      mSub = 8, nCentroids = 16, iters = 10)
+    val pqTrainSec = (System.nanoTime() - tPq0) / 1e9
+    val (pqKmSec, pqKm) = run(
+      Similarity.pqTopKWith(emb, queries, "vec_id", "embedding", pqCb, k), "cid")
+
+    // the production serving composition: trained IVF bounds the scan,
+    // trained PQ bounds the memory — recall is capped by BOTH (a miss
+    // if the true neighbor is outside the probed lists OR mis-ranked
+    // by its 32×-compressed reconstruction)
+    val (ivfPqSec, ivfPq) = run(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", trained, pqCb,
+        nprobe, k, queryPred = qPredId), "cand")
+
     println(f"""{"probe":"ann","dir":"$dir","n":$n,"k":$k,"nq":$nq,"q_offset":$qOffset,""" +
       f""""nprobe":$nprobe,"n_centroids":$nCentroids,""" +
       f""""exact_sec":$exactSec%.2f,""" +
@@ -99,7 +130,11 @@ object AnnProbe {
       f""""ivf_id_cand":$idCand%.0f,""" +
       f""""ivf_kmeans_train_sec":$trainSec%.2f,""" +
       f""""ivf_kmeans_sec":$ivfKmSec%.2f,"ivf_kmeans_recall":${recall(ivfKm)}%.3f,""" +
-      f""""ivf_kmeans_cand":$kmCand%.0f}""")
+      f""""ivf_kmeans_cand":$kmCand%.0f,""" +
+      f""""pq_id_sec":$pqIdSec%.2f,"pq_id_recall":${recall(pqId)}%.3f,""" +
+      f""""pq_train_n":$pqTrainN,"pq_kmeans_train_sec":$pqTrainSec%.2f,""" +
+      f""""pq_kmeans_sec":$pqKmSec%.2f,"pq_kmeans_recall":${recall(pqKm)}%.3f,""" +
+      f""""ivfpq_sec":$ivfPqSec%.2f,"ivfpq_recall":${recall(ivfPq)}%.3f}""")
     spark.stop()
   }
 }

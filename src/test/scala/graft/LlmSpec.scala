@@ -193,6 +193,92 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 recall $recall too low (got=$got brute=$brute)")
   }
 
+  test("PQ reconstructs codebook seed rows exactly, so on a seed-only corpus it equals brute force") {
+    val emb = Tables(spark, sf, "embeddings")
+    val seeds = emb.filter($"vec_id" < 16)
+    // every seed row's sub-vectors ARE centroids: d2 = 0 in each
+    // subspace, argmin unique (random floats), reconstruction exact —
+    // PQ top-k over a seed-only corpus must equal the exact scan
+    val cb = Similarity.pqCodebookFromIds(seeds, "vec_id", "embedding",
+      mSub = 8, nCentroids = 16)
+    val recon = seeds
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id", $"e",
+        Similarity.pqReconstruct($"e", cb).as("re"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    recon.foreach { case (id, e, re) =>
+      assert(e == re, s"seed row $id must reconstruct exactly") }
+    val pq = Similarity.pqTopKWith(seeds, seeds.filter($"vec_id" < 4),
+        "vec_id", "embedding", cb, k = 3)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(seeds, seeds.filter($"vec_id" < 4),
+        "vec_id", "embedding", k = 3)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect().toSet
+    assert(pq == brute)
+  }
+
+  test("PQ top-k is a broadcast scan and 32x compression keeps usable recall") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pq = Similarity.pqTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", mSub = 8, nCentroids = 16, k = 3)
+    // encode is a stateless per-row map; scoring a |Q|·N broadcast
+    // scan — never an N² cartesian
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"))
+    assert(!plan.contains("CartesianProduct"))
+    val brute = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val got = pq.select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    // 8 codes for 64 dims is a far harsher trade than SQ8's 4x, and
+    // near-uniform synthetic embeddings are PQ's worst case (no cluster
+    // structure for the codebook to exploit — measured 0.27 here, same
+    // caveat as the IVF rows in COVERAGE's ANN table); the deterministic
+    // floor just pins that the ranking carries real signal
+    assert(recall >= 0.2, s"PQ recall $recall too low (got=$got brute=$brute)")
+  }
+
+  test("IVF-PQ with a lossless codebook equals plain IVF (composition is exact where PQ is)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val seeds = emb.filter($"vec_id" < 16)
+    // seed-only corpus: every vector reconstructs exactly, so the PQ
+    // leg of the composition is the identity and IVF-PQ must return
+    // byte-for-byte what ivfTopKWith returns
+    val cents = Similarity.trainIvfCentroids(seeds, "vec_id", "embedding",
+      nCentroids = 4, iters = 0)
+    val cb = Similarity.pqCodebookFromIds(seeds, "vec_id", "embedding",
+      mSub = 8, nCentroids = 16)
+    val qp = col("id") < 4
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"cand").as[(Long, Int, Long)].collect().toSet
+    val ivfPq = rows(Similarity.ivfPqTopK(seeds, "vec_id", "embedding",
+      cents, cb, nprobe = 2, k = 3, queryPred = qp))
+    val ivf = rows(Similarity.ivfTopKWith(seeds, "vec_id", "embedding",
+      cents, nprobe = 2, k = 3, queryPred = qp))
+    assert(ivfPq == ivf)
+    assert(ivfPq.nonEmpty)
+  }
+
+  test("trained PQ codebook does not increase reconstruction MSE over the seed codebook") {
+    val emb = Tables(spark, sf, "embeddings")
+    def mse(cb: Similarity.PqCodebook): Double =
+      emb.select($"embedding".cast("array<double>").as("e"))
+        .select(Similarity.pqReconstruct($"e", cb).as("re"), $"e")
+        .select(aggregate(zip_with($"e", $"re", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("se"))
+        .agg(avg($"se")).as[Double].head()
+    val idCb = Similarity.pqCodebookFromIds(emb, "vec_id", "embedding",
+      mSub = 8, nCentroids = 16)
+    val trained = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+      mSub = 8, nCentroids = 16, iters = 3)
+    val (e0, e1) = (mse(idCb), mse(trained))
+    // Lloyd's objective is non-increasing per round (assignment and
+    // arithmetic-mean update both only decrease L2 error)
+    assert(e1 <= e0 + 1e-9, s"trained MSE $e1 > seed MSE $e0")
+    assert(e1 > 0.0) // and lossy, as 32x compression must be
+  }
+
   test("multimodal resize and frame-sample keep the media plumbing shape") {
     val media = Multimodal.asMedia(
       Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("id", "payload"),

@@ -65,9 +65,19 @@ def main():
     con.sql(f"""
       COPY (
         SELECT v.vec_id + k.k * {maxvec} AS vec_id,
+               -- shift by (k mod D); negate for k >= D. A plain shift
+               -- wraps at D copies: k = D slices to [] ++ full = an
+               -- EXACT duplicate (and k > D clamps likewise), which
+               -- plants cos=1.0 ties that saturate recall@k for every
+               -- ANN method. The negated shifts stay distinct up to 2D
+               -- copies.
                CASE WHEN k.k = 0 THEN v.embedding
-                    ELSE list_concat(v.embedding[k.k + 1:],
-                                     v.embedding[1:k.k]) END AS embedding,
+                    ELSE list_transform(
+                      list_concat(
+                        v.embedding[(k.k % len(v.embedding)) + 1:],
+                        v.embedding[1:(k.k % len(v.embedding))]),
+                      x -> CASE WHEN k.k >= len(v.embedding)
+                                THEN -x ELSE x END) END AS embedding,
                v.label
         FROM '{SRC}/embeddings.parquet' v
         CROSS JOIN (SELECT unnest(generate_series(0, {K - 1})) AS k) k
