@@ -174,6 +174,87 @@ case class LshBandKeys(child: Expression, planes: Int, tables: Int)
   override def prettyName: String = "lsh_band_keys"
 }
 
+/** Native PQ encode→reconstruct kernel: per subspace m, find the L2
+  * argmin centroid (squared sub-distance accumulated LEFT TO RIGHT in
+  * index order — bit-identical to the HOF `aggregate(zip_with(...))`
+  * fold and the DuckDB oracle's `list_reduce`; ties break to the
+  * smaller centroid id, the `array_sort` on (d2, j) structs order) and
+  * emit the concatenation of the chosen centroids. One tight JVM loop
+  * per row replaces M × K interpreted lambda folds — the encode cost
+  * that dominated the PQ probe wall. Null semantics: a null element or
+  * a length ≠ M × D/M input yields NULL (embeddings with null dims
+  * have no geometric meaning).
+  */
+case class PqReconstructExpr(child: Expression,
+                             codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(codebook.nonEmpty && codebook.head.nonEmpty &&
+    codebook.head.head.nonEmpty, "empty PQ codebook")
+  require(codebook.forall(_.length == codebook.head.length) &&
+    codebook.forall(_.forall(_.length == codebook.head.head.length)),
+    "ragged PQ codebook")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_reconstruct expects array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val mSub = cb.length
+    val nCent = cb(0).length
+    val ds = cb(0)(0).length
+    val n = a.numElements()
+    if (n != mSub * ds) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](n)
+    var m = 0
+    while (m < mSub) {
+      val off = m * ds
+      var bestJ = 0
+      var bestD2 = Double.PositiveInfinity
+      var j = 0
+      while (j < nCent) {
+        val c = cb(m)(j)
+        var s = 0.0
+        i = 0
+        while (i < ds) {
+          val d = x(off + i) - c(i)
+          s += d * d
+          i += 1
+        }
+        // strictly-less + ascending j == array_sort's (d2, j) tie-break
+        if (s < bestD2) { bestD2 = s; bestJ = j }
+        j += 1
+      }
+      System.arraycopy(cb(m)(bestJ), 0, out, off, ds)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstructExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_reconstruct"
+}
+
 object ArrayOps {
   /** Dot product of two float/double array columns (left-fold double sum
     * in index order — bit-identical to the HOF `aggregate(zip_with(...))`
@@ -188,4 +269,11 @@ object ArrayOps {
   def lshBandKeys(emb: Column, planes: Int, tables: Int): Column =
     ColumnBridge.column(
       LshBandKeys(ColumnBridge.expression(emb), planes, tables))
+
+  /** PQ encode→reconstruct under a fixed codebook in one native pass —
+    * bit-identical to the HOF slice/zip_with/aggregate/array_sort
+    * construction it replaces (see [[PqReconstructExpr]]). */
+  def pqReconstruct(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(
+      PqReconstructExpr(ColumnBridge.expression(emb), codebook))
 }

@@ -150,7 +150,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"),
       col(embCol).as("qe"), norm(col(embCol)).as("qn")))
     val c = corpus.select(col(idCol).as("cid"),
-        pqReconstruct(col(embCol).cast("array<double>"), codebook).as("re"))
+        pqReconstruct(col(embCol), codebook).as("re"))
       .select(col("cid"), col("re"), norm(col("re")).as("rn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -160,28 +160,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Encode→reconstruct fused as one codegen'd column expression: per
-    * subspace, fold the K squared sub-distances (left-to-right, index
-    * order — bit-portable to the oracle's `list_reduce`), pick the
-    * argmin centroid via an `array_sort` on (d2, j) structs (ties →
-    * smaller j), and concatenate the chosen centroids. Public as the
-    * PQ decode path: `pqReconstruct(e, cb)` is the code-center
-    * approximation of `e` under the codebook. */
-  def pqReconstruct(e: Column, codebook: PqCodebook): Column = {
-    val parts = codebook.zipWithIndex.map { case (cents, m) =>
-      val ds = cents.head.length
-      val sub = slice(e, m * ds + 1, ds)
-      val scored = array(cents.zipWithIndex.map { case (cvec, j) =>
-        val d2 = aggregate(
-          zip_with(sub, lit(cvec.toArray), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(d2.as("d2"), lit(j).as("j"))
-      }: _*)
-      val codeJ = array_sort(scored).getItem(0).getField("j")
-      element_at(array(cents.map(cvec => lit(cvec.toArray)): _*), codeJ + 1)
-    }
-    concat(parts: _*)
-  }
+  /** Encode→reconstruct fused as one column expression — the public PQ
+    * decode path: `pqReconstruct(e, cb)` is the code-center
+    * approximation of `e` under the codebook. Delegates to the native
+    * [[graft.functions.ArrayOps.pqReconstruct]] kernel (one tight JVM
+    * loop per row); bit-identical to the HOF construction it replaced
+    * (per subspace: slice → K squared-distance `aggregate(zip_with)`
+    * left folds → argmin via `array_sort` on (d2, j) structs, ties to
+    * the smaller j → `concat` of chosen centroids), whose M × K
+    * interpreted lambda folds dominated the PQ scan wall. */
+  def pqReconstruct(e: Column, codebook: PqCodebook): Column =
+    graft.functions.ArrayOps.pqReconstruct(e, codebook)
 
   /** Trained PQ codebook: per-subspace Lloyd's k-means under L2 (the
     * metric PQ encodes with — unlike [[trainIvfCentroids]]'s spherical
@@ -258,7 +247,7 @@ object Similarity {
     val (assigned, probes) =
       ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
     val enc = assigned.select(col("id"), col("cid"),
-        pqReconstruct(col("e").cast("array<double>"), codebook).as("re"))
+        pqReconstruct(col("e"), codebook).as("re"))
       .select(col("id"), col("cid"), col("re"), norm(col("re")).as("rn"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cand").asc)

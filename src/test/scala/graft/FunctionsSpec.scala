@@ -46,6 +46,63 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  /** The HOF construction PqReconstructExpr replaced — kept here as the
+    * independent reference the kernel must match bit-for-bit. */
+  private def hofPqReconstruct(e: Column,
+      codebook: Seq[Seq[Seq[Double]]]): Column = {
+    val parts = codebook.zipWithIndex.map { case (cents, m) =>
+      val ds = cents.head.length
+      val sub = slice(e, m * ds + 1, ds)
+      val scored = array(cents.zipWithIndex.map { case (cvec, j) =>
+        val d2 = aggregate(
+          zip_with(sub, lit(cvec.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(j).as("j"))
+      }: _*)
+      val codeJ = array_sort(scored).getItem(0).getField("j")
+      element_at(array(cents.map(cvec => lit(cvec.toArray)): _*), codeJ + 1)
+    }
+    concat(parts: _*)
+  }
+
+  test("PqReconstructExpr matches the HOF slice/fold/argmin form bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(4)(_ =>
+      Seq.tabulate(8)(_ => Seq.fill(4)(rnd.nextDouble() * 2 - 1)))
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "e")
+    val out = df.select(
+      graft.functions.ArrayOps.pqReconstruct($"e", cb).as("native"),
+      hofPqReconstruct($"e".cast("array<double>"), cb).as("hof")).collect()
+    out.foreach { r =>
+      val nat = r.getSeq[Double](0)
+      val hof = r.getSeq[Double](1)
+      assert(nat.length == hof.length)
+      nat.zip(hof).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b))
+      }
+    }
+  }
+
+  test("PqReconstructExpr null semantics: null element or wrong length yields NULL") {
+    val cb: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), Seq(Seq(0.5, 0.5), Seq(2.0, 2.0)))
+    val short = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("e") // length 3 != 4
+    assert(short.select(graft.functions.ArrayOps.pqReconstruct($"e", cb))
+      .collect()(0).isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT cast(array(1.0, NULL, 0.5, 0.5) AS array<float>) e")
+    assert(withNull.select(graft.functions.ArrayOps.pqReconstruct($"e", cb))
+      .collect()(0).isNullAt(0))
+    // and the happy path picks the nearest centroid per subspace
+    val ok = Seq(Tuple1(Array(0.9f, 0.9f, 0.6f, 0.6f))).toDF("e")
+    val got = ok.select(graft.functions.ArrayOps.pqReconstruct($"e", cb))
+      .collect()(0).getSeq[Double](0)
+    assert(got == Seq(1.0, 1.0, 0.5, 0.5))
+  }
+
   test("MinHashSignature matches the HOF md5-min form exactly") {
     def hofSig(sh: Column, k: Int): Column =
       transform(sequence(lit(0), lit(k - 1)), i =>
