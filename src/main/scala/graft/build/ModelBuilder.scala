@@ -289,7 +289,7 @@ object ModelBuilder {
     // P8: drop smooth-* groups unless all_columns
     // (`gordo/server/blueprints/anomaly.py:56-62`)
     if (allColumns) frame
-    else frame.drop(frame.columns.filter(_.startsWith("smooth-")): _*)
+    else frame.drop(frame.columns.filter(_.startsWith("smooth-")).toIndexedSeq: _*)
   }
 
   /** [[score]] routed through a [[Serving.ModelCache]] — the S5
@@ -303,6 +303,6 @@ object ModelBuilder {
     val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
       resolutionSec)
     if (allColumns) frame
-    else frame.drop(frame.columns.filter(_.startsWith("smooth-")): _*)
+    else frame.drop(frame.columns.filter(_.startsWith("smooth-")).toIndexedSeq: _*)
   }
 }

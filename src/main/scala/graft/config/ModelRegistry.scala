@@ -322,7 +322,10 @@ object ModelRegistry {
           }
           fitTransform(withCopies, branchCols, b)
         }
-      case _: Reconstruction | _: Detector | _: CvSplit => df
+      // estimator-stage nodes (incl. the raw-spec and windowed wrappers)
+      // are the builder's job, not preprocessing — pass the frame through
+      case _: Reconstruction | _: Detector | _: CvSplit | _: RawSpec |
+           _: Windowed => df
     }
 
   /** Extract the anomaly-detector spec from a compiled tree (the final

@@ -50,7 +50,8 @@ object GraftFunctions {
       s"$fn expects $n arguments, got ${args.length}")
 
   private def desc(name: String, clazz: Class[_], usage: String): ExpressionInfo =
-    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "")
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val all: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("dot_product"),

@@ -210,7 +210,9 @@ object ServingQueries {
     val root = om.createObjectNode()
     rows.sortBy(r => (r.getString(0), r.getLong(1))).foreach { r =>
       val tagNode =
-        if (root.has(r.getString(0))) root.`with`(r.getString(0))
+        if (root.has(r.getString(0)))
+          root.get(r.getString(0))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         else root.putObject(r.getString(0))
       tagNode.put(java.time.Instant.ofEpochSecond(r.getLong(1)).toString,
         r.getDouble(2))
