@@ -126,6 +126,27 @@ object LlmQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** IVF-PQ composition, deterministic variant: the q47 seed coarse
+    * quantizer (corpus rows 0..15) restricts each query to its nprobe=2
+    * probed lists, and candidates score against their q85 seed-codebook
+    * PQ reconstructions (queries exact — ADC). Gates the full
+    * scan-bounded + memory-bounded serving path end-to-end; the trained
+    * variant (same plan, different constants) is probe-measured. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cid"),
+        $"embedding".cast("array<double>").as("ce"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cb = Similarity.pqCodebookFromIds(emb, "vec_id", "embedding",
+      mSub = 8, nCentroids = 16)
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
+      nprobe = 2, k = 5, queryPred = col("id") < 10)
+      .select($"qid", $"rank", $"cand", r4($"cos").as("cos"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,
     * occupancy and id-checksum per bucket — verifies the scale-path
     * bucketing arithmetic itself. */
@@ -336,6 +357,7 @@ object LlmQueries {
     "q48_fingerprint_dup_groups" -> (fingerprintDupGroups _),
     "q83_ann_sq8_topk" -> (annSq8TopK _),
     "q85_ann_pq_topk" -> (annPqTopK _),
+    "q86_ann_ivfpq_topk" -> (annIvfPqTopK _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
