@@ -113,6 +113,6 @@ object AsOfJoin {
 
     val matchedCols = col("__match").getField("__ts").as(matchedTsName) +:
       payload.map(p => col("__match").getField(p).as(p))
-    gated.select(left.columns.map(col) ++ matchedCols: _*)
+    gated.select(left.columns.toIndexedSeq.map(col) ++ matchedCols: _*)
   }
 }

@@ -55,6 +55,38 @@ object TextAnalysis {
     lenSat * diversity * punctPenalty
   }
 
+  /** Fraction of tokens that repeat an earlier token (the Gopher-style
+    * duplicate-word repetition signal; reference curation analogue:
+    * corpus-hygiene filters ahead of model fitting). Pure per-row
+    * expression — no shuffle at any corpus size. */
+  def dupWordFrac(text: Column): Column = {
+    val toks = split(trim(text), " ")
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Word bigrams of the text as an array column (helper shared by the
+    * repetition stats and their tests). Empty for one-word docs. */
+  def wordBigrams(text: Column): Column = {
+    val toks = split(trim(text), " ")
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of word bigrams taken by the single most frequent bigram
+    * (Gopher's top-n-gram repetition signal, n=2). O(distinct × total)
+    * per row over ~doc-length arrays; still a shuffle-free map. */
+  def topBigramFrac(text: Column): Column = {
+    val bg = wordBigrams(text)
+    when(size(bg) > 0,
+      array_max(transform(array_distinct(bg),
+        b => size(filter(bg, x => x === b)))).cast("double") /
+        size(bg).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Language-marker dictionaries for the stopword-voting language ID
     * (tiny, heuristic — the n-gram-frequency approach). */
   val langMarkers: Map[String, Seq[String]] = Map(

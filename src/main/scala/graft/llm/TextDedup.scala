@@ -282,6 +282,24 @@ object TextDedup {
       explode(graft.functions.Winnow.fingerprints(col(textCol), k, w))
         .as("fp"))
 
+  /** Benchmark-contamination scan: for every corpus document NOT in the
+    * benchmark set, count the distinct word n-grams it shares with ANY
+    * benchmark document (the standard 13-gram eval-decontamination
+    * check). Scale shape: the benchmark gram set is tiny relative to the
+    * corpus (eval suites are KBs against TBs), so it broadcasts — the
+    * corpus side is one linear explode + broadcast-hash-join + per-doc
+    * aggregate; no shuffle touches corpus-×-corpus pairs. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    isBenchmark: Column, n: Int = 13): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), isBenchmark.as("bm"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val bmGrams = grams.filter(col("bm")).select(col("s")).distinct()
+    grams.filter(!col("bm"))
+      .join(broadcast(bmGrams), "s")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("s")).as("n_shared"))
+  }
+
   /** Dup-cluster materialization (the dedup WRITE side): group by a
     * content key expression (exact md5 or the order-insensitive
     * fingerprint), keep the smallest id as the cluster representative,
