@@ -32,7 +32,6 @@ object Components {
     * information and are not materialized).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val spark = edges.sparkSession
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -40,43 +39,59 @@ object Components {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var jumped: DataFrame = null
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      // 1. neighbor-min: every node pulls the smallest label among its
-      //    neighbors (partial-aggregated map-side before the shuffle)
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-      // 2. pointer jump: label := label(label) — halves chain depth, the
-      //    O(log d) ingredient (plain propagation walks one hop per round)
-      val jumped = stepped.as("l")
-        .join(stepped.select(col("node").as("label"),
-          col("label").as("parent")).as("p"), Seq("label"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("parent"), col("label")))
-            .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint cuts the per-round join lineage (non-reliable is
-      // fine: a lost executor recomputes from the persisted parent)
-      val next = jumped.localCheckpoint(false)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels.unpersist(false)
-      jumped.unpersist(false)
-      labels = next
-      converged = changed == 0
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        // 1. neighbor-min: every node pulls the smallest label among its
+        //    neighbors (partial-aggregated map-side before the shuffle)
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("nbr_min"))
+        val stepped = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"))
+        // 2. pointer jump: label := label(label) — halves chain depth, the
+        //    O(log d) ingredient (plain propagation walks one hop per round)
+        jumped = stepped.as("l")
+          .join(stepped.select(col("node").as("label"),
+            col("label").as("parent")).as("p"), Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("parent"), col("label")))
+              .as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint TRUNCATES lineage: after it materializes (at the
+        // `changed` count below, while `jumped` is still persisted), the
+        // per-round plan can't grow unboundedly — but a lost executor can
+        // no longer recompute dropped blocks either; the JOB fails (loudly)
+        // and must rerun. That is the accepted trade for bounded plans;
+        // reliable `checkpoint()` to a cluster FS is the HA upgrade path.
+        val next = jumped.localCheckpoint(false)
+        val changed = next.as("n")
+          .join(labels.as("o"), Seq("node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        labels.unpersist(false)
+        jumped.unpersist(false)
+        jumped = null
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+    } finally {
+      // on the non-convergence throw (or any job failure) release every
+      // block this call pinned; on success the returned frame's own
+      // checkpoint blocks live until the caller drops it / session ends —
+      // callers should materialize-and-drop promptly (q87 writes parquet)
+      sym.unpersist(false)
+      if (jumped != null) jumped.unpersist(false)
+      if (!converged) labels.unpersist(false)
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    sym.unpersist(false)
     labels.withColumnRenamed("label", "component")
   }
 

@@ -288,7 +288,15 @@ object TextDedup {
     * check). Scale shape: the benchmark gram set is tiny relative to the
     * corpus (eval suites are KBs against TBs), so it broadcasts — the
     * corpus side is one linear explode + broadcast-hash-join + per-doc
-    * aggregate; no shuffle touches corpus-×-corpus pairs. */
+    * aggregate; no shuffle touches corpus-×-corpus pairs.
+    *
+    * Output contract — ABSENCE MEANS CLEAN: only contaminated docs
+    * appear (n_shared ≥ 1). A doc with zero shared grams, a doc shorter
+    * than `n` tokens (no shingles), and the benchmark docs themselves
+    * are all absent; callers wanting a row per corpus doc left-join this
+    * against their id list and coalesce n_shared to 0. Rows where
+    * `isBenchmark` evaluates to null are treated as neither benchmark
+    * nor corpus (both filters drop them) — oracle-gated by q89. */
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     isBenchmark: Column, n: Int = 13): DataFrame = {
     val grams = df.select(col(idCol).as("id"), isBenchmark.as("bm"),

@@ -711,7 +711,7 @@ object AnomalyQueries {
     * be identifier-safe — enforced below, since an unquoted identifier
     * colliding with a template name (tag, v, rn, n, a CTE) or a
     * reserved word would produce invalid or subtly wrong SQL. */
-  private def ridgeBuildFrameSql(a: String, b: String): String = {
+  private[graft] def ridgeBuildFrameSql(a: String, b: String): String = {
     // every identifier the template itself binds (CTE names, column
     // aliases) — a tag sharing one would shadow it inside the SQL
     val templateNames = Set("i", "ww", "idx", "nn", "lastfold", "tr",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Oracle-checked coverage for the LLM-data-pipeline operators over the
   * `documents` and `embeddings` tables: text statistics, quality scores,
@@ -83,6 +83,49 @@ object LlmQueries {
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Dup-cluster resolution over q34's verified MinHash near-dup pairs:
+    * near-dup pairs are not transitive, so "keep one copy per group"
+    * needs the transitive closure — distributed min-label propagation
+    * with pointer jumping ([[graft.llm.Components]]), keeper = smallest
+    * doc id per component, plus per-doc keep flag and cluster size. */
+  def minhashDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val shDf = graft.Caching.ensureCached(
+      TextDedup.withShingles(docs, "doc_id", "text", ngram = 3))
+    val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
+    val pairs = TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
+    Components.dupClusters(pairs).orderBy($"doc_id")
+  }
+
+  /** Per-document repetition signals (the Gopher-style corpus-hygiene
+    * stats): duplicate-word fraction and top-bigram fraction — pure
+    * per-row expressions, shuffle-free at any corpus size. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        r4(TextAnalysis.dupWordFrac($"text")).as("dup_word_frac"),
+        r4(TextAnalysis.topBigramFrac($"text")).as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination scan, oracle-gated: the `src0` source
+    * partition stands in as the "benchmark" set; every other doc
+    * reports the distinct word n-grams it shares with any benchmark
+    * doc (8-grams here — the standard check is 13-grams, but the
+    * synthetic texts are 10–54 tokens). Absence means clean: the
+    * inner-join semantics of [[TextDedup.contamination]] are part of
+    * the contract (callers left-join against the corpus ids), and the
+    * oracle replays exactly that. */
+  def contaminationScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextDedup.contamination(Tables(spark, dir, "documents"),
+      "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
+      .select($"id".as("doc_id"), $"n_shared")
+      .orderBy($"doc_id")
   }
 
   /** Exact cosine top-5 for the first 10 query vectors — the brute-force
@@ -358,6 +401,9 @@ object LlmQueries {
     "q83_ann_sq8_topk" -> (annSq8TopK _),
     "q85_ann_pq_topk" -> (annPqTopK _),
     "q86_ann_ivfpq_topk" -> (annIvfPqTopK _),
+    "q87_dup_clusters" -> (minhashDupClusters _),
+    "q88_repetition_stats" -> (repetitionStats _),
+    "q89_contamination" -> (contaminationScan _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
@@ -377,6 +423,27 @@ object LlmQueries {
   private val bandSql = (0 until 6)
     .map(b => s"'$b' || '#' || md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
     .mkString("[", ",\n          ", "]")
+
+  /** The q34 MinHash-LSH pair derivation (shingle → signature → band →
+    * candidate → exact-Jaccard verify), shared by the q34 pair gate and
+    * the q87 cluster gate — `inter` holds (id_a, id_b, na, nb, c). */
+  private lazy val minhashPairCtes: String =
+    s"""toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      |  FROM toks),
+      |sig AS (SELECT doc_id, sh, $minhashSql AS sig FROM sh),
+      |bandrows AS (SELECT doc_id, unnest($bandSql) AS band FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+      |inter AS (SELECT c.id_a, c.id_b, any_value(x.n) AS na, any_value(y.n) AS nb,
+      |    count(*) AS c
+      |  FROM cand c
+      |  JOIN shx x ON x.doc_id = c.id_a
+      |  JOIN shx y ON y.doc_id = c.id_b AND y.s = x.s
+      |  GROUP BY c.id_a, c.id_b)""".stripMargin
 
   /** Hyperplane sign bits (LCG arithmetic identical to
     * Similarity.hyperplane; DuckDB lambda index is 1-based → i-1).
@@ -538,27 +605,65 @@ object LlmQueries {
         |FROM documents
         |ORDER BY exact_key""".stripMargin,
     "q34_minhash_dup_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> array_to_string(tk[i:i+2], ' '))) AS sh
-        |  FROM toks),
-        |sig AS (SELECT doc_id, sh, $minhashSql AS sig FROM sh),
-        |bandrows AS (SELECT doc_id, unnest($bandSql) AS band FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
-        |inter AS (SELECT c.id_a, c.id_b, any_value(x.n) AS na, any_value(y.n) AS nb,
-        |    count(*) AS c
-        |  FROM cand c
-        |  JOIN shx x ON x.doc_id = c.id_a
-        |  JOIN shx y ON y.doc_id = c.id_b AND y.s = x.s
-        |  GROUP BY c.id_a, c.id_b)
+      s"""WITH $minhashPairCtes
         |SELECT id_a, id_b,
         |  floor((CAST(c AS DOUBLE) / (na + nb - c))*10000 + 0.5)/10000 AS jaccard
         |FROM inter
         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure of q34's verified pair set: DuckDB walks
+    // reachability with a recursive CTE (min reachable id = component),
+    // replaying what the distributed min-label + pointer-jump loop
+    // computes without iteration-order sensitivity
+    "q87_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |prs AS (SELECT id_a, id_b FROM inter
+        |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3),
+        |ed AS (SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |walk(node, label) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM ed)
+        |  UNION
+        |  SELECT e.a, w.label FROM ed e JOIN walk w ON w.node = e.b),
+        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        |sizes AS (SELECT component, count(*) AS n_docs FROM comp GROUP BY component)
+        |SELECT comp.node AS doc_id, comp.component,
+        |  comp.node = comp.component AS keep, sizes.n_docs
+        |FROM comp JOIN sizes USING (component)
+        |ORDER BY doc_id""".stripMargin,
+    "q88_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  floor((1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))*10000 + 0.5)/10000
+        |    AS dup_word_frac,
+        |  floor((CASE WHEN len(bg) > 0
+        |    THEN CAST(list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END)*10000 + 0.5)/10000 AS top_bigram_frac
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+    // absence means clean (inner-join contract): only docs outside the
+    // benchmark set that share ≥1 distinct 8-gram with it appear
+    "q89_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, str_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' ')))) AS s
+        |  FROM toks),
+        |bm AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(DISTINCT sh.s) AS n_shared
+        |FROM sh JOIN bm USING (s)
+        |WHERE source != 'src0'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q35_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
@@ -649,6 +754,59 @@ object LlmQueries {
         |  FROM scored)
         |SELECT qid, rank, cid, floor(cos*10000 + 0.5)/10000 AS cos
         |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ replay = q47's coarse assignment ∘ q85's PQ reconstruction:
+    // assign every vector to its nearest seed centroid (vec_id < 16,
+    // cosine, ties → smaller cid), expand each query (id < 10) to its
+    // nprobe=2 probed lists, then score candidates from the probed
+    // lists ONLY against their seed-codebook PQ reconstructions
+    // (queries exact — ADC), rank by cos desc / cand asc, top 5.
+    // Every constant is deterministic, so the composition replays the
+    // Scala path (Similarity.ivfPqTopK) bit-for-bit.
+    "q86_ann_ivfpq_topk" ->
+      s"""WITH cb AS (SELECT vec_id AS j,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |dist AS (SELECT v.id, s.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8), i ->
+        |      (v.e[s.m*8 + i] - cb.ce[s.m*8 + i])
+        |        * (v.e[s.m*8 + i] - cb.ce[s.m*8 + i])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN subs s CROSS JOIN cb),
+        |code AS (SELECT id, m, j FROM (
+        |    SELECT id, m, j,
+        |      row_number() OVER (PARTITION BY id, m ORDER BY d2 ASC, j ASC) AS r
+        |    FROM dist) WHERE r = 1),
+        |rec AS (SELECT code.id AS rid,
+        |    flatten(list(cb.ce[code.m*8 + 1 : code.m*8 + 8] ORDER BY code.m)) AS re
+        |  FROM code JOIN cb ON cb.j = code.j GROUP BY code.id),
+        |vv AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        |cc AS (SELECT vec_id AS ccid, embedding AS ce2 FROM embeddings
+        |       WHERE vec_id < 16),
+        |ac AS (SELECT id, e, ccid,
+        |    ${dotOf("e", "ce2")} / (${normSql("e")} * ${normSql("ce2")}) AS ccos
+        |  FROM vv CROSS JOIN cc),
+        |asg AS (SELECT id, ccid FROM (
+        |    SELECT id, ccid,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, ccid ASC) AS r
+        |    FROM ac) WHERE r = 1),
+        |pq AS (SELECT id AS qid, e AS qe, ccid FROM (
+        |    SELECT id, e, ccid,
+        |      row_number() OVER (PARTITION BY id ORDER BY ccos DESC, ccid ASC) AS r
+        |    FROM ac WHERE id < 10) WHERE r <= 2),
+        |scored AS (SELECT pq.qid, asg.id AS cand,
+        |    (${dotOf("pq.qe", "rec.re")})
+        |      / (${normSql("pq.qe")} * ${normSql("rec.re")}) AS cos
+        |  FROM pq JOIN asg ON pq.ccid = asg.ccid AND pq.qid != asg.id
+        |  JOIN rec ON rec.rid = asg.id)
+        |SELECT qid, rank, cand, floor(cos*10000 + 0.5)/10000 AS cos FROM (
+        |  SELECT qid, cand, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     "q37_multimodal_features" ->
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes

@@ -371,4 +371,27 @@ class AdviceFixesSpec extends AnyFunSuite {
       d.delete()
     } finally witness.delete()
   }
+
+  test("ridgeBuildFrameSql rejects identifier-unsafe and colliding tags") {
+    import graft.operators.AnomalyQueries.ridgeBuildFrameSql
+    // the safe call sites still work
+    assert(ridgeBuildFrameSql("click", "view").nonEmpty)
+    // a tag colliding with a template binding would silently shadow it
+    // inside the generated SQL — must throw instead
+    for (bad <- Seq("tag", "v", "rn", "src", "bucket_ts", "TAG")) {
+      val e = intercept[IllegalArgumentException] {
+        ridgeBuildFrameSql(bad, "view")
+      }
+      assert(e.getMessage.contains("collides"), s"$bad: ${e.getMessage}")
+    }
+    // non-identifier tags (dots, quotes, spaces) can't interpolate
+    for (bad <- Seq("a.b", "a b", "a'b", "a\"b", "1abc", "")) {
+      val e = intercept[IllegalArgumentException] {
+        ridgeBuildFrameSql(bad, "view")
+      }
+      assert(e.getMessage.contains("identifier-safe"), s"$bad: ${e.getMessage}")
+    }
+    // identical pair rejected
+    intercept[IllegalArgumentException] { ridgeBuildFrameSql("x", "x") }
+  }
 }

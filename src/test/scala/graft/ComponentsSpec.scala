@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Components
+
+/** Connected components / dup-cluster resolution (graft.llm.Components):
+  * pointer-jump correctness on deep chains, multi-component graphs,
+  * convergence failure behavior, idempotence, and the dupClusters
+  * keep-flag contract. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 40) =
+    Components.connectedComponents(edges.toDF("a", "b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("a deep chain collapses to its minimum id (pointer jumping)") {
+    // 0-1-2-...-63: diameter 63 — plain one-hop propagation would need
+    // 63 rounds; pointer jumping must land it well inside 40
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L), s"all labels must be 0, got $got")
+  }
+
+  test("multiple components resolve independently") {
+    // three clusters + edge order scrambled and reversed
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (100L, 50L),
+      (50L, 70L), (70L, 100L), (9L, 5L))
+    val got = components(edges)
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      50L -> 50L, 70L -> 50L, 100L -> 50L))
+  }
+
+  test("isolated nodes are not materialized; self-loops are harmless") {
+    val got = components(Seq((1L, 1L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("non-convergence throws (and does not loop forever)") {
+    // maxIter=0 cannot converge on any non-trivial graph
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(Seq((1L, 2L)).toDF("a", "b"),
+        maxIter = 0).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("idempotent: a second run over the same edges agrees") {
+    val edges = Seq((7L, 2L), (2L, 11L), (4L, 6L))
+    assert(components(edges) == components(edges))
+  }
+
+  test("dupClusters: keeper = component min, keep flag, cluster sizes") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val got = Components.dupClusters(pairs)
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, 10L, true, 3L), (11L, 10L, false, 3L), (12L, 10L, false, 3L),
+      (30L, 30L, true, 2L), (31L, 30L, false, 2L)))
+  }
+}

@@ -723,4 +723,64 @@ class LlmSpec extends AnyFunSuite {
     assert(got(0).getStruct(1).getString(0) == "h264")
     assert(got(1).isNullAt(1), "a lone header in junk must not type as mp3")
   }
+
+  test("repetition stats: hand-computed fractions incl. empty/one-word docs") {
+    val docs = Seq(
+      (1L, "a b a"),            // dup 1-2/3; bigrams [a b, b a] distinct → 1/2
+      (2L, "a b a b a"),        // dup 1-2/5; bigrams [a b, b a, a b, b a] → 2/4
+      (3L, "x"),                // one word: dup 0, no bigrams → 0.0
+      (4L, ""),                 // empty: split→[""], dup 0, no bigrams → 0.0
+      (5L, "w w w w"))          // dup 1-1/4; bigrams [w w]×3 → 3/3
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.dupWordFrac($"text").as("dw"),
+        TextAnalysis.topBigramFrac($"text").as("tb"))
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double)].collect()
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(got(0)._2, 1.0 - 2.0 / 3) && close(got(0)._3, 0.5))
+    assert(close(got(1)._2, 1.0 - 2.0 / 5) && close(got(1)._3, 0.5))
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0.0)
+    assert(got(3)._2 == 0.0 && got(3)._3 == 0.0)
+    assert(close(got(4)._2, 0.75) && close(got(4)._3, 1.0))
+  }
+
+  test("wordBigrams builds adjacent pairs; empty for one-word docs") {
+    val got = Seq((1L, "a b c d"), (2L, "solo"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.wordBigrams($"text").as("bg"))
+      .orderBy($"id").collect()
+    assert(got(0).getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(got(1).getSeq[String](1).isEmpty)
+  }
+
+  test("contamination: overlap counts; clean/short/null-flag docs absent") {
+    // benchmark doc shares its full 3-gram span with doc 10 (2 distinct
+    // shared 3-grams) and one 3-gram with doc 11; doc 12 has zero
+    // overlap, doc 13 is shorter than n, doc 14 has a null flag — all
+    // three must be ABSENT (absence means clean), never n_shared=0 rows
+    val docs = Seq(
+      (1L, "q w e r", Some(true)),    // benchmark
+      (10L, "q w e r", Some(false)),  // shares "q w e" and "w e r"
+      (11L, "z q w e", Some(false)),  // shares "q w e"
+      (12L, "m n o p", Some(false)),  // zero overlap
+      (13L, "q w", Some(false)),      // < n tokens: no shingles
+      (14L, "q w e r", None))         // null flag: dropped both sides
+      .toDF("doc_id", "text", "bm")
+    val got = TextDedup.contamination(docs, "doc_id", "text",
+        isBenchmark = $"bm", n = 3)
+      .orderBy($"id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((10L, 2L), (11L, 1L)))
+  }
+
+  test("contamination plan broadcasts the benchmark gram set") {
+    val docs = Tables(spark, sf, "documents")
+    val plan = TextDedup.contamination(docs, "doc_id", "text",
+        isBenchmark = $"source" === "src0", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast-join, got:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"))
+  }
 }
