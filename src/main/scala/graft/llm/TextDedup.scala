@@ -24,13 +24,21 @@ object TextDedup {
   /** Distinct word n-gram shingles. Documents with fewer than n tokens
     * yield an EMPTY shingle set — guarded explicitly because Spark's
     * `sequence(1, 0)` is the descending [1, 0] (unlike DuckDB's empty
-    * generate_series) and `slice(toks, 0, n)` throws. */
+    * generate_series) and `slice(toks, 0, n)` throws.
+    *
+    * Built by zipping n shifted slices of the token array, NOT by
+    * `slice(toks, i, n)` per index inside the transform lambda:
+    * higher-order functions evaluate interpreted, where every `toks`
+    * reference inside a lambda re-runs the split — the per-index form
+    * re-split the text O(len) times per row; this form a constant
+    * ~2n+1 times (the q88 topBigramFrac lesson, linear-factor case). */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
+    val parts = (0 until n).map(k =>
+      slice(toks, lit(k + 1), size(toks) - (n - 1)).as(s"t$k"))
     when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      array_distinct(transform(arrays_zip(parts: _*),
+        s => concat_ws(" ", (0 until n).map(k => s.getField(s"t$k")): _*))))
       .otherwise(array().cast("array<string>"))
   }
 
