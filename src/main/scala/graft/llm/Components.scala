@@ -31,7 +31,15 @@ object Components {
     * appears in at least one edge (isolated nodes carry no dedup
     * information and are not materialized).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the loop ran —
+    * the observable the scale probe records (pointer jumping converges
+    * in O(log diameter) rounds; plain propagation would need O(diameter)
+    * and blow the maxIter budget on deep chains). */
+  def connectedComponentsWithRounds(edges: DataFrame,
+                                    maxIter: Int = 40): (DataFrame, Int) = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -92,7 +100,7 @@ object Components {
       if (jumped != null) jumped.unpersist(false)
       if (!converged) labels.unpersist(false)
     }
-    labels.withColumnRenamed("label", "component")
+    (labels.withColumnRenamed("label", "component"), it)
   }
 
   /** Dedup-cluster table from near-dup pairs: component id (= smallest
