@@ -215,4 +215,48 @@ object InvariantProps extends Properties("graft") {
           s"lost pairs: ${truth -- cands} (t=$t, docs=$docs)"
       }
     }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    nNodes <- Gen.choose(2, 24)
+    nEdges <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(nEdges,
+      Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+  } yield edges
+
+  property("connectedComponents agrees with a union-find ground truth") =
+    forAll(edgesGen) { edges =>
+      // plain-Scala union-find, independent of every Spark path
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(n => n -> {
+        // component label = min node of the set: find gives the root,
+        // which IS the min because unions always point max -> min
+        find(n)
+      }).toMap
+      val got = graft.llm.Components
+        .connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      Prop(got == truth) :| s"edges=$edges got=$got truth=$truth"
+    }
+
+  property("repetition fractions stay in [0, 1] and vanish iff no repeats") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))) { toks =>
+      val text = toks.mkString(" ")
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(graft.llm.TextAnalysis.dupWordFrac($"text").as("dw"),
+          graft.llm.TextAnalysis.topBigramFrac($"text").as("tb"))
+        .head()
+      val (dw, tb) = (row.getDouble(0), row.getDouble(1))
+      Prop(dw >= 0.0 && dw < 1.0) &&
+        Prop(tb >= 0.0 && tb <= 1.0) &&
+        Prop((dw > 0.0) == (toks.nonEmpty && toks.distinct.size < toks.size)) :|
+        s"text='$text' dw=$dw tb=$tb"
+    }
 }
