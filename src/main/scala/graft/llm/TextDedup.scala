@@ -104,23 +104,35 @@ object TextDedup {
       .distinct()
   }
 
-  /** EXACT n-gram Jaccard pairs ≥ `threshold`, total recall.
+  /** EXACT n-gram Jaccard pairs ≥ `threshold`, total recall. Both paths
+    * below are lossless and return identical results; they differ only
+    * in which blowup they guard against, so the router picks by
+    * threshold:
     *
-    * Default path: [[prefixFilterCandidates]] (lossless at every
-    * threshold) composed with exact verification of candidates only —
-    * the output is PROVABLY identical to the direct inverted-index join,
-    * but only each doc's `n − ⌈t·n⌉ + 1` rarest shingles are indexed, so
-    * the self-join stays bounded on skewed corpora (one boilerplate
-    * shingle shared by 1% of a 100 TB corpus makes the direct join's
-    * Σ_s df(s)² quadratic in that posting).
+    * t ≥ 0.5 — [[prefixFilterCandidates]] composed with exact
+    * verification of candidates only. Each doc indexes its
+    * `n − ⌈t·n⌉ + 1` rarest shingles, so the self-join stays bounded on
+    * SKEWED corpora (one boilerplate shingle shared by 1% of a 100 TB
+    * corpus makes the direct join's Σ_s df(s)² quadratic in that
+    * posting — hubs sort last by rarity and fall outside every prefix).
     *
-    * `unboundedOk = true` opts into the direct join — acceptable when
-    * the caller KNOWS the df distribution is bounded (e.g. boilerplate
-    * already stripped) and wants the single-join plan; never the
-    * default. */
+    * t < 0.5 — the direct posting self-join with IN-JOIN aggregation
+    * (intersections counted from the Σ_s df(s)² joined rows; no
+    * per-pair re-explosion). At loose thresholds the prefix is most of
+    * each doc, candidates approach "every pair sharing any shingle",
+    * and the verify step's candidates × shingles re-explosion dwarfs
+    * Σ df² — measured round 9 at a 100× corpus (t = 0.3): 113 M
+    * candidates × ~52 shingles ≈ 6 B verify rows exhausted an 80 GB
+    * spill volume and killed the job, while the direct join's 127 M
+    * aggregated rows completed in ~90 s. Loose-threshold total-recall
+    * Jaccard is inherently Σ df²-bound — on hub-skewed corpora strip
+    * boilerplate shingles first, or raise the threshold.
+    *
+    * `unboundedOk = true` forces the direct join at ANY threshold
+    * (kept for callers that know the df distribution is bounded). */
   def jaccardPairs(shDf: DataFrame, threshold: Double,
                    unboundedOk: Boolean = false): DataFrame = {
-    if (!unboundedOk)
+    if (!unboundedOk && threshold >= 0.5)
       return verifiedPairs(shDf, prefixFilterCandidates(shDf, threshold),
         threshold)
     val ex = shDf.filter(size(col("sh")) > 0)

@@ -243,12 +243,16 @@ object LlmQueries {
 
   /** EXACT n-gram Jaccard dedup at the recall-oriented t = 0.3 — the
     * total-recall contrast to MinHash's probabilistic candidates.
-    * `jaccardPairs` now auto-composes the lossless prefix filter before
-    * the posting self-join (round-3 verdict: the direct Σ df² join is
-    * unbounded on skewed corpora), so the output is provably the direct
-    * join's answer while no query path reaches an uncapped self-join.
-    * The shingle frame feeds six subtrees (df counts, prefix ranking,
-    * join + verify sides) — persist, the q52 lesson. */
+    * `jaccardPairs` routes by threshold (round 9): below t = 0.5 it
+    * runs the direct posting join with in-join aggregation — at loose
+    * thresholds the prefix is ~70% of each doc, candidates approach
+    * "every pair sharing any shingle", and the verify re-explosion
+    * (candidates × shingles) dwarfs the direct join's Σ df² rows
+    * (measured: the verify path died on spill at a 100× corpus while
+    * the direct join finished). At t ≥ 0.5 the prefix+verify path
+    * guards hub-skew instead (q52). Output identical either way — the
+    * oracle replays the direct derivation. The shingle frame feeds
+    * both join sides — persist, the q52 lesson. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val shDf = graft.Caching.ensureCached(

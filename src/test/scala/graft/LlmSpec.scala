@@ -318,15 +318,19 @@ class LlmSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(direct.subsetOf(cands),
       s"prefix filter lost pairs: ${direct -- cands}")
-    // the DEFAULT path (auto-composed prefix filter + verification)
-    // equals the direct exact join, values included
-    val guarded = TextDedup.jaccardPairs(shDf, 0.3)
-      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
-      .collect().toSet
-    val directFull = TextDedup.jaccardPairs(shDf, 0.3, unboundedOk = true)
-      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
-      .collect().toSet
-    assert(guarded == directFull)
+    // the DEFAULT path equals the direct exact join, values included,
+    // on BOTH sides of the threshold router: at 0.3 it IS the direct
+    // join (loose-t routing, round 9); at 0.6 it composes the prefix
+    // filter + verification, which must still match the direct answer
+    for (t <- Seq(0.3, 0.6)) {
+      val guarded = TextDedup.jaccardPairs(shDf, t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val directFull = TextDedup.jaccardPairs(shDf, t, unboundedOk = true)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(guarded == directFull, s"router path diverged at t=$t")
+    }
   }
 
   test("image decode is real: PNG/BMP fixtures decode bit-exactly") {
