@@ -46,8 +46,18 @@ object InfImputer {
         max(finite(c)).as(s"__max_$c"), min(finite(c)).as(s"__min_$c")))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       Fitted(cols.map { c =>
-        val hi = row.getAs[Double](s"__max_$c")
-        val lo = row.getAs[Double](s"__min_$c")
+        // boxed read: max/min over a column with NO finite values is null,
+        // and getAs[Double] would silently unbox that to 0.0 — deriving
+        // fills from a phantom range. Fail loudly instead (callers can
+        // pass explicit fill values or strategy="extremes").
+        val hiB = row.getAs[java.lang.Double](s"__max_$c")
+        val loB = row.getAs[java.lang.Double](s"__min_$c")
+        require((hiB != null && loB != null) ||
+          (infFillValue.isDefined && negInfFillValue.isDefined),
+          s"InfImputer(minmax): column $c has no finite values to derive " +
+            "fills from; pass explicit fill values or strategy=extremes")
+        val hi = if (hiB == null) 0.0 else hiB.doubleValue
+        val lo = if (loB == null) 0.0 else loB.doubleValue
         val pos = infFillValue.getOrElse(
           if (Double.MaxValue - delta > hi) hi + delta else Double.MaxValue)
         val neg = negInfFillValue.getOrElse(

@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.data.{AsOfJoin, TimeSeries}
+import graft.ml.{Ewma, InfImputer, Metrics, Scalers}
+
+/** ScalaCheck theorems for the ML/time-series numeric kernels, each
+  * checked EXACTLY (fp-tolerant compare) against a plain-Scala ground
+  * truth that shares no code with any Spark path — the LlmInvariantProps
+  * discipline applied to the anomaly-pipeline family:
+  *
+  *  - Ewma: the streaming num/den scan equals the pandas
+  *    `ewm(span, adjust=True, ignore_na=False).mean()` recursion per
+  *    key, including null gaps (decay without add) and key resets;
+  *  - AsOfJoin.backward: equals the two-pointer merge_asof ground truth
+  *    on EVERY path — unchunked, chunk-carry (tiny chunkSpan), and
+  *    tolerance-gated — with null left timestamps yielding null matches;
+  *  - Scalers: inverse ∘ transform = identity for minmax AND robust
+  *    (zero-range fallback included), and a minmax transform maps the
+  *    fitted frame into [0, 1];
+  *  - InfImputer(minmax): ±Inf cells become finite max+δ / min−δ, every
+  *    finite cell is untouched, and an all-non-finite column fails
+  *    loudly instead of deriving fills from a phantom 0.0 range;
+  *  - resampleMulti: every aggregation method equals plain-Scala
+  *    bucketing on floor(epoch/width)·width;
+  *  - Metrics: the one-pass aggregate matrix equals the sklearn
+  *    formulas (r2 population denominator, explained-variance ddof=0).
+  */
+object MlInvariantProps extends Properties("graft.ml") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def approxEq(a: Double, b: Double, tol: Double = 1e-8): Boolean =
+    (a.isNaN && b.isNaN) ||
+      math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private def approxOpt(a: Option[Double], b: Option[Double]): Boolean =
+    (a, b) match {
+      case (Some(x), Some(y)) => approxEq(x, y)
+      case (None, None) => true
+      case _ => false
+    }
+
+  // ---- Ewma vs the pandas adjust=True recursion ----
+
+  private val ewmaSeriesGen: Gen[List[Option[Double]]] = for {
+    n <- Gen.choose(1, 40)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      4 -> Gen.choose(-50.0, 50.0).map(Some(_)),
+      1 -> Gen.const(None)))
+  } yield vs
+
+  property("ewma equals the plain-Scala adjust=True recursion per key") =
+    forAll(Gen.choose(1, 3), ewmaSeriesGen, ewmaSeriesGen, ewmaSeriesGen,
+      Gen.choose(1.0, 30.0)) { (nKeys, s1, s2, s3, span) =>
+      val series = Seq(s1, s2, s3).take(nKeys)
+      val rows = series.zipWithIndex.flatMap { case (vs, k) =>
+        vs.zipWithIndex.map { case (v, i) => (s"key$k", i.toLong, v) }
+      }
+      rows.nonEmpty ==> {
+        val alpha = 2.0 / (span + 1.0)
+        // ground truth: num/den recursion, decay on EVERY step (absolute
+        // position weights = ignore_na=False), add only when present
+        val truth: Map[(String, Long), Option[Double]] =
+          series.zipWithIndex.flatMap { case (vs, k) =>
+            var num = 0.0; var den = 0.0
+            vs.zipWithIndex.map { case (v, i) =>
+              num *= (1 - alpha); den *= (1 - alpha)
+              v.foreach { x => num += x; den += 1.0 }
+              (s"key$k", i.toLong) -> (if (den == 0.0) None else Some(num / den))
+            }
+          }.toMap
+        val got = Ewma.ewma(rows.toDF("k", "t", "v"), Seq("k"), "t", "v", span)
+          .select($"k", $"t", $"ewma").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        Prop(got.keySet == truth.keySet) :| "row set" &&
+          Prop(truth.forall { case (k, v) => approxOpt(got(k), v) }) :|
+          s"values diverge: span=$span rows=$rows got=$got truth=$truth"
+      }
+    }
+
+  // ---- AsOfJoin.backward vs the two-pointer merge_asof truth ----
+
+  private val asofLeftGen: Gen[List[(String, Option[Long])]] = for {
+    n <- Gen.choose(0, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("k1", "k2"), Gen.frequency(
+      9 -> Gen.choose(0L, 200L).map(Some(_)),
+      1 -> Gen.const(None))))
+  } yield rows
+
+  private val asofRightGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("k1", "k2"), Gen.choose(0L, 200L)))
+  } yield rows.distinct // distinct (key, ts): right ties are unspecified
+
+  property("asof backward equals the merge_asof ground truth on every chunk/tolerance path") =
+    forAll(asofLeftGen, asofRightGen, Gen.oneOf(-1L, 0L, 5L, 30L),
+      Gen.oneOf(0L, 7L, 86400L)) { (lRows, rRows, tolerance, chunkSpan) =>
+      lRows.nonEmpty ==> {
+        val leftSchema = StructType(Seq(
+          StructField("k", StringType), StructField("lts", LongType)))
+        val left = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            lRows.map { case (k, t) => Row(k, t.map(Long.box).orNull) }, 2),
+          leftSchema)
+        val right = rRows.map { case (k, t) => (k, t, t * 10.0 + k.hashCode % 7) }
+          .toDF("k", "rts", "p")
+        val got = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+          payload = Seq("p"), tolerance = tolerance, chunkSpan = chunkSpan)
+          .collect()
+          .map(r => (r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          .sortBy(t => (t._1, t._2, t._3))
+        val rByKey = rRows.groupBy(_._1)
+        val truth = lRows.map { case (k, lt) =>
+          val m = lt.flatMap { t =>
+            val cand = rByKey.getOrElse(k, Nil).filter(_._2 <= t)
+              .filter { case (_, rt) => tolerance < 0 || t - rt <= tolerance }
+            if (cand.isEmpty) None else Some(cand.maxBy(_._2)._2)
+          }
+          (k, lt, m, m.map(rt => rt * 10.0 + k.hashCode % 7))
+        }.sortBy(t => (t._1, t._2, t._3))
+        Prop(got.toSeq == truth) :|
+          s"tol=$tolerance chunk=$chunkSpan got=${got.toSeq} truth=$truth"
+      }
+    }
+
+  // ---- Scalers: inverse ∘ transform = id; minmax range containment ----
+
+  private val frameGen: Gen[(List[(Double, Double)], Boolean)] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(-100.0, 100.0),
+      Gen.choose(-100.0, 100.0)))
+    constB <- Gen.oneOf(true, false) // force the zero-range fallback on b
+  } yield (if (constB) rows.map { case (a, _) => (a, 42.0) } else rows, constB)
+
+  property("scaler inverse∘transform is the identity; minmax maps the fit frame into [0,1]") =
+    forAll(frameGen, Gen.oneOf("minmax", "robust")) { case ((rows, _), kind) =>
+      val df = rows.toDF("a", "b")
+      val fitted =
+        if (kind == "minmax") Scalers.fitMinMax(df, Seq("a", "b"))
+        else Scalers.fitRobust(df, Seq("a", "b"))
+      val round = fitted.inverse(fitted.transform(df, Seq("a", "b")),
+        Seq("a", "b")).as[(Double, Double)].collect().toList
+      val roundTrip = round.sorted.zip(rows.sorted).forall { case (g, e) =>
+        approxEq(g._1, e._1) && approxEq(g._2, e._2)
+      }
+      val inUnit = kind != "minmax" || {
+        fitted.transform(df, Seq("a", "b")).as[(Double, Double)].collect()
+          .forall(t => t._1 >= -1e-9 && t._1 <= 1 + 1e-9 &&
+            t._2 >= -1e-9 && t._2 <= 1 + 1e-9)
+      }
+      Prop(roundTrip) :| s"round trip ($kind): $round vs $rows" &&
+        Prop(inUnit) :| s"minmax transform left [0,1]"
+    }
+
+  // ---- InfImputer: fills, untouched finites, loud all-non-finite ----
+
+  property("InfImputer fills ±Inf with max+δ/min−δ and leaves finite cells untouched") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)),
+      Gen.choose(1, 3), Gen.choose(1, 3)) { (finite, nPos, nNeg) =>
+      val vals = finite ++ List.fill(nPos)(Double.PositiveInfinity) ++
+        List.fill(nNeg)(Double.NegativeInfinity)
+      val df = vals.map(Tuple1(_)).toDF("x")
+      val fitted = InfImputer.fit(df, Seq("x"), strategy = "minmax", delta = 2.0)
+      val out = fitted.transform(df, Seq("x")).as[Double].collect().toList
+      val expPos = finite.max + 2.0
+      val expNeg = finite.min - 2.0
+      Prop(out.forall(v => !v.isInfinite)) :| "no infinities survive" &&
+        Prop(out.count(v => approxEq(v, expPos)) >= nPos) :| s"+inf fill $expPos" &&
+        Prop(out.count(v => approxEq(v, expNeg)) >= nNeg) :| s"-inf fill $expNeg" &&
+        Prop(out.sorted.zip((finite ++ List.fill(nPos)(expPos) ++
+          List.fill(nNeg)(expNeg)).sorted).forall(t => approxEq(t._1, t._2))) :|
+        "finite cells untouched"
+    }
+
+  property("InfImputer refuses a column with no finite values (no phantom 0.0 range)") =
+    forAll(Gen.choose(1, 4)) { n =>
+      val df = List.fill(n)(Double.PositiveInfinity).map(Tuple1(_)).toDF("x")
+      val loud = scala.util.Try(InfImputer.fit(df, Seq("x"))).isFailure
+      val overridden = InfImputer.fit(df, Seq("x"),
+        infFillValue = Some(1.0), negInfFillValue = Some(-1.0))
+        .transform(df, Seq("x")).as[Double].collect().forall(_ == 1.0)
+      Prop(loud) :| "unfittable column must throw" &&
+        Prop(overridden) :| "explicit fills still work"
+    }
+
+  // ---- resampleMulti vs plain-Scala bucketing ----
+
+  private val tsSeriesGen: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(1, 50)
+    epochs <- Gen.listOfN(n, Gen.choose(0L, 86400L))
+    values <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield epochs.zip(values)
+
+  property("resampleMulti equals plain-Scala bucket aggregation for every method") =
+    forAll(tsSeriesGen, Gen.choose(60L, 7200L)) { (rows, width) =>
+      val df = rows.toDF("epoch", "value")
+        .select(lit("s").as("tag"), timestamp_seconds($"epoch").as("ts"), $"value")
+      val got = TimeSeries.resampleMulti(df, Seq("tag"), "ts", "value", width,
+        Seq("mean", "sum", "min", "max", "count")).collect()
+        .map(r => r.getAs[Long]("bucket_ts") -> (
+          r.getAs[Double]("value__mean"), r.getAs[Double]("value__sum"),
+          r.getAs[Double]("value__min"), r.getAs[Double]("value__max"),
+          r.getAs[Double]("value__count"))).toMap
+      val truth = rows.groupBy { case (e, _) => math.floorDiv(e, width) * width }
+        .map { case (b, vs) =>
+          val xs = vs.map(_._2)
+          b -> (xs.sum / xs.size, xs.sum, xs.min, xs.max, xs.size.toDouble)
+        }
+      Prop(got.keySet == truth.keySet) :| "bucket set" &&
+        Prop(truth.forall { case (b, (mn, sm, lo, hi, ct)) =>
+          val g = got(b)
+          approxEq(g._1, mn) && approxEq(g._2, sm) && g._3 == lo &&
+            g._4 == hi && g._5 == ct
+        }) :| s"width=$width got=$got truth=$truth"
+    }
+
+  // ---- Metrics vs the sklearn formulas ----
+
+  private val yPairGen: Gen[List[(Double, Double)]] = for {
+    n <- Gen.choose(2, 40)
+    ys <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+    es <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+  } yield ys.zip(es).map { case (y, e) => (y, y + e) }
+
+  property("metric matrix equals the sklearn formulas in one aggregation pass") =
+    forAll(yPairGen) { pairs =>
+      (pairs.map(_._1).distinct.size >= 2) ==> {
+        val df = pairs.toDF("y", "yhat")
+        val aggs = Metrics.all($"y", $"yhat").map { case (n, c) => c.as(n) }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = pairs.size
+        val ys = pairs.map(_._1); val yh = pairs.map(_._2)
+        val yBar = ys.sum / n
+        val res = pairs.map { case (y, p) => y - p }
+        val mse = res.map(r => r * r).sum / n
+        val mae = res.map(math.abs).sum / n
+        val r2 = 1.0 - res.map(r => r * r).sum /
+          ys.map(y => (y - yBar) * (y - yBar)).sum
+        val resBar = res.sum / n
+        val ev = 1.0 - res.map(r => (r - resBar) * (r - resBar)).sum /
+          ys.map(y => (y - yBar) * (y - yBar)).sum
+        Prop(approxEq(row.getAs[Double]("mean-squared-error"), mse)) :| "mse" &&
+          Prop(approxEq(row.getAs[Double]("mean-absolute-error"), mae)) :| "mae" &&
+          Prop(approxEq(row.getAs[Double]("r2-score"), r2)) :| "r2" &&
+          Prop(approxEq(row.getAs[Double]("explained-variance-score"), ev)) :| "ev"
+      }
+    }
+}
