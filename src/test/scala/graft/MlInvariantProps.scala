@@ -228,6 +228,107 @@ object MlInvariantProps extends Properties("graft.ml") {
         }) :| s"width=$width got=$got truth=$truth"
     }
 
+  // ---- grid / gap-fill alignment vs plain-Scala ground truths ----
+
+  /** Per-key grid series: distinct sorted bucket multiples of `width`
+    * with nullable values. */
+  private def gridGen(width: Long): Gen[List[(Long, Option[Double])]] = for {
+    n <- Gen.choose(1, 30)
+    idx <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    vs <- Gen.listOfN(n, Gen.frequency(
+      2 -> Gen.choose(-50.0, 50.0).map(Some(_)),
+      1 -> Gen.const(None)))
+  } yield idx.distinct.sorted.map(_ * width).zip(vs)
+
+  property("interpolateLinear equals plain-Scala anchored interpolation with the gap limit") =
+    forAll(gridGen(600L), gridGen(600L), Gen.choose(0L, 20L).map(_ * 600L)) {
+      (s1, s2, limit) =>
+        val series = Map("k0" -> s1, "k1" -> s2)
+        val rows = series.toList.flatMap { case (k, vs) =>
+          vs.map { case (b, v) => (k, b, v) }
+        }
+        val truth = series.flatMap { case (k, vs) =>
+          vs.zipWithIndex.map { case ((b, v), i) =>
+            val filled = v.orElse {
+              val prev = vs.take(i).reverse.collectFirst {
+                case (pb, Some(pv)) => (pb, pv) }
+              val next = vs.drop(i + 1).collectFirst {
+                case (nb, Some(nv)) => (nb, nv) }
+              (prev, next) match {
+                case (Some((pb, pv)), Some((nb, nv))) if nb - pb <= limit =>
+                  Some(pv + (nv - pv) * (b - pb).toDouble / (nb - pb))
+                case _ => None
+              }
+            }
+            (k, b) -> filled
+          }
+        }
+        val got = TimeSeries.interpolateLinear(
+          rows.toDF("k", "bucket_ts", "value"), Seq("k"), limit)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        Prop(got.keySet == truth.keySet) :| "row set" &&
+          Prop(truth.forall { case (k, v) => approxOpt(got(k), v) }) :|
+          s"limit=$limit got=$got truth=$truth"
+    }
+
+  property("ffill equals plain-Scala forward fill with the gap limit") =
+    forAll(gridGen(600L), Gen.choose(0L, 20L).map(_ * 600L)) { (s1, limit) =>
+      val truth = s1.zipWithIndex.map { case ((b, v), i) =>
+        val filled = v.orElse {
+          s1.take(i).reverse.collectFirst { case (pb, Some(pv)) => (pb, pv) }
+            .collect { case (pb, pv) if b - pb <= limit => pv }
+        }
+        b -> filled
+      }.toMap
+      val rows = s1.map { case (b, v) => ("k0", b, v) }
+      val got = TimeSeries.ffill(
+        rows.toDF("k", "bucket_ts", "value"), Seq("k"), limit)
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      Prop(got == truth) :| s"limit=$limit got=$got truth=$truth"
+    }
+
+  property("fullGrid emits exactly the per-key [min,max] grid, preserving observed values") =
+    forAll(gridGen(600L), gridGen(600L)) { (s1, s2) =>
+      val series = Map("k0" -> s1, "k1" -> s2)
+      val rows = series.toList.flatMap { case (k, vs) =>
+        vs.map { case (b, v) => (k, b, v) }
+      }
+      val got = TimeSeries.fullGrid(
+        rows.toDF("k", "bucket_ts", "value"), Seq("k"), 600L)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("bucket_ts")) ->
+          (if (r.isNullAt(r.fieldIndex("value"))) None
+           else Some(r.getAs[Double]("value")))).toMap
+      val truth = series.flatMap { case (k, vs) =>
+        val obs = vs.toMap
+        val (lo, hi) = (vs.map(_._1).min, vs.map(_._1).max)
+        (lo to hi by 600L).map(b => (k, b) -> obs.getOrElse(b, None))
+      }
+      Prop(got == truth) :| s"got=$got truth=$truth"
+    }
+
+  property("slidingWindows equals plain-Scala sliding over each series") =
+    forAll(Gen.choose(1, 25), Gen.choose(1, 6), Gen.choose(0, 3)) {
+      (n, lookback, lookahead) =>
+        val vs = (0 until n).map(i => i * 10.0 + 1)
+        val rows = vs.zipWithIndex.map { case (v, i) => ("k0", i.toLong, v) }
+        val got = graft.ml.Windows.slidingWindows(
+          rows.toDF("k", "t", "v"), Seq("k"), Seq(col("t")), "v",
+          lookback, lookahead)
+          .orderBy($"t").collect()
+          .map(r => (r.getAs[Long]("t"),
+            r.getAs[Seq[Double]]("window").toList,
+            Option(r.getAs[Any]("y")).map(_.asInstanceOf[Double])))
+        val truth = (lookback - 1 until n).map { i =>
+          (i.toLong, vs.slice(i - lookback + 1, i + 1).toList,
+            if (lookahead == 0) Some(vs(i))
+            else if (i + lookahead < n) Some(vs(i + lookahead)) else None)
+        }
+        Prop(got.toSeq == truth) :|
+          s"lookback=$lookback lookahead=$lookahead got=${got.toSeq} truth=$truth"
+    }
+
   // ---- Metrics vs the sklearn formulas ----
 
   private val yPairGen: Gen[List[(Double, Double)]] = for {
