@@ -329,6 +329,70 @@ object MlInvariantProps extends Properties("graft.ml") {
           s"lookback=$lookback lookahead=$lookahead got=${got.toSeq} truth=$truth"
     }
 
+  // ---- salted trailing-n = the one-window trailing-n ----
+
+  property("salted trailingAlign equals the plain trailing-n selection") =
+    forAll(Gen.choose(1, 30), Gen.choose(1, 30), Gen.choose(1L, 12L),
+      Gen.choose(1, 5)) { (n0, n1, n, saltBuckets) =>
+      val rows = (0 until n0).map(i => ("k0", i.toLong, i * 1.5)) ++
+        (0 until n1).map(i => ("k1", i.toLong, i * -2.5))
+      val got = graft.ml.Windows.trailingAlign(
+        rows.toDF("k", "t", "v"), Seq("k"), Seq(col("t")), n, saltBuckets)
+        .as[(String, Long, Double)].collect().toSet
+      val truth = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(-_._2).take(n.toInt)
+      }.toSet
+      Prop(got == truth) :|
+        s"n=$n salt=$saltBuckets got=$got truth=$truth"
+    }
+
+  // ---- SegPlan: merged segment buffers = the flat single-pass fit ----
+
+  private val segFrameGen: Gen[(List[(Long, Double, Double)], List[Int])] =
+    for {
+      n <- Gen.choose(4, 40)
+      as <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+      bs <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+      nSeg <- Gen.choose(2, 4)
+      segs <- Gen.listOfN(n, Gen.choose(0, nSeg - 1))
+    } yield ((0 until n).map(i => (i.toLong, as(i), bs(i))).toList, segs)
+
+  property("segmented-stats merge reproduces the flat fit (ridge, trend, minmax scaler)") =
+    forAll(segFrameGen) { case (rows, segs) =>
+      val df = rows.zip(segs).map { case ((t, a, b), s) => (t, a, b, s) }
+        .toDF("t", "a", "b", "__seg")
+      val tags = Seq("a", "b")
+      val feat: String => org.apache.spark.sql.Column = t => col(t).cast("double")
+      def tolOk(x: Map[String, Double], y: Map[String, Double]): Boolean =
+        x.keySet == y.keySet &&
+          x.forall { case (k, v) => approxEq(v, y(k), 1e-6) }
+      def modelProp(name: String,
+                    model: graft.ml.DiffAnomaly.Reconstructor): Prop = {
+        val Some((aggs, dec)) = model.aggPlan(tags, tags, feat)
+        val flat = dec(df.agg(aggs.head, aggs.tail: _*).head()).params
+        val Some(sp) = model.segPlan(tags, tags, feat)
+        val bufs = df.groupBy($"__seg").agg(sp.aggs.head, sp.aggs.tail: _*)
+          .collect().map(sp.fromRow)
+        val merged = sp.decode(bufs.reduce(sp.merge)).params
+        Prop(tolOk(flat, merged)) :| s"$name: flat=$flat merged=$merged"
+      }
+      val scalerProp = {
+        val (aggs, dec) = Scalers.aggPlan("minmax", tags)
+        val flat = dec(df.agg(aggs.head, aggs.tail: _*).head()).stats
+        val Some(sp) = Scalers.segPlan("minmax", tags)
+        val bufs = df.groupBy($"__seg").agg(sp.aggs.head, sp.aggs.tail: _*)
+          .collect().map(sp.fromRow)
+        val merged = sp.decode(bufs.reduce(sp.merge)).stats
+        Prop(flat.keySet == merged.keySet &&
+          flat.forall { case (k, (c, s)) =>
+            approxEq(c, merged(k)._1) && approxEq(s, merged(k)._2) }) :|
+          s"scaler: flat=$flat merged=$merged"
+      }
+      modelProp("ridge", new graft.ml.DiffAnomaly.RidgeReconstructor()) &&
+        modelProp("trend", new graft.ml.DiffAnomaly.TrendReconstructor("t", 0L)) &&
+        scalerProp
+    }
+
   // ---- Metrics vs the sklearn formulas ----
 
   private val yPairGen: Gen[List[(Double, Double)]] = for {
