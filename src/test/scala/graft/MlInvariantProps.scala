@@ -357,7 +357,7 @@ object MlInvariantProps extends Properties("graft.ml") {
       segs <- Gen.listOfN(n, Gen.choose(0, nSeg - 1))
     } yield ((0 until n).map(i => (i.toLong, as(i), bs(i))).toList, segs)
 
-  property("segmented-stats merge reproduces the flat fit (ridge, trend, minmax scaler)") =
+  property("segmented-stats merge reproduces the flat fit (ridge, trend, minmax scaler, pca)") =
     forAll(segFrameGen) { case (rows, segs) =>
       val df = rows.zip(segs).map { case ((t, a, b), s) => (t, a, b, s) }
         .toDF("t", "a", "b", "__seg")
@@ -388,9 +388,27 @@ object MlInvariantProps extends Properties("graft.ml") {
             approxEq(c, merged(k)._1) && approxEq(s, merged(k)._2) }) :|
           s"scaler: flat=$flat merged=$merged"
       }
+      // PCA: compare RECONSTRUCTIONS, not params — the prediction is
+      // basis-invariant, so the check is immune to eigenvector sign
+      // conventions while still proving the Chan co-moment merge
+      val pcaProp = {
+        val model = new graft.ml.DiffAnomaly.PcaReconstructor(1)
+        val Some((aggs, dec)) = model.aggPlan(tags, tags, feat)
+        val flat = dec(df.agg(aggs.head, aggs.tail: _*).head())
+        val Some(sp) = model.segPlan(tags, tags, feat)
+        val bufs = df.groupBy($"__seg").agg(sp.aggs.head, sp.aggs.tail: _*)
+          .collect().map(sp.fromRow)
+        val merged = sp.decode(bufs.reduce(sp.merge))
+        val proj = tags.zipWithIndex.flatMap { case (t, i) =>
+          Seq(flat.predictCol(t).as(s"f$i"), merged.predictCol(t).as(s"m$i")) }
+        val ok = df.select(proj: _*).collect().forall(r =>
+          tags.indices.forall(i =>
+            approxEq(r.getDouble(2 * i), r.getDouble(2 * i + 1), 1e-6)))
+        Prop(ok) :| "pca: merged reconstruction diverged from flat"
+      }
       modelProp("ridge", new graft.ml.DiffAnomaly.RidgeReconstructor()) &&
         modelProp("trend", new graft.ml.DiffAnomaly.TrendReconstructor("t", 0L)) &&
-        scalerProp
+        scalerProp && pcaProp
     }
 
   // ---- Metrics vs the sklearn formulas ----
