@@ -246,6 +246,77 @@ object InvariantProps extends Properties("graft") {
       Prop(got == truth) :| s"edges=$edges got=$got truth=$truth"
     }
 
+  // ---- row_filter translation: a random predicate AST rendered in
+  // pandas-query syntax, translated, and evaluated by Spark must agree
+  // with plain-Scala evaluation of the same AST ----
+
+  private sealed trait FE
+  private case class FCmp(c: Int, op: String, v: Long) extends FE
+  private case class FStr(c: Int, s: String) extends FE
+  private case class FAnd(a: FE, b: FE) extends FE
+  private case class FOr(a: FE, b: FE) extends FE
+  private case class FNot(a: FE) extends FE
+
+  // free-form gordo-style tag names: spaces, dashes, dots
+  private val filterCols = Vector("GRA-YE -23.PV", "tag b", "x")
+  private val strCol = "name"
+
+  private def feGen(depth: Int): Gen[FE] = {
+    val leaf = Gen.frequency(
+      4 -> (for {
+        c <- Gen.choose(0, filterCols.size - 1)
+        op <- Gen.oneOf("<", "<=", ">", ">=", "==", "!=")
+        v <- Gen.choose(-5L, 5L)
+      } yield FCmp(c, op, v)),
+      1 -> (for { s <- Gen.oneOf("a~b&c", "p|q", "x == y", "plain") }
+        yield FStr(0, s)))
+    if (depth == 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      1 -> Gen.zip(feGen(depth - 1), feGen(depth - 1)).map(t => FAnd(t._1, t._2)),
+      1 -> Gen.zip(feGen(depth - 1), feGen(depth - 1)).map(t => FOr(t._1, t._2)),
+      1 -> feGen(depth - 1).map(FNot))
+  }
+
+  private def renderPandas(e: FE, amp: Boolean): String = e match {
+    case FCmp(c, op, v) => s"`${filterCols(c)}` $op $v"
+    case FStr(_, s) => s"`$strCol` == '$s'"
+    // exercise both the single- and double-char forms of & / |
+    case FAnd(a, b) =>
+      s"(${renderPandas(a, amp)}) ${if (amp) "&" else "&&"} (${renderPandas(b, amp)})"
+    case FOr(a, b) =>
+      s"(${renderPandas(a, amp)}) ${if (amp) "|" else "||"} (${renderPandas(b, amp)})"
+    case FNot(a) => s"~(${renderPandas(a, amp)})"
+  }
+
+  private def evalFe(e: FE, vals: Vector[Long], sv: String): Boolean = e match {
+    case FCmp(c, op, v) => op match {
+      case "<" => vals(c) < v
+      case "<=" => vals(c) <= v
+      case ">" => vals(c) > v
+      case ">=" => vals(c) >= v
+      case "==" => vals(c) == v
+      case "!=" => vals(c) != v
+    }
+    case FStr(_, s) => sv == s
+    case FAnd(a, b) => evalFe(a, vals, sv) && evalFe(b, vals, sv)
+    case FOr(a, b) => evalFe(a, vals, sv) || evalFe(b, vals, sv)
+    case FNot(a) => !evalFe(a, vals, sv)
+  }
+
+  property("translateRowFilter: Spark evaluation of the translation equals the AST truth") =
+    forAll(feGen(3), Gen.listOfN(3, Gen.choose(-5L, 5L)),
+      Gen.oneOf("a~b&c", "p|q", "x == y", "plain", "other"),
+      Gen.oneOf(true, false)) { (e, vs, sv, amp) =>
+      val vals = vs.toVector
+      val sql = TimeSeries.translateRowFilter(renderPandas(e, amp))
+      val df = Seq((vals(0), vals(1), vals(2), sv))
+        .toDF(filterCols(0), filterCols(1), filterCols(2), strCol)
+      val got = df.filter(expr(sql)).count() == 1
+      Prop(got == evalFe(e, vals, sv)) :|
+        s"sql='$sql' vals=$vals sv='$sv' got=$got"
+    }
+
   property("repetition fractions stay in [0, 1] and vanish iff no repeats") =
     forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))) { toks =>
       val text = toks.mkString(" ")
