@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.data.Influx
+
+/** Wire-dialect properties for the Influx adapter: the escaping and the
+  * by-name cell location are exactly where silent corruption would live,
+  * so both are pinned against ground truths implemented independently in
+  * the test.
+  */
+object InfluxProps extends Properties("graft.influx") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- line protocol: encode → ground-truth unescape = identity ----
+
+  /** Plain-Scala line-protocol reader: measurement,k=tag f=v ns with
+    * backslash-escaped [,= ] inside identifiers/tag values. */
+  private def parseLine(line: String): (String, String, String, Double, Long) = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var field = 0 // 0: measurement, 1: k=tag, 2: f=v, 3: ns
+    while (i < line.length) {
+      line.charAt(i) match {
+        // line-protocol escaping: backslash is an escape ONLY before
+        // , = or space; anywhere else it is a literal character
+        case '\\' if i + 1 < line.length &&
+            ",= ".contains(line.charAt(i + 1)) =>
+          cur.append(line.charAt(i + 1)); i += 2
+        case c @ (',' | ' ') if field == 0 =>
+          out += cur.toString; cur.clear(); field += (if (c == ' ') 2 else 1)
+          i += 1
+        case ' ' if field >= 1 =>
+          out += cur.toString; cur.clear(); field += 1; i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    out += cur.toString
+    val parts = out.result()
+    val Array(k, tag) = parts(1).split("=", 2)
+    val Array(f, v) = parts(2).split("=", 2)
+    (parts(0), s"$k=$tag".takeWhile(_ != '=') /* key */, tag,
+      v.toDouble, parts(3).toLong) match {
+      case (m, key, t, dv, ns) =>
+        assert(key == k); assert(f == "Value" || f.nonEmpty)
+        (m, t, f, dv, ns)
+    }
+  }
+
+  private val nastyGen: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf(',', '=', ' ', '.', '-', '\\')))
+  } yield cs.mkString
+
+  property("toLineProtocol escaping survives a ground-truth unescape round trip") =
+    forAll(nastyGen, nastyGen, Gen.choose(-50.0, 50.0),
+      Gen.choose(0L, 4102444800000000L)) { (meas, tag, v, us) =>
+      // trailing backslash would escape the field separator itself —
+      // the line-protocol spec's own ambiguity; exclude it
+      (!meas.endsWith("\\") && !tag.endsWith("\\")) ==> {
+        val df = Seq((tag, us, v)).toDF("tag", "us", "value")
+          .select($"tag", timestamp_micros($"us").as("ts"), $"value")
+        val line = Influx.toLineProtocol(df, meas, "tag", "ts", "value")
+          .collect().head
+        val (m, t, f, dv, ns) = parseLine(line)
+        Prop(m == meas) :| s"measurement: '$m' vs '$meas' in '$line'" &&
+          Prop(t == tag) :| s"tag: '$t' vs '$tag' in '$line'" &&
+          Prop(f == "Value") :| s"field: '$f'" &&
+          Prop(dv == v) :| s"value: $dv vs $v" &&
+          Prop(ns == us * 1000L) :| s"ns: $ns vs ${us * 1000L}"
+      }
+    }
+
+  // ---- /query parse: cells located by column NAME, not position ----
+
+  property("fromQueryResponse locates time/value cells under arbitrary column order") =
+    forAll(Gen.choose(1, 5), Gen.oneOf(0, 1, 2), Gen.choose(0, 3)) {
+      (nRows, layout, extraPos) =>
+        val rows = (0 until nRows).map(i =>
+          (f"2020-01-01T00:$i%02d:00Z", i * 1.5 - 2))
+        val cols = layout match {
+          case 0 => Seq("time", "Value")
+          case 1 => Seq("Value", "time")
+          case 2 => // a decoy column inserted at a random position
+            val base = scala.collection.mutable.Buffer("time", "Value")
+            base.insert(extraPos.min(2), "decoy")
+            base.toSeq
+        }
+        def cell(t: String, v: Double, c: String): String = c match {
+          case "time" => s""""$t""""
+          case "Value" => s""""$v""""
+          case _ => "\"junk\""
+        }
+        val valuesJson = rows.map { case (t, v) =>
+          cols.map(cell(t, v, _)).mkString("[", ",", "]")
+        }.mkString("[", ",", "]")
+        val colsJson = cols.map(c => s""""$c"""").mkString("[", ",", "]")
+        val json =
+          s"""{"results":[{"series":[{"name":"m","tags":{"tag":"T1"},
+             |"columns":$colsJson,"values":$valuesJson}]}]}""".stripMargin
+        val got = Influx.fromQueryResponse(spark, json).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString,
+            r.getDouble(2)))
+        val truth = rows.map { case (t, v) =>
+          ("T1", java.time.Instant.parse(t).toString, v) }
+        Prop(got.toSeq == truth) :|
+          s"layout=$cols got=${got.toSeq} truth=$truth"
+    }
+}
