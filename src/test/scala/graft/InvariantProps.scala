@@ -246,6 +246,29 @@ object InvariantProps extends Properties("graft") {
       Prop(got == truth) :| s"edges=$edges got=$got truth=$truth"
     }
 
+  // ---- LruCache: access-order semantics vs a reference model ----
+
+  property("LruCache holds exactly the capacity most-recent keys, loading once per miss") =
+    forAll(Gen.choose(1, 4), Gen.listOf(Gen.choose(0, 6))) { (cap, ops) =>
+      var loads = 0
+      val cache = new graft.build.Serving.LruCache[Int, Int](cap)(k => {
+        loads += 1; k * 10 + 1
+      })
+      val ref = scala.collection.mutable.ArrayBuffer.empty[Int] // MRU last
+      var refLoads = 0
+      val valuesOk = ops.forall { k =>
+        if (!ref.contains(k)) refLoads += 1
+        ref -= k; ref += k
+        if (ref.size > cap) ref.remove(0)
+        cache.get(k) == k * 10 + 1
+      }
+      Prop(valuesOk) :| "loaded values" &&
+        Prop(cache.size == ref.size) :| s"size ${cache.size} vs ${ref.size}" &&
+        Prop(ref.forall(cache.contains)) :|
+        s"resident set: expected $ref" &&
+        Prop(loads == refLoads) :| s"loads $loads vs $refLoads (ops=$ops cap=$cap)"
+    }
+
   // ---- row_filter translation: a random predicate AST rendered in
   // pandas-query syntax, translated, and evaluated by Spark must agree
   // with plain-Scala evaluation of the same AST ----
