@@ -411,6 +411,44 @@ object MlInvariantProps extends Properties("graft.ml") {
         scalerProp && pcaProp
     }
 
+  // ---- grouped multi-width chunked trailing vs plain-Scala rolling ----
+
+  property("grouped chunked trailing resets per group and honors per-column widths") =
+    forAll(Gen.choose(1, 30), Gen.choose(1, 30),
+      Gen.choose(1, 4), Gen.choose(1, 4)) { (n0, n1, w1, w2) =>
+      // interleave two groups into one global index; rel is dense per group
+      val groups = Map("g0" -> n0, "g1" -> n1)
+      val rows = groups.toList.flatMap { case (g, n) =>
+        (0 until n).map(i => (g, i.toLong, (i * 7 % 13) * 1.5 - 4))
+      }.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((g, rel, v), idx) => (idx.toLong, g, rel, v) }
+      val df = rows.toDF("idx", "g", "rel", "v")
+      // chunkSize 2 clamps to 2*maxWidth — still forces multi-chunk carry
+      val got = graft.ml.Windows.chunkedTrailingMultiGrouped(
+        df, "idx", col("g"), col("rel"),
+        Seq(("v", "o_min", "min", w1), ("v", "o_sma", "sma", w2)),
+        chunkSize = 2)
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("rel")) -> (
+          if (r.isNullAt(r.fieldIndex("o_min"))) None
+          else Some(r.getAs[Double]("o_min")),
+          if (r.isNullAt(r.fieldIndex("o_sma"))) None
+          else Some(r.getAs[Double]("o_sma")))).toMap
+      val truth = groups.flatMap { case (g, n) =>
+        val vs = (0 until n).map(i => (i * 7 % 13) * 1.5 - 4)
+        (0 until n).map { i =>
+          def roll(w: Int, f: Seq[Double] => Double): Option[Double] =
+            if (i < w - 1) None else Some(f(vs.slice(i - w + 1, i + 1)))
+          (g, i.toLong) -> (roll(w1, _.min),
+            roll(w2, xs => xs.sum / xs.size))
+        }
+      }
+      Prop(got.keySet == truth.keySet) :| "row set" &&
+        Prop(truth.forall { case (k, (mn, av)) =>
+          val (gmn, gav) = got(k)
+          approxOpt(gmn, mn) && approxOpt(gav, av)
+        }) :| s"w1=$w1 w2=$w2 got=$got truth=$truth"
+    }
+
   // ---- Metrics vs the sklearn formulas ----
 
   private val yPairGen: Gen[List[(Double, Double)]] = for {
