@@ -246,6 +246,50 @@ object InvariantProps extends Properties("graft") {
       Prop(got == truth) :| s"edges=$edges got=$got truth=$truth"
     }
 
+  // ---- F9 cache key: canonicalization and build-relevance ----
+
+  property("cacheKey is insertion-order invariant, runtime-insensitive, and config-sensitive") = {
+    val leafGen = Gen.oneOf[Any](Gen.choose(0, 9), Gen.alphaStr.map(_.take(4)),
+      Gen.choose(-5.0, 5.0))
+    def mapGen(depth: Int): Gen[Map[String, Any]] =
+      Gen.mapOf(Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"),
+        if (depth == 0) leafGen
+        else Gen.frequency(3 -> leafGen, 1 -> mapGen(depth - 1))))
+    def reorder(v: Any): Any = v match {
+      case m: Map[_, _] =>
+        // rebuild with reversed insertion order (small Scala maps
+        // iterate in insertion order — the canonical JSON must not care)
+        Map(m.asInstanceOf[Map[String, Any]].toList.reverse
+          .map { case (k, vv) => k -> reorder(vv) }: _*)
+      case other => other
+    }
+    forAll(mapGen(2), mapGen(2), mapGen(2), mapGen(2)) { (ds, model, ev, rt) =>
+      import graft.build.Persistence.cacheKey
+      import graft.config.Config.MachineSpec
+      def spec(dataset: Map[String, Any], m: Map[String, Any],
+               e: Map[String, Any], r: Map[String, Any],
+               meta: Map[String, Any] = Map.empty) =
+        MachineSpec("m1", "p1", dataset, m, e, r, meta)
+      val k0 = cacheKey(spec(ds, model, ev, rt))
+      val kReordered = cacheKey(spec(
+        reorder(ds).asInstanceOf[Map[String, Any]],
+        reorder(model).asInstanceOf[Map[String, Any]],
+        reorder(ev).asInstanceOf[Map[String, Any]], rt))
+      val kRuntime = cacheKey(spec(ds, model, ev,
+        rt + ("requests" -> 99), Map("owner" -> "x")))
+      val kMutated = cacheKey(spec(ds + ("zz" -> 1), model, ev, rt))
+      val kName = cacheKey(spec(ds, model, ev, rt).copy(name = "m2"))
+      val kClosed = cacheKey(spec(ds, model, ev, rt), closedForm = true)
+      Prop(kReordered == k0) :| "map insertion order must not change the key" &&
+        Prop(kRuntime == k0) :| "runtime/metadata are build-irrelevant" &&
+        Prop(kMutated != k0) :| "a dataset change must change the key" &&
+        Prop(kName != k0) :| "the machine name is part of the key" &&
+        Prop(kClosed != k0) :| "closed-form builds must never alias" &&
+        Prop(k0.length == 128 && k0.forall(c => c.isDigit || ('a' to 'f').contains(c))) :|
+        "sha3-512 hex shape"
+    }
+  }
+
   // ---- LruCache: access-order semantics vs a reference model ----
 
   property("LruCache holds exactly the capacity most-recent keys, loading once per miss") =
