@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guard: NO registered query may plan a
+  * `CartesianProduct` or `BroadcastNestedLoopJoin` — the two shapes that
+  * turn a correct small-SF query into an N² scale-killer. Every join in
+  * the engine is designed equi-keyed (banded, bucketed, broadcast-hash,
+  * or window-based), so any appearance of these operators is a
+  * regression, not a choice; a legitimate future exception must be
+  * allow-listed here explicitly with a scale justification.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  /** Deliberate bounded-broadcast × linear-scan shapes: the broadcast
+    * side is a CONSTANT-bounded frame (10 query vectors / 16 seed
+    * centroids / a config-sized dims table), so the nested-loop join is
+    * O(constant · N) by design — the ANN scoring plan, not an N². Any
+    * query NOT in this map that plans one of the forbidden shapes is a
+    * regression. */
+  private val allowlist: Map[String, String] = Map(
+    "q35_ann_topk" -> "brute-force baseline: 10 broadcast queries x corpus scan",
+    "q47_ann_ivf_topk" -> "10 broadcast queries x 16 centroids, probed lists equi-joined",
+    "q83_ann_sq8_topk" -> "10 broadcast queries x quantized corpus scan",
+    "q85_ann_pq_topk" -> "10 broadcast queries x PQ-reconstructed scan",
+    "q86_ann_ivfpq_topk" -> "10 broadcast queries x 16 centroids, probed lists equi-joined",
+    "q60_hourglass_dims" -> "config-sized dims frame, both sides driver-bounded")
+
+  test("no registered query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allowlist.contains(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        forbidden.filter(plan.contains) match {
+          case Nil => None
+          case hits => Some(s"$name: ${hits.mkString(", ")}")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join shapes planned by:\n${offenders.mkString("\n")}")
+  }
+}
