@@ -43,4 +43,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"scale-killer join shapes planned by:\n${offenders.mkString("\n")}")
   }
+
+  test("q02's filter and projection push down to the parquet scan") {
+    // inspect the scan NODE, not the rendered plan — toString truncates
+    // the PushedFilters/ReadSchema lists past ~100 chars
+    val scan = SparkEntry.queries("q02_select_where")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05"),
+      s"l_discount range not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24.0)"),
+      s"l_quantity bound not pushed: $pushed")
+    // the scan schema must be pruned to the 5 referenced columns
+    // (a 16-column lineitem read for a 4-column projection is wrong)
+    assert(scan.requiredSchema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount"),
+      s"scan not pruned: ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
 }
