@@ -246,6 +246,24 @@ object InvariantProps extends Properties("graft") {
       Prop(got == truth) :| s"edges=$edges got=$got truth=$truth"
     }
 
+  // ---- Cols.q: free-form tag names resolve as data columns ----
+
+  property("Cols.q selects any backtick-free tag name literally") = {
+    val nameGen = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('.', ' ', '-', '_', ':', '/', 'é', '汉')))
+    } yield cs.mkString
+    forAll(nameGen, Gen.choose(-50.0, 50.0)) { (name, v) =>
+      val df = Seq(Tuple1(v)).toDF(name)
+      val got = df.select(graft.Cols.q(name).as("v")).head().getDouble(0)
+      Prop(got == v) :| s"name='$name'" &&
+        Prop(scala.util.Try(graft.Cols.q(s"a`$name")).isFailure) :|
+        "backticked names must fail loudly"
+    }
+  }
+
   // ---- F9 cache key: canonicalization and build-relevance ----
 
   property("cacheKey is insertion-order invariant, runtime-insensitive, and config-sensitive") = {
