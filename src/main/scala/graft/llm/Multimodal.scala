@@ -102,17 +102,37 @@ object Multimodal {
       nullable = false),
     StructField("n_bytes", LongType, nullable = false)))
 
+  /** Decompression-bomb guard for [[decodeImage]]: a malformed/hostile
+    * header can declare gigapixel dimensions in a 100-byte payload, and
+    * `ImageIO.read` allocates the FULL raster before any pixel data is
+    * validated — an OutOfMemoryError (an Error, past any
+    * `catch Exception`) that kills the executor, not a decode failure.
+    * At ingest scale malformed headers are a certainty, so dimensions
+    * are read from the header and bounded BEFORE the raster exists. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
   /** REAL image decode — JDK `javax.imageio`, zero new dependencies
     * (PNG/BMP/GIF/JPEG readers ship with the JRE): dimensions plus a
     * 16-bin luminance histogram (integer ITU-R BT.601 weights,
     * (299·R + 587·G + 114·B)/1000 — deterministic, no float). Returns
-    * None for empty/undecodable payloads — corrupt blobs are data, not
-    * task failures. */
+    * None for empty/undecodable/bomb payloads — corrupt blobs are data,
+    * not task failures. */
   def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Long])] = {
     if (content == null || content.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(iis)
+        // header-declared dimensions, validated BEFORE the raster
+        // allocation ImageIO.read would perform
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+        reader.read(0)
+      } finally reader.dispose()
       if (img == null) return None
       val hist = new Array[Long](16)
       var y = 0

@@ -374,6 +374,28 @@ class LlmSpec extends AnyFunSuite {
     assert(feats(2).getStruct(1).getInt(0) == 2)
   }
 
+  test("image decode rejects decompression bombs before allocating the raster") {
+    // a VALID tiny BMP whose header is patched to declare gigapixel
+    // dimensions: ImageIO.read would allocate the full raster from the
+    // header alone (OutOfMemoryError, past any catch Exception) — the
+    // guard must return None from the header check instead
+    val out = new java.io.ByteArrayOutputStream()
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(javax.imageio.ImageIO.write(img, "bmp", out))
+    val bomb = out.toByteArray.clone()
+    def putIntLE(off: Int, v: Int): Unit = {
+      bomb(off) = (v & 0xff).toByte; bomb(off + 1) = ((v >> 8) & 0xff).toByte
+      bomb(off + 2) = ((v >> 16) & 0xff).toByte
+      bomb(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putIntLE(18, 1 << 30) // BITMAPINFOHEADER width
+    putIntLE(22, 1 << 30) // BITMAPINFOHEADER height
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    // the unpatched original still decodes
+    assert(Multimodal.decodeImage(out.toByteArray).isDefined)
+  }
+
   test("audio decode is real: generated WAV fixtures decode bit-exactly") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(fmt: AudioFormat, data: Array[Byte]): Array[Byte] = {
