@@ -350,7 +350,10 @@ object MlInvariantProps extends Properties("graft.ml") {
 
   private val segFrameGen: Gen[(List[(Long, Double, Double)], List[Int])] =
     for {
-      n <- Gen.choose(4, 40)
+      // n >= 8: overdetermined enough that the (lambda-floored) Gram
+      // stays well-conditioned — keeps the merged-vs-flat compare's
+      // 1e-6 margin far from reassociation-noise amplification
+      n <- Gen.choose(8, 40)
       as <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
       bs <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
       nSeg <- Gen.choose(2, 4)
