@@ -122,17 +122,24 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      if (iis == null) return None
+      // with the default ImageIO disk cache this stream is backed by an
+      // executor temp FILE — close it whether or not a reader matched
+      // (extractImageFeatures disables the cache, but decodeImage is
+      // public API and must not leak under either configuration)
       val img = try {
-        reader.setInput(iis)
-        // header-declared dimensions, validated BEFORE the raster
-        // allocation ImageIO.read would perform
-        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
-        reader.read(0)
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // header-declared dimensions, validated BEFORE the raster
+          // allocation ImageIO.read would perform
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) return None
+          reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
       if (img == null) return None
       val hist = new Array[Long](16)
       var y = 0

@@ -396,6 +396,37 @@ class LlmSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(out.toByteArray).isDefined)
   }
 
+  test("image decode leaks no ImageIO cache temp files") {
+    // with the default disk cache enabled, createImageInputStream backs
+    // the stream with an executor temp FILE (ImageIO*.tmp in tmpdir);
+    // decodeImage must close the stream on every path — decoded,
+    // unreadable, and bomb-rejected — or ingest leaks a file per blob
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def cacheFiles(): Set[String] = tmp.listFiles()
+      .filter(f => f.getName.startsWith("imageio") ||
+        f.getName.startsWith("ImageIO"))
+      .map(_.getName).toSet
+    val out = new java.io.ByteArrayOutputStream()
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(javax.imageio.ImageIO.write(img, "bmp", out))
+    val good = out.toByteArray
+    val bomb = good.clone()
+    bomb(18) = 0; bomb(19) = 0; bomb(20) = 0; bomb(21) = 64 // width 2^30
+    val before = cacheFiles()
+    val wasCaching = javax.imageio.ImageIO.getUseCache
+    javax.imageio.ImageIO.setUseCache(true)
+    try {
+      (1 to 50).foreach { _ =>
+        assert(Multimodal.decodeImage(good).isDefined)
+        assert(Multimodal.decodeImage("junk".getBytes).isEmpty)
+        assert(Multimodal.decodeImage(bomb).isEmpty)
+      }
+    } finally javax.imageio.ImageIO.setUseCache(wasCaching)
+    assert(cacheFiles() == before,
+      s"leaked ImageIO cache files: ${cacheFiles() -- before}")
+  }
+
   test("audio decode is real: generated WAV fixtures decode bit-exactly") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wav(fmt: AudioFormat, data: Array[Byte]): Array[Byte] = {
