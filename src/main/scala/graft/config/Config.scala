@@ -33,8 +33,21 @@ object Config {
     case other => other
   }
 
+  /** snakeyaml's default 3 MB code-point limit is an anti-DoS guard for
+    * untrusted YAML; everything parsed here is a user's own config or an
+    * artifact this library itself wrote (model.json, AnnIndex's
+    * index.json), where the default turns a successful save into a
+    * permanently unloadable artifact — large fitted weight arrays or
+    * IVF centroid sets cross 3 MB of JSON long before they strain
+    * memory. Raised to 1 GiB (still bounded). */
+  private def yamlParser(): org.yaml.snakeyaml.Yaml = {
+    val opts = new org.yaml.snakeyaml.LoaderOptions()
+    opts.setCodePointLimit(1 << 30)
+    new org.yaml.snakeyaml.Yaml(opts)
+  }
+
   def parseYaml(s: String): Map[String, Any] =
-    toScala(new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](s))
+    toScala(yamlParser().load[java.util.Map[String, Any]](s))
       .asInstanceOf[Map[String, Any]]
 
   // ---- patch_dict ----

@@ -48,6 +48,7 @@ object Components {
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var jumped: DataFrame = null
+    var next: DataFrame = null
     var it = 0
     var converged = false
     try {
@@ -77,7 +78,10 @@ object Components {
         // no longer recompute dropped blocks either; the JOB fails (loudly)
         // and must rerun. That is the accepted trade for bounded plans;
         // reliable `checkpoint()` to a cluster FS is the HA upgrade path.
-        val next = jumped.localCheckpoint(false)
+        next = jumped.localCheckpoint(false)
+        // the count below is what materializes the lazy checkpoint — if
+        // that job dies partway, `next`'s already-checkpointed blocks
+        // are released by the finally (it never became `labels`)
         val changed = next.as("n")
           .join(labels.as("o"), Seq("node"))
           .filter(col("n.label") =!= col("o.label"))
@@ -86,6 +90,7 @@ object Components {
         jumped.unpersist(false)
         jumped = null
         labels = next
+        next = null
         converged = changed == 0
         it += 1
       }
@@ -93,11 +98,13 @@ object Components {
         s"connectedComponents did not converge in $maxIter rounds")
     } finally {
       // on the non-convergence throw (or any job failure) release every
-      // block this call pinned; on success the returned frame's own
-      // checkpoint blocks live until the caller drops it / session ends —
-      // callers should materialize-and-drop promptly (q87 writes parquet)
+      // block this call pinned — including a mid-materialization `next`;
+      // on success the returned frame's own checkpoint blocks live until
+      // the caller drops it / session ends — callers should
+      // materialize-and-drop promptly (q87 writes parquet)
       sym.unpersist(false)
       if (jumped != null) jumped.unpersist(false)
+      if (next != null) next.unpersist(false)
       if (!converged) labels.unpersist(false)
     }
     (labels.withColumnRenamed("label", "component"), it)

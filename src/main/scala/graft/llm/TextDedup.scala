@@ -129,10 +129,17 @@ object TextDedup {
     * boilerplate shingles first, or raise the threshold.
     *
     * `unboundedOk = true` forces the direct join at ANY threshold
-    * (kept for callers that know the df distribution is bounded). */
+    * (for callers that know the df distribution is bounded);
+    * `forcePrefix = true` forces the prefix+verify path at ANY
+    * threshold (for callers on hub-skewed corpora who accept the
+    * loose-threshold verify blowup to dodge a hot posting — the mirror
+    * escape hatch, so the router never removes a choice). */
   def jaccardPairs(shDf: DataFrame, threshold: Double,
-                   unboundedOk: Boolean = false): DataFrame = {
-    if (!unboundedOk && threshold >= 0.5)
+                   unboundedOk: Boolean = false,
+                   forcePrefix: Boolean = false): DataFrame = {
+    require(!(unboundedOk && forcePrefix),
+      "unboundedOk and forcePrefix are mutually exclusive path overrides")
+    if (forcePrefix || (!unboundedOk && threshold >= 0.5))
       return verifiedPairs(shDf, prefixFilterCandidates(shDf, threshold),
         threshold)
     val ex = shDf.filter(size(col("sh")) > 0)

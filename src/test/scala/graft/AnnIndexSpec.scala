@@ -59,6 +59,22 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded == AnnIndex.Index(cents, None, 1))
   }
 
+  test("a production-sized index (json > snakeyaml's 3 MB default) loads") {
+    // snakeyaml's default 3 MB code-point limit would make any
+    // realistically sized artifact (e.g. 4096 centroids x 768 dims)
+    // save fine and then throw on EVERY load — the parser must carry a
+    // raised limit. 2048 x 160 dims of full-precision doubles ≈ 6 MB.
+    val rng = new scala.util.Random(7)
+    val cents = (0 until 2048).map(c => (c, Seq.fill(160)(rng.nextDouble())))
+    val dir = tmpDir()
+    AnnIndex.save(dir, AnnIndex.Index(cents, None, nprobe = 8))
+    assert(Files.size(Paths.get(dir, "index.json")) > 3L * 1024 * 1024,
+      "fixture must exceed the default snakeyaml limit to prove anything")
+    val loaded = AnnIndex.load(dir)
+    assert(loaded.centroids == cents)
+    assert(loaded.nprobe == 8)
+  }
+
   test("a tampered index.json fails the checksum check") {
     val dir = tmpDir()
     AnnIndex.save(dir, AnnIndex.Index(Seq((0, Seq(0.5))), None, 1))

@@ -216,30 +216,11 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
-  private val edgesGen: Gen[List[(Long, Long)]] = for {
-    nNodes <- Gen.choose(2, 24)
-    nEdges <- Gen.choose(1, 40)
-    edges <- Gen.listOfN(nEdges,
-      Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
-  } yield edges
-
   property("connectedComponents agrees with a union-find ground truth") =
-    forAll(edgesGen) { edges =>
-      // plain-Scala union-find, independent of every Spark path
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val truth = parent.keys.map(n => n -> {
-        // component label = min node of the set: find gives the root,
-        // which IS the min because unions always point max -> min
-        find(n)
-      }).toMap
+    forAll(GraphTruth.edgesGen) { edges =>
+      // plain-Scala union-find, independent of every Spark path (shared
+      // with LlmInvariantProps' dupClusters property — one ground truth)
+      val truth = GraphTruth.minLabels(edges)
       val got = graft.llm.Components
         .connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap

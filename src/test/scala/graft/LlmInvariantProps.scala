@@ -18,9 +18,10 @@ import graft.llm.{AnnIndex, Components, TextDedup}
   *    the all-pairs ground truth exactly;
   *  - MinHash banding: identical shingle sets hash to identical
   *    signatures, so exact-dup pairs are always candidates;
-  *  - jaccardPairs: BOTH router paths (direct posting join below
-  *    t = 0.5, PPJoin prefix-filter at t ≥ 0.5, plus the forced
-  *    `unboundedOk` path) reproduce the exact pair set;
+  *  - jaccardPairs: ALL router paths (direct posting join below
+  *    t = 0.5, PPJoin prefix-filter at t ≥ 0.5, plus both forced
+  *    overrides `unboundedOk` and `forcePrefix`) reproduce the exact
+  *    pair set;
   *  - dupClusters: per-component keeper/keep-flag/size contract over
   *    arbitrary graphs;
   *  - contamination: shared-distinct-n-gram counts with the
@@ -130,35 +131,24 @@ object LlmInvariantProps extends Properties("graft.llm") {
           if uni > 0 && inter.toDouble / uni >= t
         } yield (a, b, inter.toDouble / uni)).toSet
         val shDf = docs.toDF("id", "sh")
-        def run(unbounded: Boolean) =
-          TextDedup.jaccardPairs(shDf, t, unboundedOk = unbounded)
+        def run(unbounded: Boolean, forcePrefix: Boolean = false) =
+          TextDedup.jaccardPairs(shDf, t, unboundedOk = unbounded,
+            forcePrefix = forcePrefix)
             .select($"id_a", $"id_b", $"jaccard")
             .as[(Long, Long, Double)].collect().toSet
         Prop(run(false) == truth) :| s"routed != truth (t=$t)" &&
-          Prop(run(true) == truth) :| s"direct != truth (t=$t)"
+          Prop(run(true) == truth) :| s"direct != truth (t=$t)" &&
+          Prop(run(false, forcePrefix = true) == truth) :|
+            s"forced prefix != truth (t=$t)"
     }
 
   // ---- dupClusters: keeper / keep-flag / size contract ----
 
-  private val edgesGen: Gen[List[(Long, Long)]] = for {
-    nNodes <- Gen.choose(2, 20)
-    nEdges <- Gen.choose(1, 30)
-    edges <- Gen.listOfN(nEdges,
-      Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
-  } yield edges
-
   property("dupClusters emits min-id keeper, keep flag, and true sizes") =
-    forAll(edgesGen) { edges =>
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val comp = parent.keys.map(n => n -> find(n)).toMap
+    forAll(GraphTruth.edgesGen) { edges =>
+      // ground truth shared with InvariantProps' connectedComponents
+      // property — one union-find, provably the same for both suites
+      val comp = GraphTruth.minLabels(edges)
       val sizes = comp.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
       val expected = comp.map { case (n, c) =>
         (n, c, n == c, sizes(c)) }.toSet
