@@ -38,6 +38,13 @@ object Persistence {
       else if (d.isPosInfinity) "\"Infinity\""
       else if (d.isNegInfinity) "\"-Infinity\""
       else d.toString
+    case f: Float     =>
+      // same non-finite discipline: a FloatType serving column must not
+      // fall through to Number and emit a bare NaN (invalid JSON)
+      if (f.isNaN) "\"NaN\""
+      else if (f.isPosInfinity) "\"Infinity\""
+      else if (f.isNegInfinity) "\"-Infinity\""
+      else f.toString
     case n: Number    => n.toString
     case other        => quote(other.toString)
   }

@@ -21,13 +21,18 @@ object Responses {
   }
 
   /** Nested-dict JSON of the frame keyed by the `start` column (the
-    * DatetimeIndex analog). */
+    * DatetimeIndex analog — which, like a DatetimeIndex, cannot hold a
+    * null: a null start would otherwise NPE here or silently collide
+    * rows under one "null" key). */
   def toNestedJson(frame: DataFrame): String = {
     val cols = frame.columns.filterNot(c => c == "start" || c == "end")
     val rows = frame.select(
       org.apache.spark.sql.functions.col("start") +:
-        cols.toSeq.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+        cols.toSeq.map(graft.Cols.q): _*)
       .collect()
+    require(rows.forall(!_.isNullAt(0)),
+      "toNestedJson: the start column is the response index and may not " +
+        "contain nulls — drop or repair null-start rows before encoding")
     val byGroup: Map[String, Map[String, Map[String, Any]]] =
       cols.toSeq.map { c =>
         val (group, tag) = splitName(c)

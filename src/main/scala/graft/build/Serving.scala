@@ -1,7 +1,6 @@
 package graft.build
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 
 import graft.ml.DiffAnomaly.FittedDetector
 
@@ -13,29 +12,34 @@ object Serving {
   class BadInputException(msg: String) extends RuntimeException(msg)
 
   /** P1: align an input frame to the model's expected columns —
-    * positionally renamed when unlabeled-but-width-matched (the wire
-    * format drops names), else selected/reordered by name with extras
-    * dropped; wrong arity or missing columns are rejected. */
+    * selected/reordered by name (extras dropped) whenever the expected
+    * names are all present, else positionally relabeled when the input
+    * carries EXACTLY the default unlabeled wire shape (pandas RangeIndex
+    * `0..n-1` or Spark CSV `_c0.._cn`, in order — arbitrary digit-like
+    * names are labels, never silently re-labeled to different tags);
+    * anything else is rejected. The labeled check runs FIRST, so models
+    * whose tags are themselves digit-named stay addressable by name. */
   def verifyColumns(df: DataFrame, expected: Seq[String],
                     orderCol: Option[String] = None): DataFrame = {
+    import graft.Cols.q
     val keep = orderCol.toSeq
     val present = df.columns.toSeq
-    val looksUnlabeled = present.filterNot(keep.contains)
-      .forall(c => c.startsWith("_c") || c.forall(_.isDigit))
     val dataCols = present.filterNot(keep.contains)
-    if (looksUnlabeled) {
+    if (expected.forall(present.contains)) {
+      df.select((keep ++ expected).map(q): _*)
+    } else {
+      val unlabeled =
+        dataCols == dataCols.indices.map(_.toString) ||
+          dataCols == dataCols.indices.map(i => s"_c$i")
+      if (!unlabeled)
+        throw new BadInputException(
+          s"missing expected columns: ${expected.filterNot(present.contains)}")
       if (dataCols.size != expected.size)
         throw new BadInputException(
           s"unlabeled input has ${dataCols.size} columns, expected ${expected.size}")
-      val renamed = dataCols.zip(expected).foldLeft(df) {
-        case (d, (from, to)) => d.withColumnRenamed(from, to)
-      }
-      renamed.select((keep ++ expected).map(c => col(s"`$c`")): _*)
-    } else {
-      val missing = expected.filterNot(present.contains)
-      if (missing.nonEmpty)
-        throw new BadInputException(s"missing expected columns: $missing")
-      df.select((keep ++ expected).map(c => col(s"`$c`")): _*)
+      // ONE projection (no intermediate-rename collision hazard)
+      df.select((keep.map(q) ++
+        dataCols.zip(expected).map { case (f, t) => q(f).as(t) }): _*)
     }
   }
 

@@ -371,7 +371,7 @@ object LlmQueries {
       .option("maxFilesPerTrigger", "3")
       .parquet(in)
     val deduped = graft.streaming.StreamingScoring
-      .dedupStream(stream, "doc_id", "text", "ts")
+      .dedupStream(stream, "text", "ts")
     val q = graft.streaming.Forwarder.toParquet(
       deduped.select($"exact_key",
         length($"text").cast("long").as("char_len")),

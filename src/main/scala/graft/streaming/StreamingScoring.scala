@@ -98,6 +98,14 @@ object StreamingScoring {
     * trailing-window state already consumed that position — folding the
     * late row in would silently corrupt every subsequent window), the
     * streaming analog of the watermark discarding late buckets.
+    *
+    * `method = "ewma"` completes batch parity (the third smoothing the
+    * batch `DiffAnomaly.addSmooth` accepts): pandas `ewm(span=width)`,
+    * adjust=True, ignore_na=False — per key and column the state is the
+    * (num, den) recursion pair of [[graft.ml.Ewma.ewmaMulti]] (O(1),
+    * smaller than the trailing window), a null decays both and adds
+    * nothing, and there is no width-row null prefix, exactly like the
+    * batch kernel.
     * Returns (key, order, smooth…, carry…) rows — `carry` double columns
     * ride through unsmoothed (the composed [[anomalyJob]] carries the
     * scored frame's columns alongside its smooth-*). */
@@ -106,7 +114,7 @@ object StreamingScoring {
                    method: String = "smm",
                    carry: Seq[String] = Nil): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
-    require(method == "smm" || method == "sma",
+    require(method == "smm" || method == "sma" || method == "ewma",
       s"unsupported streaming smoothing: $method")
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -139,6 +147,20 @@ object StreamingScoring {
             else {
               lastT = Some(t)
               val sm = vals.take(nSmooth).zipWithIndex.map { case (v, i) =>
+                if (method == "ewma") {
+                  // hist(i) carries the two ewm(adjust=True) accumulators
+                  // (num, den) instead of a trailing window — the exact
+                  // recursion pair of Ewma.ewmaMulti: both decay every
+                  // row, a null adds nothing (ignore_na=False), output
+                  // from the first row (no null prefix)
+                  val decay = 1.0 - 2.0 / (width + 1.0)
+                  var num = if (hist(i).isEmpty) 0.0 else hist(i)(0).get
+                  var den = if (hist(i).isEmpty) 0.0 else hist(i)(1).get
+                  num *= decay; den *= decay
+                  v.foreach { x => num += x; den += 1.0 }
+                  hist(i) = Vector(Some(num), Some(den))
+                  if (den == 0.0) None else Some(num / den)
+                } else {
                 hist(i) = (hist(i) :+ v).takeRight(width)
                 val defined = hist(i).flatten
                 // pandas NaN prefix: null until the key has seen `width`
@@ -157,6 +179,7 @@ object StreamingScoring {
                     val hi = s(math.ceil(pos).toInt)
                     lo + (hi - lo) * (pos - pos.toInt)
                 })
+                }
               }
               // carry values pass through unsmoothed
               Some((key, t, sm ++ vals.drop(nSmooth)))
@@ -191,23 +214,50 @@ object StreamingScoring {
                  resolutionSec: Long, outDir: String, checkpointDir: String,
                  watermarkDelay: String = "10 minutes")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val width = fd.window.getOrElse(144)
-    val wide = resampleWideStream(stream, keyCol, tsCol, valueCol,
+    // the job pivots the stream by the FITTED tag names — a windowed
+    // (M6 lag-surgery) detector's tags are lag features (`<tag>__lagK`)
+    // that no stream row carries, so every pivot column would be null
+    // and the sink would fill with null scores without an error; reject
+    // loudly (apply Windows.withLookback upstream and compose
+    // scoreStream directly for sequence models)
+    val lagLike = (fd.tags ++ fd.targets).filter(_.matches(".*__lag\\d+$"))
+    require(lagLike.isEmpty,
+      s"anomalyJob scores unwindowed detectors against raw stream tags; " +
+        s"got lag-feature tags ${lagLike.take(3).mkString(", ")} — apply " +
+        "the window surgery upstream and use scoreStream directly")
+    val wide0 = resampleWideStream(stream, keyCol, tsCol, valueCol,
       (fd.tags ++ fd.targets).distinct, resolutionSec, watermarkDelay)
+    // the detector reads its FITTED orderCol, which is "bucket_ts" only
+    // by convention — rename instead of failing plan analysis for
+    // detectors legitimately fitted on another time-column name
+    val wide =
+      if (fd.orderCol == "bucket_ts") wide0
+      else wide0.withColumnRenamed("bucket_ts", fd.orderCol)
     val scored = scoreStream(fd, wide, resolutionSec)
-    // start (= the bucket) is the order key; end is start + resolution,
-    // reconstructed statelessly after the smooth operator
-    val carry = scored.columns.toSeq.filterNot(c => c == "start" || c == "end")
-    val smoothed = smoothStream(
-      scored.withColumn("__machine", lit(machineName)),
-      "__machine", "start", DiffAnomaly.smoothPairs(fd.targets), width,
-      fd.smoothingMethod, carry = carry)
-    val out = smoothed
-      .withColumn("end", col("start") + lit(resolutionSec))
-      .withColumnRenamed("__machine", "machine")
-      .select((col("machine") +: col("start") +: col("end") +:
-        (carry ++ DiffAnomaly.smoothPairs(fd.targets).map(_._2))
-          .map(graft.Cols.q)): _*)
+    val out = fd.window match {
+      case None =>
+        // batch parity: a detector fitted without smoothing emits NO
+        // smooth-* columns (DiffAnomaly.anomaly's window match) — don't
+        // fabricate a width the model was never evaluated at
+        scored.withColumn("machine", lit(machineName))
+          .select((col("machine") +:
+            scored.columns.toSeq.map(graft.Cols.q)): _*)
+      case Some(width) =>
+        // start (= the bucket) is the order key; end is start +
+        // resolution, reconstructed statelessly after the smooth operator
+        val carry =
+          scored.columns.toSeq.filterNot(c => c == "start" || c == "end")
+        val smoothed = smoothStream(
+          scored.withColumn("__machine", lit(machineName)),
+          "__machine", "start", DiffAnomaly.smoothPairs(fd.targets), width,
+          fd.smoothingMethod, carry = carry)
+        smoothed
+          .withColumn("end", col("start") + lit(resolutionSec))
+          .withColumnRenamed("__machine", "machine")
+          .select((col("machine") +: col("start") +: col("end") +:
+            (carry ++ DiffAnomaly.smoothPairs(fd.targets).map(_._2))
+              .map(graft.Cols.q)): _*)
+    }
     Forwarder.toParquet(out, outDir, checkpointDir)
   }
 
@@ -219,8 +269,7 @@ object StreamingScoring {
     * the streaming side of the LLM-pipeline dedup family; near-dup
     * (MinHash/SimHash) stays a periodic batch job over the deduped sink,
     * as signatures need the full corpus index. */
-  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
-                  tsCol: String,
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermarkDelay: String = "1 hour"): DataFrame =
     docs
       .withWatermark(tsCol, watermarkDelay)

@@ -104,7 +104,7 @@ object DedupStreamProbe {
       .parquet(in)
     val t0 = System.nanoTime()
     val deduped = graft.streaming.StreamingScoring
-      .dedupStream(stream, "doc_id", "text", "ts", watermarkDelay = "1 hour")
+      .dedupStream(stream, "text", "ts", watermarkDelay = "1 hour")
     val q = graft.streaming.Forwarder.toParquet(
       deduped.select($"exact_key", $"doc_id"), s"$tmp/out", s"$tmp/ckpt")
     try q.processAllAvailable() finally q.stop()

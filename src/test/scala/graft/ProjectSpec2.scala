@@ -86,6 +86,30 @@ class ProjectSpec2 extends AnyFunSuite {
     intercept[Serving.BadInputException] {
       Serving.verifyColumns(Seq(Tuple1(1.0)).toDF("_c0"), Seq("a", "b"))
     }
+    // pandas RangeIndex default names are the other unlabeled wire shape
+    val ranged = Serving.verifyColumns(Seq((3.0, 4.0)).toDF("0", "1"),
+      Seq("a", "b"))
+    assert(ranged.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("verifyColumns never relabels digit-NAMED columns positionally") {
+    // a model whose tags are digits: reordered labeled input must be
+    // matched BY NAME (the old all-digits heuristic classed this frame
+    // unlabeled and crashed — or worse, accepted wrong tags positionally)
+    val reordered = Serving.verifyColumns(
+      Seq((2.0, 1.0)).toDF("2", "1"), Seq("1", "2"))
+    assert(reordered.columns.toSeq == Seq("1", "2"))
+    assert(reordered.head().getDouble(0) == 1.0)
+    // digit names that are NOT the expected tags and NOT a RangeIndex
+    // are labels for different tags — reject, never silently re-label
+    intercept[Serving.BadInputException] {
+      Serving.verifyColumns(Seq((1.0, 2.0)).toDF("10", "20"), Seq("1", "2"))
+    }
+    // same for a non-RangeIndex "_c"-prefixed labeled frame
+    intercept[Serving.BadInputException] {
+      Serving.verifyColumns(
+        Seq((1.0, 2.0)).toDF("_cost", "_count"), Seq("a", "b"))
+    }
   }
 
   test("model cache is LRU-bounded and serves loaded models") {

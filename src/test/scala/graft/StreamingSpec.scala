@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ml.DiffAnomaly
-import graft.streaming.StreamingScoring
+import graft.streaming.{Forwarder, StreamingScoring}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -136,6 +136,141 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ewma smoothing matches the batch ewm kernel bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same shape as the smm/sma case: two machines, a mid-series null
+    // (ewm decays both accumulators and adds nothing for it)
+    def series(key: String): Seq[(String, Long, Option[Double])] =
+      (0 until 12).map(i => (key, i * 600L,
+        if (key == "m1" && i == 6) None
+        else Some((if (key == "m1") 1.0 else 100.0) + i * 3.0 + (i % 3) * 7.0)))
+    val all = series("m1") ++ series("m2")
+    for (width <- Seq(3, 6)) {
+      val input = MemoryStream[(String, Long, Option[Double])]
+      val stream = input.toDF().toDF("machine", "bucket_ts", "err")
+      val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+        Seq("err" -> "smooth_err"), width, "ewma")
+        .writeStream.format("memory").queryName(s"ewma_$width")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = all.partition(_._2 < 5 * 600L)
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+        val got = spark.sql(
+          s"SELECT machine, bucket_ts, smooth_err FROM ewma_$width " +
+            "ORDER BY machine, bucket_ts").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        // the oracle is the BATCH kernel itself — identical recursions
+        // must give bit-identical doubles, across the micro-batch split
+        val batch = graft.ml.Ewma.ewmaMulti(
+          all.toDF("machine", "bucket_ts", "err"),
+          Seq("machine"), "bucket_ts", Map("err" -> "smooth_err"),
+          span = width.toDouble)
+          .orderBy($"machine", $"bucket_ts")
+          .select($"machine", $"bucket_ts", $"smooth_err").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        assert(got.toSeq == batch.toSeq, s"width=$width")
+      } finally q.stop()
+    }
+  }
+
+  test("anomalyJob rejects windowed (lag-feature) detectors loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val res = 600L
+    val wide = (0 until 12).map(i =>
+      (i * res, 10.0 + i, 20.0 + i)).toDF("bucket_ts", "tx", "ty")
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3)
+    val lagged = fitted.copy(tags = Seq("tx__lag0", "tx__lag1"),
+      targets = Seq("tx__lag0", "tx__lag1"))
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lagrej").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamingScoring.anomalyJob(lagged, "m1", stream,
+        "tag", "ts", "value", res, s"$tmp/out", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("lag"))
+  }
+
+  test("anomalyJob honors a non-default orderCol and smoothless detectors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val res = 600L
+    def sample(tag: String, i: Int): (String, Long, Double) =
+      (tag, i * res + 30L,
+        if (tag == "tx") 10.0 + i * 2.0 + (i % 3) else 25.0 + i * 1.5)
+    val base = (0 until 8).flatMap(i => Seq(sample("tx", i), sample("ty", i)))
+    val allEvents = base.toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val r = graft.data.TimeSeries.resample(allEvents, Seq("tag"), "ts", "value", res)
+    // the detector is legitimately fitted on a DIFFERENT time-column
+    // name, and without smoothing (window = None)
+    val wide = graft.data.TimeSeries.pivotWide(r, "tag", Seq("tx", "ty"))
+      .withColumnRenamed("bucket_ts", "hour_ts")
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "hour_ts",
+      new DiffAnomaly.TrendReconstructor("hour_ts", 0L), nSplits = 3,
+      window = None)
+    val batch = DiffAnomaly.anomaly(fitted, wide, res)
+    assert(!batch.columns.exists(_.startsWith("smooth-")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ordercol").toString
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val q = StreamingScoring.anomalyJob(fitted, "m1", stream,
+      "tag", "ts", "value", res, s"$tmp/out", s"$tmp/ckpt",
+      watermarkDelay = "600 seconds")
+    try {
+      input.addData(base :+ (("tx", 20000L, 0.0)): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+      // batch parity: no fabricated smooth-* columns, machine + the
+      // full stateless column set, scored values row-identical
+      assert(!got.columns.exists(_.startsWith("smooth-")))
+      val cols = batch.columns.toSeq
+      cols.foreach(c => assert(got.columns.contains(c), s"missing $c"))
+      val exp = batch.orderBy($"start")
+        .select(cols.map(graft.Cols.q): _*).collect()
+      val act = got.orderBy($"start")
+        .select(cols.map(graft.Cols.q): _*).collect()
+      assert(act.length == exp.length)
+      act.zip(exp).foreach { case (a, e) => assert(a == e) }
+    } finally q.stop()
+  }
+
+  test("forwarder refuses a fresh checkpoint over a sink holding batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    def run(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Double)]
+      val q = Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", ckpt)
+      try {
+        input.addData((1L, 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(s"$tmp/ckpt1")
+    // restarting the SAME checkpoint over the sink is the supported path
+    run(s"$tmp/ckpt1")
+    // a FRESH checkpoint would restart batch ids at 0 and interleave new
+    // dirs with stale ones — rejected before the query starts
+    val e = intercept[IllegalArgumentException] {
+      val input = MemoryStream[(Long, Double)]
+      Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt2")
+    }
+    assert(e.getMessage.contains("clear the sink"))
+  }
+
   test("smoothStream drops out-of-order rows instead of corrupting state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -227,7 +362,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Long, String)]
     val stream = input.toDF().toDF("doc_id", "epoch", "text")
       .select($"doc_id", timestamp_seconds($"epoch").as("ts"), $"text")
-    val q = StreamingScoring.dedupStream(stream, "doc_id", "text", "ts")
+    val q = StreamingScoring.dedupStream(stream, "text", "ts")
       .writeStream.format("memory").queryName("deduped")
       .outputMode("append").start()
     try {
