@@ -18,6 +18,37 @@ import graft.ml.DiffAnomaly
   */
 object ModelBuilder {
 
+  /** Refcount per canonicalized assembled-frame plan — see the
+    * acquireAssembled doc. JVM-wide because the build threads share one
+    * SparkSession (and so one CacheManager). */
+  private val cacheOwners = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Claim the assembled frame's cache, refcounted by CANONICAL PLAN:
+    * the first plan-identical claimant persists, the last one's release
+    * unpersists — two machines over the same dataset block built in
+    * parallel can no longer double-claim ownership or yank the shared
+    * cache from under each other (the check-then-act race). A frame the
+    * CALLER cached before entry (count 0, storage already set) is used
+    * without claiming and its release is a no-op. Returns the release
+    * thunk for the build's finally. */
+  private[graft] def acquireAssembled(df: DataFrame): () => Unit =
+    cacheOwners.synchronized {
+      val k = df.queryExecution.analyzed.canonicalized.toString
+      val n = cacheOwners.getOrElse(k, 0)
+      val weOwn = n > 0 ||
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (!weOwn) () => ()
+      else {
+        if (n == 0) df.persist()
+        cacheOwners(k) = n + 1
+        () => cacheOwners.synchronized {
+          val m = cacheOwners(k) - 1
+          if (m == 0) { cacheOwners.remove(k); df.unpersist(): Unit }
+          else cacheOwners(k) = m
+        }
+      }
+    }
+
   case class BuildResult(
       spec: Config.MachineSpec,
       fitted: DiffAnomaly.FittedDetector,
@@ -57,23 +88,44 @@ object ModelBuilder {
                 closedForm: Boolean = false): BuildResult = {
     val key = Persistence.cacheKey(spec, closedForm)
 
-    // cache probe (`build_model.py:104-190`): hit short-circuits the build
+    // cache probe (`build_model.py:104-190`): hit short-circuits the build.
+    // The hit is MATERIALIZED into the requested outputDir — callers
+    // address the model by the dir they asked for (serving configs,
+    // predict(s"$outputRoot/$name")), and a registry entry can point into
+    // an earlier run's directory that may not outlive this one; a
+    // bit-identical copy keeps the checksummed layout valid either way.
     registryDir.flatMap(Persistence.checkCache(_, key)).foreach { dir =>
-      return BuildResult(spec, Persistence.load(dir),
-        Persistence.loadMetadata(dir), dir, fromCache = true)
+      val src = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      val dst = java.nio.file.Paths.get(outputDir).toAbsolutePath.normalize
+      if (src != dst) {
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.walk(src).forEach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+      return BuildResult(spec, Persistence.load(outputDir),
+        Persistence.loadMetadata(outputDir), outputDir, fromCache = true)
     }
 
     val dsCfg = Config.datasetConfig(spec)
     val t0 = System.nanoTime()
     // the assembled frame feeds every CV fold fit, the final fit, and the
     // fold-score pass — cache it so resample/grid/interpolate run once.
-    // Ownership-aware: if an identical canonical plan is already cached
-    // (CacheManager matches by plan, not identity), reuse it and leave
-    // the unpersist to its owner.
+    // Ownership is REFCOUNTED (not check-then-act): CacheManager dedups
+    // cached data by canonical plan session-wide, so plan-identical
+    // machines built in PARALLEL (Project.buildAll's dataset-sharing
+    // shape) must coordinate — a plain storageLevel check lets the first
+    // finisher unpersist the shared cache from under its still-running
+    // siblings, recomputing the whole assembly per remaining fold. A
+    // frame some OUTSIDE caller already cached is reused and never
+    // released here (their unpersist, their timing).
     val assembled = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
-    val ownCache =
-      assembled.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val wide = if (ownCache) assembled.persist() else assembled
+    val releaseCache = acquireAssembled(assembled)
+    val wide = assembled
     val querySec = (System.nanoTime() - t0) / 1e9
     try {
 
@@ -119,13 +171,25 @@ object ModelBuilder {
         (w2, lagTags, dsCfg.effectiveTargets)
       case None => (wide, dsCfg.tags, dsCfg.targetTags)
     }
+    // evaluation.cv compiles STRICTLY: a configured splitter that fails
+    // to compile, or compiles to something else, is a config ERROR —
+    // falling back to the default 3 would silently cross-validate with
+    // settings the user never asked for. KFold-fold thresholds are the
+    // M12 KFCV detector's semantics (`DiffAnomaly.fitKfcv`), so the
+    // expanding-window build rejects the method loudly rather than
+    // running time-series folds under a kfold label.
     val nSplits = spec.evaluation.get("cv") match {
-      case Some(cv: Map[_, _]) =>
-        ModelRegistry.compile(cv.asInstanceOf[Map[String, Any]]) match {
-          case ModelRegistry.CvSplit(_, n) => n
-          case _ => 3
-        }
-      case _ => 3
+      case None | Some(null) => 3
+      case Some(cv) => ModelRegistry.compile(cv) match {
+        case ModelRegistry.CvSplit("timeseries", n) => n
+        case ModelRegistry.CvSplit(method, _) =>
+          throw new ModelRegistry.CompileException(
+            s"evaluation.cv method '$method' is not supported by the " +
+              "expanding-window detector build (KFold CV is the " +
+              "DiffBasedKFCVAnomalyDetector variant's semantics)")
+        case other => throw new ModelRegistry.CompileException(
+          s"evaluation.cv must be a CV splitter, got: $other")
+      }
     }
 
     // A8/A9/M13/M14 inputs: metric list + scoring scaler (fit on the FULL
@@ -254,7 +318,7 @@ object ModelBuilder {
       metadata)
     registryDir.foreach(Persistence.registerModel(_, key, outputDir))
     BuildResult(spec, fitted, metadata, outputDir, fromCache = false)
-    } finally if (ownCache) wide.unpersist()
+    } finally releaseCache()
   }
 
   /** Re-apply a persisted model's windowing to a raw serve-time frame
@@ -278,18 +342,27 @@ object ModelBuilder {
       resolutionSec)
   }
 
+  /** The one scoring body both serve entries share: window surgery →
+    * anomaly frame → P8 drop of the smooth-* groups unless all_columns
+    * (`gordo/server/blueprints/anomaly.py:56-62`). Keeping it single
+    * means the cached and uncached paths can never drift. */
+  private def scoreWith(fd: graft.ml.DiffAnomaly.FittedDetector,
+                        windowing: Option[(Seq[String], Int, Int)],
+                        wide: DataFrame, resolutionSec: Long,
+                        allColumns: Boolean): DataFrame = {
+    val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
+      resolutionSec)
+    if (allColumns) frame
+    else frame.drop(frame.columns.filter(_.startsWith("smooth-")).toIndexedSeq: _*)
+  }
+
   /** §3.3 batch scoring entry: load a model dir and produce the anomaly
     * frame for an input wide frame (the serve-path equivalent of
     * `POST /anomaly/prediction`). */
   def score(modelDir: String, wide: DataFrame, resolutionSec: Long,
             allColumns: Boolean = false): DataFrame = {
     val (fd, windowing) = Persistence.loadFull(modelDir)
-    val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
-      resolutionSec)
-    // P8: drop smooth-* groups unless all_columns
-    // (`gordo/server/blueprints/anomaly.py:56-62`)
-    if (allColumns) frame
-    else frame.drop(frame.columns.filter(_.startsWith("smooth-")).toIndexedSeq: _*)
+    scoreWith(fd, windowing, wide, resolutionSec, allColumns)
   }
 
   /** [[score]] routed through a [[Serving.ModelCache]] — the S5
@@ -300,9 +373,6 @@ object ModelBuilder {
                   wide: DataFrame, resolutionSec: Long,
                   allColumns: Boolean = false): DataFrame = {
     val (fd, windowing) = cache.getFull(modelDir)
-    val frame = DiffAnomaly.anomaly(fd, serveFrame(fd, windowing, wide),
-      resolutionSec)
-    if (allColumns) frame
-    else frame.drop(frame.columns.filter(_.startsWith("smooth-")).toIndexedSeq: _*)
+    scoreWith(fd, windowing, wide, resolutionSec, allColumns)
   }
 }

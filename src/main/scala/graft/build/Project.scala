@@ -39,17 +39,23 @@ object Project {
   }
 
   /** The build plan: machine list with cache keys, chunked into
-    * workflows of ≤ `maxPerWorkflow`. */
-  def plan(spec: ProjectSpec, maxPerWorkflow: Int = 30): String = {
+    * workflows of ≤ `maxPerWorkflow`. `closedForm` must match the
+    * intended [[buildAll]] run — the two modes key the registry
+    * differently (a closed-form build never aliases a full build), and
+    * a plan emitted with the wrong mode would misreport every key any
+    * registry tooling pre-checks against. */
+  def plan(spec: ProjectSpec, maxPerWorkflow: Int = 30,
+           closedForm: Boolean = false): String = {
     val chunks = spec.machines.grouped(maxPerWorkflow).toSeq
     Persistence.toJson(Map(
       "project_name" -> spec.projectName,
       "n_machines" -> spec.machines.size,
+      "closed_form" -> closedForm,
       "workflows" -> chunks.zipWithIndex.map { case (ms, i) =>
         Map("workflow" -> i,
           "machines" -> ms.map(m => Map(
             "name" -> m.name,
-            "cache_key" -> Persistence.cacheKey(m))))
+            "cache_key" -> Persistence.cacheKey(m, closedForm))))
       }))
   }
 

@@ -47,8 +47,13 @@ object Config {
   }
 
   def parseYaml(s: String): Map[String, Any] =
-    toScala(yamlParser().load[java.util.Map[String, Any]](s))
-      .asInstanceOf[Map[String, Any]]
+    toScala(yamlParser().load[java.util.Map[String, Any]](s)) match {
+      // empty / comments-only documents load as null — surface them as
+      // an empty config so callers raise their own "missing X" errors
+      // instead of an anonymous NullPointerException
+      case null => Map.empty
+      case m => m.asInstanceOf[Map[String, Any]]
+    }
 
   // ---- patch_dict ----
 
@@ -167,7 +172,13 @@ object Config {
       TimeSeries.parseResolutionSeconds(r.toString)) // throws if bad
   }
 
-  /** F5: ISO datetime parse, tz required (`gordo/server/utils.py:198-205`). */
+  /** F5: ISO datetime parse, tz required for STRINGS
+    * (`gordo/server/utils.py:198-205`). An UNQUOTED YAML timestamp
+    * arrives pre-resolved as java.util.Date — for a tz-less unquoted
+    * form that resolution already assumed UTC per the YAML 1.1
+    * timestamp spec, so the Date branch is the YAML standard's
+    * semantics, not a loosening of the contract; the same text QUOTED
+    * reaches the string branch and is rejected as naive. */
   def parseTzAware(v: Any): java.time.OffsetDateTime = v match {
     case d: java.util.Date => // snakeyaml parses ISO timestamps natively
       d.toInstant.atOffset(java.time.ZoneOffset.UTC)
@@ -253,7 +264,14 @@ object Config {
     }
     val periods = ds.get("known_filter_periods") match {
       case Some(l: List[_]) => l.map {
-        case p: List[_] => (p.head.toString, p(1).toString)
+        // the same Date-vs-string normalization the train dates get: an
+        // unquoted YAML timestamp arrives as java.util.Date, whose
+        // toString is not Spark-castable — dropKnownPeriods' cast would
+        // yield a null predicate and silently drop EVERY row. Naive
+        // strings fail the F5 tz-aware contract loudly, like train dates
+        case p: List[_] if p.size == 2 =>
+          (parseTzAware(p.head).toInstant.toString,
+            parseTzAware(p(1)).toInstant.toString)
         case p => throw new ConfigException(s"bad filter period: $p")
       }
       case _ => Nil

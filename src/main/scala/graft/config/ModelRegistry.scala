@@ -318,7 +318,7 @@ object ModelRegistry {
         branches.zipWithIndex.foldLeft(df) { case (acc, (b, i)) =>
           val branchCols = tags.map(t => s"${t}__b$i")
           val withCopies = tags.zip(branchCols).foldLeft(acc) {
-            case (a, (t, bc)) => a.withColumn(bc, col(s"`$t`"))
+            case (a, (t, bc)) => a.withColumn(bc, graft.Cols.q(t))
           }
           fitTransform(withCopies, branchCols, b)
         }

@@ -82,7 +82,10 @@ class BuilderSpec extends AnyFunSuite {
       outputDir = s"$tmp/model2", registryDir = Some(s"$tmp/registry"),
       projectName = Some("test-project"))
     assert(res2.fromCache)
-    assert(res2.modelDir == s"$tmp/model")
+    // the hit is materialized into the REQUESTED dir (round-9 contract)
+    assert(res2.modelDir == s"$tmp/model2")
+    assert(Files.readString(java.nio.file.Paths.get(s"$tmp/model/model.json"))
+      == Files.readString(java.nio.file.Paths.get(s"$tmp/model2/model.json")))
   }
 
   test("predict emits model-input/output only and agrees with score") {
@@ -103,6 +106,74 @@ class BuilderSpec extends AnyFunSuite {
     val b = scored.orderBy($"start").select($"`model-output.tag-a`")
       .as[Double].collect()
     a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("a registry cache hit materializes the model in the REQUESTED dir") {
+    val tmp = Files.createTempDirectory("graft-cachemat").toString
+    val reg = Some(s"$tmp/registry")
+    def run(out: String) = ModelBuilder.build(
+      Config.parseYaml(machineYaml), globals = Config.defaultGlobals,
+      long = longFrame, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = out, registryDir = reg, projectName = Some("test-project"))
+    val r1 = run(s"$tmp/runA/model")
+    assert(!r1.fromCache)
+    // second run into a DIFFERENT output root: the hit must land a
+    // bit-identical copy there — callers address the model by the dir
+    // they asked for, and the registry's dir may not outlive this run
+    val r2 = run(s"$tmp/runB/model")
+    assert(r2.fromCache)
+    assert(r2.modelDir == s"$tmp/runB/model")
+    for (f <- Seq("model.json", "metadata.json", "info.json")) {
+      val a = java.nio.file.Paths.get(s"$tmp/runA/model/$f")
+      val b = java.nio.file.Paths.get(s"$tmp/runB/model/$f")
+      assert(Files.exists(b), f)
+      assert(Files.readString(a) == Files.readString(b), f)
+    }
+  }
+
+  test("evaluation.cv compiles strictly instead of silently defaulting") {
+    val tmp = Files.createTempDirectory("graft-cvstrict").toString
+    def build(cvBlock: String) = ModelBuilder.build(
+      Config.parseYaml(machineYaml.replace(
+        "    sklearn.model_selection.TimeSeriesSplit:\n      n_splits: 3",
+        cvBlock)),
+      globals = Config.defaultGlobals,
+      long = longFrame, keyCol = "tag", tsCol = "ts", valueCol = "value",
+      outputDir = s"$tmp/m-${cvBlock.hashCode}",
+      projectName = Some("test-project"))
+    // a configured KFold must not silently run 3 time-series folds
+    intercept[graft.config.ModelRegistry.CompileException] {
+      build("    sklearn.model_selection.KFold:\n      n_splits: 5")
+    }
+    // a cv that compiles to a non-splitter stage is a config error too
+    intercept[graft.config.ModelRegistry.CompileException] {
+      build("    sklearn.preprocessing.MinMaxScaler: {}")
+    }
+    // the configured n_splits is actually honored
+    val r = build("    sklearn.model_selection.TimeSeriesSplit:\n      n_splits: 4")
+    assert(r.fitted.folds.size == 4)
+  }
+
+  test("assembled-frame cache ownership is refcounted across plan-identical frames") {
+    import org.apache.spark.storage.StorageLevel
+    // two plan-IDENTICAL frames from different objects: CacheManager
+    // dedups the cache by canonical plan, so ownership must refcount
+    val df1 = longFrame.select($"tag", $"value")
+    val df2 = longFrame.select($"tag", $"value")
+    val rel1 = ModelBuilder.acquireAssembled(df1)
+    assert(df1.storageLevel != StorageLevel.NONE)
+    val rel2 = ModelBuilder.acquireAssembled(df2)
+    rel1()
+    // the first release must NOT yank the cache from the second owner
+    assert(df2.storageLevel != StorageLevel.NONE)
+    rel2()
+    assert(df1.storageLevel == StorageLevel.NONE)
+    // a frame the CALLER cached is used but never claimed or released
+    val ext = longFrame.select($"value").persist()
+    try {
+      ModelBuilder.acquireAssembled(ext)()
+      assert(ext.storageLevel != StorageLevel.NONE)
+    } finally ext.unpersist()
   }
 
   test("cache key is stable and config-sensitive") {

@@ -97,6 +97,41 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("known_filter_periods normalize unquoted YAML timestamps like train dates") {
+    // unquoted ISO timestamps arrive from snakeyaml as java.util.Date,
+    // whose raw toString ("Fri Jan 05 ...") is not Spark-castable —
+    // dropKnownPeriods' cast would go null and silently drop EVERY row;
+    // the config layer must hand Spark the same ISO-instant strings the
+    // train dates get
+    val yaml =
+      """
+        |name: periods-machine
+        |dataset:
+        |  tag_list: [a, b]
+        |  train_start_date: 2024-01-01T00:00:00Z
+        |  train_end_date: 2024-02-01T00:00:00Z
+        |  known_filter_periods: [[2024-01-05T00:00:00Z, 2024-01-06T12:00:00Z]]
+        |model:
+        |  sklearn.preprocessing.MinMaxScaler: {}
+        |""".stripMargin
+    val dc = Config.datasetConfig(
+      Config.machineFromConfig(Config.parseYaml(yaml), Some("p")))
+    assert(dc.knownFilterPeriods ==
+      Seq(("2024-01-05T00:00:00Z", "2024-01-06T12:00:00Z")))
+    // a quoted NAIVE period fails the F5 tz contract loudly, like dates
+    val naive = yaml.replace("[[2024-01-05T00:00:00Z, 2024-01-06T12:00:00Z]]",
+      """[["2024-01-05 00:00:00", "2024-01-06 12:00:00"]]""")
+    intercept[Config.ConfigException] {
+      Config.datasetConfig(
+        Config.machineFromConfig(Config.parseYaml(naive), Some("p")))
+    }
+  }
+
+  test("empty or comments-only YAML parses to an empty config, not null") {
+    assert(Config.parseYaml("") == Map.empty)
+    assert(Config.parseYaml("# just a comment\n") == Map.empty)
+  }
+
   test("datasetConfig applies the documented defaults") {
     val m = Config.machineFromConfig(Config.parseYaml(machineYaml), Some("p"))
     val dc = Config.datasetConfig(m)

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.build.{ModelBuilder, Project, Reporters, Serving}
+import graft.build.{ModelBuilder, Persistence, Project, Reporters, Serving}
 
 class ProjectSpec2 extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -70,6 +70,26 @@ class ProjectSpec2 extends AnyFunSuite {
     val userDef = results.head.metadata("user_defined")
       .asInstanceOf[Map[String, Any]]
     assert(userDef("machine-metadata") == Map("owner" -> "team-x"))
+  }
+
+  test("plan reports closed-form cache keys when the run will use them") {
+    val spec = Project.parse(projectYaml, "proj-x")
+    val closed = Project.plan(spec, closedForm = true)
+    assert(closed.contains("\"closed_form\":true"))
+    // the emitted keys must be the keys a closedForm buildAll will
+    // actually probe/register — the two modes never alias
+    assert(closed.contains(
+      Persistence.cacheKey(spec.machines.head, closedForm = true)))
+    assert(!closed.contains(Persistence.cacheKey(spec.machines.head)))
+    val full = Project.plan(spec)
+    assert(full.contains(Persistence.cacheKey(spec.machines.head)))
+  }
+
+  test("empty project YAML raises a config error, not an NPE") {
+    val e = intercept[graft.config.Config.ConfigException] {
+      Project.parse("# comments only\n", "p")
+    }
+    assert(e.getMessage.contains("machines"))
   }
 
   test("verifyColumns reorders labeled input and renames unlabeled input") {
