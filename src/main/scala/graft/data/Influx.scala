@@ -99,7 +99,13 @@ object Influx {
     * names escape commas/spaces, tag values escape commas/equals/spaces
     * (the public line-protocol spec), timestamps are nanoseconds. All
     * per-row work is codegen'd column expressions — the encoded dataset
-    * streams to whatever transport writes it. */
+    * streams to whatever transport writes it.
+    *
+    * Rows with a null tag, value, or timestamp are DROPPED before
+    * encoding: line protocol has no null representation (a null point is
+    * nothing to write), and `concat` would otherwise null-propagate the
+    * whole line — a null element in a Dataset[String] that crashes
+    * `.write.text` and NPEs custom transports. */
   def toLineProtocol(df: DataFrame, measurement: String, tagCol: String,
                      tsCol: String, valueCol: String,
                      field: String = "Value",
@@ -109,7 +115,9 @@ object Influx {
     val meas = measurement.replaceAll("([, ])", "\\\\$1")
     val tkey = tagKey.replaceAll("([,= ])", "\\\\$1")
     val fkey = field.replaceAll("([,= ])", "\\\\$1")
-    df.select(concat(
+    df.filter(col(tagCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(concat(
       lit(s"$meas,$tkey="),
       regexp_replace(col(tagCol), "([,= ])", "\\\\$1"),
       lit(s" $fkey="), col(valueCol).cast("double").cast("string"),

@@ -23,6 +23,9 @@ object Providers {
              minSize: Int = 100, maxSize: Int = 300,
              startEpoch: Long = 1704067200L, stepSec: Long = 600L): DataFrame = {
     import spark.implicits._
+    require(tags.nonEmpty, "random provider needs at least one tag")
+    require(minSize >= 0 && maxSize >= minSize,
+      s"size bounds must satisfy 0 <= minSize <= maxSize: [$minSize, $maxSize]")
     tags.map { tag =>
       val span = maxSize - minSize + 1
       // count draw: first 8 md5 hex digits of "tag#seed" mod span

@@ -175,13 +175,17 @@ object TimeSeries {
     * the J1 alignment join expressed as a single shuffle+pivot. Inner-join
     * semantics (only buckets where every tag has data) are obtained by
     * dropping rows with any null afterwards; callers wanting gap-fill run
-    * ffill/interpolate per series first. */
+    * ffill/interpolate per series first.
+    *
+    * The output is deliberately UNORDERED: every downstream consumer
+    * either establishes its own order explicitly (withRowIndex, window
+    * specs, a final presentation orderBy) or doesn't need one — a baked-in
+    * global sort here was one wasted range-shuffle per pivot. */
   def pivotWide(resampled: DataFrame, keyCol: String, tags: Seq[String],
                 valueCol: String = "value"): DataFrame =
     resampled.groupBy($"bucket_ts")
       .pivot(keyCol, tags)
       .agg(first(col(valueCol)))
-      .orderBy($"bucket_ts")
 
   /** Translate a pandas-query-style row_filter ("`tag` > 1 & ~(`x` == 2)")
     * to a Spark SQL predicate (ref: row_filter key,
@@ -196,8 +200,19 @@ object TimeSeries {
     while (i < s.length) {
       s.charAt(i) match {
         case q @ ('\'' | '"' | '`') =>
-          val end = s.indexOf(q, i + 1)
-          val stop = if (end < 0) s.length - 1 else end
+          // scan to the CLOSING quote, skipping backslash-escaped chars
+          // inside '/" literals (an escaped quote must not end the
+          // literal — the remainder would be rewritten as code);
+          // backticked identifiers have no escape form
+          var j = i + 1
+          var closed = false
+          while (j < s.length && !closed) {
+            val ch = s.charAt(j)
+            if (q != '`' && ch == '\\' && j + 1 < s.length) j += 2
+            else if (ch == q) closed = true
+            else j += 1
+          }
+          val stop = if (closed) j else s.length - 1
           out.append(s.substring(i, stop + 1))
           i = stop + 1
         case '&' =>
@@ -216,11 +231,21 @@ object TimeSeries {
   }
 
   /** row_filter + row_filter_buffer_size (SURVEY P2/P3): drop rows failing
-    * the predicate AND the `buffer` rows on each side within a series. */
+    * the predicate AND the `buffer` rows on each side within a series.
+    *
+    * With keys the window partitions per series (bounded like every other
+    * per-key window here). WITHOUT keys — getData's wide frame, one
+    * global series — a plain empty `partitionBy()` would funnel the
+    * entire frame through ONE task for the sort, the exact shape the
+    * file's scale contract forbids; instead the rows are value-chunked
+    * (`CrossValidate.withRowIndex`, no global sort) and each chunk
+    * receives its neighbors' `buffer` boundary rows as carry, so the
+    * ±buffer frame is exact inside an ordinary hash-partitioned window
+    * and the single-task sort never exists. */
   def rowFilterWithBuffer(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                           predicate: Column, buffer: Int): DataFrame = {
     if (buffer <= 0) df.filter(predicate)
-    else {
+    else if (keys.nonEmpty) {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(orderCols.map(col): _*)
         .rowsBetween(-buffer, buffer)
@@ -228,18 +253,57 @@ object TimeSeries {
         .withColumn("__drop", max($"__bad").over(w))
         .filter($"__drop" === 0)
         .drop("__bad", "__drop")
+    } else {
+      val c = math.max(4096, 2 * (buffer + 1))
+      val idx = graft.ml.CrossValidate.withRowIndex(df, orderCols.map(col))
+      val ck = (col("__row") / c).cast("long")
+      val base = idx.withColumn("__wck", ck)
+        .withColumn("__wcarry", lit(false))
+      // the last `buffer` rows of chunk k serve chunk k+1's left edge,
+      // the first `buffer` rows of chunk k serve chunk k-1's right edge
+      val prevCarry = idx.filter(col("__row") % c >= c - buffer)
+        .withColumn("__wck", ck + 1).withColumn("__wcarry", lit(true))
+      val nextCarry = idx.filter(col("__row") % c < buffer && ck >= 1)
+        .withColumn("__wck", ck - 1).withColumn("__wcarry", lit(true))
+      val w = Window.partitionBy(col("__wck")).orderBy(col("__row"))
+        .rowsBetween(-buffer, buffer)
+      base.unionByName(prevCarry).unionByName(nextCarry)
+        .withColumn("__bad", when(predicate, 0).otherwise(1))
+        .withColumn("__drop", max($"__bad").over(w))
+        .filter(!col("__wcarry") && col("__drop") === 0)
+        .drop("__bad", "__drop", "__wck", "__wcarry", "__row")
     }
+  }
+
+  /** Timestamp bound with an EAGER castability check: an unparseable
+    * string either becomes a NULL bound (ANSI off) that silently filters
+    * out every row, or a SparkDateTimeException thrown mid-job from
+    * whichever task first evaluates it (ANSI on, the Spark 4 default) —
+    * late and without naming the config field. The check evaluates the
+    * exact Spark cast once on a local one-row plan (LocalTableScan — no
+    * data scan) and fails up front with the offending value. */
+  private def tsBound(df: DataFrame, s: String, what: String): Column = {
+    val castable = scala.util.Try(
+      !df.sparkSession.range(1)
+        .select(lit(s).cast("timestamp")).head().isNullAt(0))
+      .getOrElse(false)
+    require(castable, s"$what '$s' is not a Spark-castable timestamp — " +
+      "an invalid bound would drop every row (or kill the job mid-scan)")
+    lit(s).cast("timestamp")
   }
 
   /** known_filter_periods (SURVEY P4): drop rows inside any [start, end]
     * closed interval. Compiles to an OR-chain literal predicate that
-    * pushes down to the scan. */
+    * pushes down to the scan. Bounds are eagerly validated ([[tsBound]]):
+    * an uncastable period would otherwise null the whole predicate and
+    * silently drop every row. */
   def dropKnownPeriods(df: DataFrame, tsCol: String,
                        periods: Seq[(String, String)]): DataFrame =
     if (periods.isEmpty) df
     else {
       val inAny = periods.map { case (s, e) =>
-        col(tsCol) >= lit(s).cast("timestamp") && col(tsCol) <= lit(e).cast("timestamp")
+        col(tsCol) >= tsBound(df, s, "filter period start") &&
+          col(tsCol) <= tsBound(df, e, "filter period end")
       }.reduce(_ || _)
       df.filter(!inAny)
     }
@@ -336,22 +400,34 @@ object TimeSeries {
     // X tags plus any extra target tags align on the same grid
     val allTags = (cfg.tags ++ cfg.targetTags).distinct
     var df = long.filter(col(keyCol).isin(allTags: _*))
-    cfg.trainStart.foreach(s => df = df.filter(col(tsCol) >= lit(s).cast("timestamp")))
-    cfg.trainEnd.foreach(e => df = df.filter(col(tsCol) < lit(e).cast("timestamp")))
+    cfg.trainStart.foreach(s =>
+      df = df.filter(col(tsCol) >= tsBound(df, s, "train_start_date")))
+    cfg.trainEnd.foreach(e =>
+      df = df.filter(col(tsCol) < tsBound(df, e, "train_end_date")))
     df = dropKnownPeriods(df, tsCol, cfg.knownFilterPeriods)
     val resampled = resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
       cfg.aggregationMethod)
     // Shared grid: global [min, max] bucket so every tag lands on the
-    // same row set (one tiny agg collected to the driver — two longs).
-    val Array(b0, b1) = resampled
-      .agg(min($"bucket_ts"), max($"bucket_ts")).head() match {
-        case r if r.isNullAt(0) =>
-          // empty input still honors n_samples_threshold (exit-code-80
-          // contract): zero rows < any positive threshold
-          return requireMinSamples(spark_emptyWide(resampled, cfg),
-            cfg.nSamplesThreshold)
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+    // same row set, PLUS the set of tags actually present — one tiny agg
+    // collected to the driver (two longs + a tag-bounded set).
+    val boundsRow = resampled
+      .agg(min($"bucket_ts"), max($"bucket_ts"),
+        collect_set(col(keyCol).cast("string"))).head()
+    if (boundsRow.isNullAt(0))
+      // empty input still honors n_samples_threshold (exit-code-80
+      // contract): zero rows < any positive threshold
+      return requireMinSamples(spark_emptyWide(resampled, cfg),
+        cfg.nSamplesThreshold)
+    // a configured tag with NO rows in the window pivots to an all-null
+    // column, and the any-null inner-join filter then drops EVERY bucket
+    // — a silently empty frame that looks like bad data rather than the
+    // config typo it is; name the absent tags instead (the reference's
+    // missing-tag error)
+    val present = boundsRow.getSeq[String](2).toSet
+    val absent = allTags.filterNot(present)
+    require(absent.isEmpty,
+      s"tags with no data in the train window: ${absent.mkString(", ")}")
+    val Array(b0, b1) = Array(boundsRow.getLong(0), boundsRow.getLong(1))
     val gridded = fullGrid(resampled, Seq(keyCol), widthSec, valueCol,
       bounds = Some((b0, b1)))
     val interp = cfg.interpolationMethod match {
@@ -386,11 +462,24 @@ object TimeSeries {
   class InsufficientDataError(msg: String) extends RuntimeException(msg)
 
   def requireMinSamples(df: DataFrame, n: Long): DataFrame = {
-    if (n > 0) {
-      val c = df.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
-      if (c < n) throw new InsufficientDataError(s"got $c rows < threshold $n")
+    if (n <= 0) df
+    else {
+      // the count must execute the whole assembly anyway — persist
+      // around it so the caller's first action reads the materialized
+      // frame instead of re-running resample→grid→interpolate→pivot end
+      // to end. The returned frame is CACHED; the caller owns its
+      // lifecycle (build paths treat it like any pre-cached input).
+      val cached =
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+        else df
+      val c = cached.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+      if (c < n) {
+        cached.unpersist()
+        throw new InsufficientDataError(s"got $c rows < threshold $n")
+      }
+      cached
     }
-    df
   }
 
   /** Minimal `$"col"` interpolator so library code (which has no

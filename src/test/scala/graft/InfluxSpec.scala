@@ -74,4 +74,19 @@ class InfluxSpec extends AnyFunSuite {
     assert(lines.toSeq == Seq(
       """my\ meas,tag=tag\ with\ space\,eq\=x Value=0.5 1704067200000000000"""))
   }
+
+  test("toLineProtocol drops null points instead of emitting null lines") {
+    // line protocol has no null representation; concat would null-
+    // propagate the whole line and crash .write.text / NPE transports
+    val df = Seq(
+      ("a", Some("2024-01-01T00:00:00Z"), Some(1.0)),
+      ("b", Some("2024-01-01T00:00:00Z"), None), // null value (gap > limit)
+      ("c", None, Some(3.0)), // null ts
+      (null, Some("2024-01-01T00:00:00Z"), Some(4.0))) // null tag
+      .toDF("tag", "ts_str", "value")
+      .select($"tag", to_timestamp($"ts_str").as("ts"), $"value")
+    val lines = Influx.toLineProtocol(df, "m", "tag", "ts", "value").collect()
+    assert(lines.length == 1 && lines.head.startsWith("m,tag=a "))
+    assert(!lines.contains(null))
+  }
 }

@@ -59,6 +59,10 @@ class SequenceSpec extends AnyFunSuite {
     val vals = Providers.random(spark, Seq("t1"), seed = 7)
       .select($"value").as[Double].collect()
     assert(vals.forall(v => v >= 0.0 && v < 1.0))
+    // contract violations fail fast instead of reduce-crash / mod-zero
+    intercept[IllegalArgumentException](Providers.random(spark, Nil))
+    intercept[IllegalArgumentException](
+      Providers.random(spark, Seq("t1"), minSize = 300, maxSize = 100))
   }
 
   test("JSON body scan parses dict-of-dicts sorted by timestamp") {

@@ -108,6 +108,65 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("translateRowFilter does not end a literal at an escaped quote") {
+    // the escaped quote must stay INSIDE the literal — the old scanner
+    // ended the literal there and rewrote the remainder as code
+    assert(TimeSeries.translateRowFilter("""x == 'a\'&b'""")
+      == """x  =  'a\'&b'""")
+    assert(TimeSeries.translateRowFilter("""x == "p\"|q" & y == 1""")
+      == """x  =  "p\"|q"  AND  y  =  1""")
+    // a literal backslash before the closing quote still closes
+    assert(TimeSeries.translateRowFilter("""x == 'a\\' & y == 2""")
+      == """x  =  'a\\'  AND  y  =  2""")
+  }
+
+  test("getData rejects uncastable train bounds instead of dropping all rows") {
+    val df = longFrame(Seq(("x", 0L, 1.0), ("x", 600L, 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.getData(df, "tag", "ts", "value",
+        DatasetConfig(tags = Seq("x"), trainStart = Some("07/01/2020")))
+    }
+    assert(e.getMessage.contains("07/01/2020"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.dropKnownPeriods(df, "ts", Seq(("not-a-time", "also-not")))
+        .count()
+    }
+    assert(e2.getMessage.contains("not-a-time"))
+  }
+
+  test("getData names tags that have no data instead of emptying the frame") {
+    // "viw" (typo) pivots to an all-null column; the any-null inner-join
+    // filter would then drop EVERY bucket with no diagnostic
+    val rows = (0 to 20).map(i => ("view", i * 600L, 1.0: java.lang.Double))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.getData(longFrame(rows), "tag", "ts", "value",
+        DatasetConfig(tags = Seq("view", "viw")))
+    }
+    assert(e.getMessage.contains("viw") && !e.getMessage.contains("view,"))
+    // fully-empty input keeps the documented empty-frame/threshold path
+    val empty = TimeSeries.getData(longFrame(Nil), "tag", "ts", "value",
+      DatasetConfig(tags = Seq("x")))
+    assert(empty.count() == 0)
+  }
+
+  test("unkeyed buffer filter (chunk+carry) matches the brute-force window") {
+    // > one 4096-row chunk so base, prevCarry, and nextCarry all engage;
+    // bad rows placed away from AND exactly on chunk boundaries
+    val n = 10000
+    val bad = Set(0, 1, 4094, 4095, 4096, 4097, 5000, 8191, 8192, n - 1)
+    val df = (0 until n).map(i => (i.toLong, if (bad(i)) 0.0 else 1.0))
+      .toDF("bucket_ts", "v")
+    val buffer = 3
+    val kept = TimeSeries.rowFilterWithBuffer(df, keys = Nil,
+      orderCols = Seq("bucket_ts"), predicate = $"v" =!= 0.0, buffer = buffer)
+      .select($"bucket_ts").as[Long].collect().toSet
+    val expected = (0 until n).filter { i =>
+      (math.max(0, i - buffer) to math.min(n - 1, i + buffer))
+        .forall(j => !bad(j))
+    }.map(_.toLong).toSet
+    assert(kept == expected)
+  }
+
   test("every time-series query key has a matching oracle") {
     import graft.operators.TimeSeriesQueries
     assert(TimeSeriesQueries.oracleSql.keySet == TimeSeriesQueries.queries.keySet)
