@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Cols.{q => qc}
@@ -90,6 +89,18 @@ object DiffAnomaly {
     def history: Map[String, Any] = Map.empty
   }
 
+  /** Boxed aggregate read: SQL aggregates over a column with NO non-null
+    * rows return null, and `getAs[Double]` silently unboxes that to
+    * 0.0 — a fit would then emit bogus zero coefficients/stats for an
+    * offline tag and every downstream threshold would be garbage. Fail
+    * loudly with the aggregate's alias instead. */
+  private[ml] def aggCell(row: org.apache.spark.sql.Row, name: String): Double = {
+    val v = row.getAs[java.lang.Double](name)
+    require(v != null, s"fit aggregate '$name' is null — the column has " +
+      "no non-null values in the fit span")
+    v.doubleValue
+  }
+
   /** Per-tag least-squares linear trend on time: ŷ = a + b·(t − epoch0).
     * Deterministic, one aggregation pass, SQL-expressible — the
     * correctness-gate reconstruction model (SURVEY §7.3(c)). */
@@ -116,12 +127,12 @@ object DiffAnomaly {
             avg(feature(t)).as(s"tr_my_$t"),
             covar_pop(feature(t), x).as(s"tr_cxy_$t"))),
         row => {
-          val n = row.getAs[Double]("tr_n")
-          Map("n" -> n, "mx" -> row.getAs[Double]("tr_mx"),
-            "cxx" -> row.getAs[Double]("tr_vx") * n) ++
+          val n = aggCell(row, "tr_n")
+          Map("n" -> n, "mx" -> aggCell(row, "tr_mx"),
+            "cxx" -> aggCell(row, "tr_vx") * n) ++
             yTags.flatMap(t => Seq(
-              s"my_$t" -> row.getAs[Double](s"tr_my_$t"),
-              s"cxy_$t" -> row.getAs[Double](s"tr_cxy_$t") * n))
+              s"my_$t" -> aggCell(row, s"tr_my_$t"),
+              s"cxy_$t" -> aggCell(row, s"tr_cxy_$t") * n))
         },
         (a, b) => {
           val (n1, n2) = (a("n"), b("n"))
@@ -147,7 +158,7 @@ object DiffAnomaly {
         regr_slope(feature(t), x).as(s"b_$t"),
         regr_intercept(feature(t), x).as(s"a_$t"))),
       row => fittedOf(yTags.map(t =>
-        t -> (row.getAs[Double](s"a_$t"), row.getAs[Double](s"b_$t"))).toMap)))
+        t -> (aggCell(row, s"a_$t"), aggCell(row, s"b_$t"))).toMap)))
     def fit(train: DataFrame, xTags: Seq[String], yTags: Seq[String],
             feature: String => Column): Fitted = {
       val (aggs, dec) = aggPlan(xTags, yTags, feature).get
@@ -190,7 +201,7 @@ object DiffAnomaly {
       val (aggs, _, allCols) = gramPlan(xTags, yTags, feature)
       Some((aggs,
         row => decodeGram((i, j) =>
-          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"),
+          aggCell(row, s"g_${math.min(i, j)}_${math.max(i, j)}"),
           xTags, yTags, allCols)))
     }
     /** Segmented fit: Gram-product sums merge by plain addition. */
@@ -199,7 +210,7 @@ object DiffAnomaly {
       val (aggs, names, allCols) = gramPlan(xTags, yTags, feature)
       Some(SegPlan(
         aggs,
-        row => names.map(n => n -> row.getAs[Double](n)).toMap,
+        row => names.map(n => n -> aggCell(row, n)).toMap,
         (a, b) => names.map(n => n -> (a(n) + b(n))).toMap,
         buf => decodeGram((i, j) =>
           buf(s"g_${math.min(i, j)}_${math.max(i, j)}"),
@@ -573,17 +584,21 @@ object DiffAnomaly {
           (c - lit(ctr)) / lit(sv)
         case None => c
       }
+      // the AGGREGATE rolling column's alias lives in a namespace no
+      // tag-derived alias can reach (`__rminagg__<w>` — tag aliases are
+      // `__rmin<w>__<tag>` and w starts with a digit): a tag literally
+      // named "mse" must not silently overwrite the aggregate threshold
       val rollSpecs = widths.flatMap(w =>
-        ("__mse", s"__rmin${w}__mse", "min", w) +:
+        ("__mse", s"__rminagg__$w", "min", w) +:
           y.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w)))
       // A8/M13/M14 fold metric scores ride the same test pass — metric
       // over scoring-scaler-transformed y/ŷ, averaged over tags
       // (`build_model.py:274-289,377-446`)
       val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
-        yield fn(scl(col(s"`__y_$t`"), t), scl(col(s"`__p_$t`"), t))
+        yield fn(scl(qc(s"__y_$t"), t), scl(qc(s"__p_$t"), t))
           .as(s"${name}__$t")
       val testAggs = widths.flatMap(w =>
-        max(col(s"__rmin${w}__mse")).as(s"__agg__$w") +:
+        max(col(s"__rminagg__$w")).as(s"__agg__$w") +:
           y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
         metricAggs
       // a fold shorter than a rolling width has no full frame: pandas
@@ -852,31 +867,40 @@ object DiffAnomaly {
         case Some((mp, sp)) => fusedScattered(mp, sp)
         case None => loopScattered()
       }
+      // aggregate alias `__smagg`: disjoint from every `__sm_<tag>` (a
+      // tag named "mse" must not overwrite the aggregate's smooth column)
       val smoothed = smoothingMethod match {
         case "ewma" =>
           // pandas ewm(span=window): no NaN prefix, full-history weights
           Ewma.ewmaMulti(scattered, keys = Nil, orderCol = "__row",
-            cols = (("__mse" -> "__sm_mse") +:
+            cols = (("__mse" -> "__smagg") +:
               y.map(t => s"__mae_$t" -> s"__sm_$t")).toMap,
             span = window.toDouble)
-            .select((col("__sm_mse") +: y.map(t => qc(s"__sm_$t"))): _*)
+            .select((col("__smagg") +: y.map(t => qc(s"__sm_$t"))): _*)
         case method =>
           require(method == "smm" || method == "sma",
             s"unsupported smoothing: $method")
           // chunked trailing window over the dense __row index — no
           // single-partition WindowExec however long the series
           Windows.chunkedTrailing(scattered, "__row", 0L, window,
-            ("__mse", "__sm_mse", method) +:
+            ("__mse", "__smagg", method) +:
               y.map(t => (s"__mae_$t", s"__sm_$t", method)),
             totalRows = n)
-            .select((col("__sm_mse") +: y.map(t => qc(s"__sm_$t"))): _*)
+            .select((col("__smagg") +: y.map(t => qc(s"__sm_$t"))): _*)
       }
       val row = smoothed.agg(
-        percentile(col("__sm_mse"), lit(thresholdPercentile)).as("__agg"),
+        percentile(col("__smagg"), lit(thresholdPercentile)).as("__agg"),
         y.map(t => percentile(qc(s"__sm_$t"), lit(thresholdPercentile))
           .as(s"__f_$t")): _*).head()
-      val featureTh = y.map(t => t -> row.getAs[Double](s"__f_$t")).toMap
-      val aggTh = row.getAs[Double]("__agg")
+      // null percentile (series shorter than the smoothing window → all
+      // smooth values null) must become NaN like fit()'s getterOf — a
+      // bare getAs[Double] would unbox it to 0.0 and every row would
+      // score infinitely anomalous
+      def thOf(name: String): Double =
+        if (row.isNullAt(row.fieldIndex(name))) Double.NaN
+        else row.getAs[Double](name)
+      val featureTh = y.map(t => t -> thOf(s"__f_$t")).toMap
+      val aggTh = thOf("__agg")
       val (finalModel, finalScaler) = finalFit.getOrElse(
         fitModelAndScaler(indexed, tags, y, base, scalerKind))
       FittedDetector(finalModel, finalScaler,
@@ -955,8 +979,8 @@ object DiffAnomaly {
     // when a target is not among the X inputs its raw value rides along
     // under an internal alias
     def in(t: String) =
-      if (fd.tags.contains(t)) col(s"`model-input.$t`") else col(s"`__target.$t`")
-    def out(t: String) = col(s"`model-output.$t`")
+      if (fd.tags.contains(t)) qc(s"model-input.$t") else qc(s"__target.$t")
+    def out(t: String) = qc(s"model-output.$t")
     val withScores = base
       .withColumns(tags.map(t =>
         s"tag-anomaly-scaled.$t" -> abs(scaled(out(t), t) - scaled(in(t), t))).toMap)
@@ -966,9 +990,9 @@ object DiffAnomaly {
       tags.map(t => f(t) * f(t)).reduce(_ + _) / lit(tags.size.toDouble)
     val withTotals = withScores
       .withColumn("total-anomaly-scaled",
-        totalOf(t => col(s"`tag-anomaly-scaled.$t`")))
+        totalOf(t => qc(s"tag-anomaly-scaled.$t")))
       .withColumn("total-anomaly-unscaled",
-        totalOf(t => col(s"`tag-anomaly-unscaled.$t`")))
+        totalOf(t => qc(s"tag-anomaly-unscaled.$t")))
     val smoothed = fd.window match {
       case None => withTotals
       case Some(width) => addSmooth(withTotals, fd, width)
@@ -980,7 +1004,7 @@ object DiffAnomaly {
       if (t == 0.0) c * lit(Double.PositiveInfinity) else c / lit(t)
     smoothed
       .withColumns(tags.map(t => s"anomaly-confidence.$t" ->
-        overThreshold(col(s"`tag-anomaly-unscaled.$t`"),
+        overThreshold(qc(s"tag-anomaly-unscaled.$t"),
           th.featureThresholds(t))).toMap)
       .withColumn("total-anomaly-confidence",
         overThreshold(col("`total-anomaly-scaled`"), th.aggregateThreshold))

@@ -19,13 +19,25 @@ object Metrics {
 
   def mae(y: Column, yhat: Column): Column = avg(abs(y - yhat))
 
-  /** sklearn r2_score: 1 − Σ(y−ŷ)² / Σ(y−ȳ)². */
-  def r2(y: Column, yhat: Column): Column =
-    lit(1.0) - sum(pow(y - yhat, 2)) / (var_pop(y) * count(y))
+  /** sklearn r2_score: 1 − Σ(y−ŷ)² / Σ(y−ȳ)². A constant-y span follows
+    * sklearn's degenerate convention — zero denominator scores 1.0 for a
+    * perfect fit and 0.0 otherwise (a plain division would go null, or
+    * throw under ANSI, and poison the fold aggregation with NaN). */
+  def r2(y: Column, yhat: Column): Column = {
+    val num = sum(pow(y - yhat, 2))
+    val den = var_pop(y) * count(y)
+    when(den === 0.0, when(num === 0.0, 1.0).otherwise(0.0))
+      .otherwise(lit(1.0) - num / den)
+  }
 
-  /** sklearn explained_variance_score: 1 − Var(y−ŷ) / Var(y). */
-  def explainedVariance(y: Column, yhat: Column): Column =
-    lit(1.0) - var_pop(y - yhat) / var_pop(y)
+  /** sklearn explained_variance_score: 1 − Var(y−ŷ) / Var(y), same
+    * constant-y convention as [[r2]]. */
+  def explainedVariance(y: Column, yhat: Column): Column = {
+    val num = var_pop(y - yhat)
+    val den = var_pop(y)
+    when(den === 0.0, when(num === 0.0, 1.0).otherwise(0.0))
+      .otherwise(lit(1.0) - num / den)
+  }
 
   /** The reference's default metric set keyed by its sklearn name
     * (dashes like the `{metric}-{tag}` convention). */

@@ -46,8 +46,12 @@ object Scalers {
         (cols.flatMap(c =>
           Seq(min(qc(c)).as(s"__min_$c"), max(qc(c)).as(s"__max_$c"))),
           row => FittedScaler("minmax", cols.map { c =>
-            val lo = row.getAs[Double](s"__min_$c")
-            val hi = row.getAs[Double](s"__max_$c")
+            // boxed reads via aggCell: min/max over an all-null column
+            // return null, which a bare getAs[Double] would silently
+            // unbox to 0.0 — fitting bogus (0, 0) stats for an offline
+            // tag; fail loudly with the column's name instead
+            val lo = DiffAnomaly.aggCell(row, s"__min_$c")
+            val hi = DiffAnomaly.aggCell(row, s"__max_$c")
             c -> (lo, hi - lo)
           }.toMap))
       case "robust" =>
@@ -56,8 +60,9 @@ object Scalers {
           percentile(qc(c), lit(0.25)).as(s"__q1_$c"),
           percentile(qc(c), lit(0.75)).as(s"__q3_$c"))),
           row => FittedScaler("robust", cols.map { c =>
-            val med = row.getAs[Double](s"__med_$c")
-            val iqr = row.getAs[Double](s"__q3_$c") - row.getAs[Double](s"__q1_$c")
+            val med = DiffAnomaly.aggCell(row, s"__med_$c")
+            val iqr = DiffAnomaly.aggCell(row, s"__q3_$c") -
+              DiffAnomaly.aggCell(row, s"__q1_$c")
             c -> (med, iqr)
           }.toMap))
       case k => throw new IllegalArgumentException(s"unknown scaler: $k")
@@ -75,8 +80,8 @@ object Scalers {
       Some(DiffAnomaly.SegPlan[FittedScaler](
         aggs,
         row => cols.flatMap(c => Seq(
-          s"min_$c" -> row.getAs[Double](s"__min_$c"),
-          s"max_$c" -> row.getAs[Double](s"__max_$c"))).toMap,
+          s"min_$c" -> DiffAnomaly.aggCell(row, s"__min_$c"),
+          s"max_$c" -> DiffAnomaly.aggCell(row, s"__max_$c"))).toMap,
         (a, b) => cols.flatMap(c => Seq(
           s"min_$c" -> math.min(a(s"min_$c"), b(s"min_$c")),
           s"max_$c" -> math.max(a(s"max_$c"), b(s"max_$c")))).toMap,

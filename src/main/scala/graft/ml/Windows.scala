@@ -15,7 +15,16 @@ object Windows {
   /** W5: per-series trailing window arrays of the last `lookback` values
     * (only full windows survive — the model drops the first lookback−1
     * rows) plus the `lookahead`-shifted target. lookahead=0 is the
-    * autoencoder shape (y = current window), ≥1 the forecast shape. */
+    * autoencoder shape (y = current window), ≥1 the forecast shape.
+    *
+    * `collect_list` SKIPS nulls, so a null value inside the frame would
+    * otherwise emit a silently SHORT window array (misaligned training
+    * data); such rows are dropped by the size check — "full windows
+    * only" means full in VALUES, not just in row count. The trailing
+    * `lookahead` rows per series carry y = null (nothing to forecast
+    * yet — the q38 gate pins this shape); training callers filter
+    * `y IS NOT NULL`, while the fit paths themselves window via
+    * [[withLookback]]. */
   def slidingWindows(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
                      valueCol: String, lookback: Int,
                      lookahead: Int = 1): DataFrame = {
@@ -24,7 +33,7 @@ object Windows {
     val out = df
       .withColumn("window", collect_list(qc(valueCol)).over(frame))
       .withColumn("__rn", row_number().over(ord))
-      .filter(col("__rn") >= lookback)
+      .filter(col("__rn") >= lookback && size(col("window")) === lookback)
     val withY =
       if (lookahead == 0) out.withColumn("y", qc(valueCol))
       else out.withColumn("y", lead(qc(valueCol), lookahead).over(ord))

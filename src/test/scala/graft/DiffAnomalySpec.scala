@@ -245,7 +245,14 @@ class DiffAnomalySpec extends AnyFunSuite {
       base, nSplits = 5)
     val bk = DiffAnomaly.fitKfcv(withNull, Seq("tx", "ty"), "bucket_ts",
       new NoSeg(base), nSplits = 5)
-    assert(ak.thresholds.aggregateThreshold == bk.thresholds.aggregateThreshold)
+    // 60 rows < the default 144 smoothing window: both paths correctly
+    // yield the NaN threshold (the null-prefix percentile), so compare
+    // with NaN-aware equality
+    assert(java.lang.Double.compare(ak.thresholds.aggregateThreshold,
+      bk.thresholds.aggregateThreshold) == 0)
+    assert(ak.thresholds.aggregateThreshold.isNaN,
+      "this fixture is SHORTER than the kfcv window; a non-NaN " +
+        "threshold means the null-percentile guard regressed")
   }
 
   test("kfcv with more splits than rows tolerates empty folds") {

@@ -25,6 +25,83 @@ class MlSpec extends AnyFunSuite {
     assert(s("fold-max") == 3.0 && s("fold-min") == 1.0 && s("fold-2") == 2.0)
   }
 
+  test("r2/explained-variance follow sklearn's constant-y convention") {
+    // flatlined sensor over a fold: denominator 0 → 0.0 (imperfect) or
+    // 1.0 (perfect), never a null/exception poisoning the fold stats
+    def run(y: Seq[Double], p: Seq[Double]): (Double, Double) = {
+      val df = y.zip(p).toDF("y", "p")
+      val r = df.agg(Metrics.r2($"y", $"p").as("r2"),
+        Metrics.explainedVariance($"y", $"p").as("ev")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(run(Seq(5.0, 5.0, 5.0), Seq(4.0, 5.0, 6.0)) == ((0.0, 0.0)))
+    assert(run(Seq(5.0, 5.0, 5.0), Seq(5.0, 5.0, 5.0)) == ((1.0, 1.0)))
+    // non-degenerate values unchanged (sklearn formulas)
+    val (r2v, evv) = run(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 2.0))
+    assert(math.abs(r2v - 0.5) < 1e-12)
+    assert(math.abs(evv - (1.0 - (2.0 / 9) / (2.0 / 3))) < 1e-12)
+  }
+
+  test("scaler fit fails loudly for an all-null column") {
+    val df = Seq((1.0, Option.empty[Double]), (2.0, None))
+      .toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Scalers.fitMinMax(df, Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("b"))
+    intercept[IllegalArgumentException] {
+      Scalers.fitRobust(df, Seq("a", "b"))
+    }
+  }
+
+  test("kfcv thresholds go NaN (not 0) when the series is shorter than the window") {
+    import graft.ml.DiffAnomaly
+    // 40 rows << window=144: every smooth value is in the null prefix;
+    // a 0.0 threshold would make EVERY row infinitely anomalous
+    val wide = (0 until 40).map(i => (i * 600L, 1.0 + i, 2.0 + i))
+      .toDF("bucket_ts", "ta", "tb")
+    val fd = DiffAnomaly.fitKfcv(wide, Seq("ta", "tb"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 5,
+      window = 144)
+    assert(fd.thresholds.aggregateThreshold.isNaN)
+    assert(fd.thresholds.featureThresholds.values.forall(_.isNaN))
+  }
+
+  test("a tag literally named 'mse' does not clobber the aggregate threshold") {
+    import graft.ml.DiffAnomaly
+    // invariant: thresholds cannot depend on what a tag is CALLED —
+    // pre-fix, tag "mse"'s rolling alias overwrote the aggregate's
+    def fit(tags: Seq[String]) = {
+      val wide = (0 until 60).map(i =>
+        (i * 600L, 1.0 + i + (i % 5) * 3.0, 50.0 - i * 0.5 + (i % 7)))
+        .toDF(("bucket_ts" +: tags): _*)
+      DiffAnomaly.fit(wide, tags, "bucket_ts",
+        new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3)
+    }
+    val withMse = fit(Seq("mse", "b"))
+    val renamed = fit(Seq("m2", "b"))
+    assert(withMse.thresholds.aggregateThreshold
+      == renamed.thresholds.aggregateThreshold)
+    assert(withMse.thresholds.featureThresholds("mse")
+      == renamed.thresholds.featureThresholds("m2"))
+  }
+
+  test("sliding windows drop rows whose frame lost a value to a null") {
+    import graft.ml.Windows
+    val df = Seq(("a", 0L, Some(1.0)), ("a", 1L, Some(2.0)),
+      ("a", 2L, Option.empty[Double]), ("a", 3L, Some(4.0)),
+      ("a", 4L, Some(5.0)), ("a", 5L, Some(6.0)))
+      .toDF("k", "t", "v")
+    val got = Windows.slidingWindows(df, Seq("k"), Seq(col("t")), "v",
+      lookback = 2, lookahead = 0)
+      .select($"t", $"window").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toMap
+    // rows at t=2 (null value) and its frame-mates t=3 lost a value —
+    // collect_list skips nulls, so those frames are SHORT and must drop
+    assert(got == Map(1L -> Seq(1.0, 2.0), 4L -> Seq(4.0, 5.0),
+      5L -> Seq(5.0, 6.0)))
+  }
+
   test("EWMA matches pandas ewm(span=3, adjust=True) hand-computed values") {
     val df = Seq(("a", 0L, 0.0), ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
       .toDF("k", "t", "v")
