@@ -26,6 +26,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with the zero-norm guard (the IVF path's safeCos
+    * convention): a zero-norm side scores −2 — below every real
+    * cosine — instead of the null that would otherwise tie every
+    * candidate and let `row_number` fabricate k arbitrary lowest-id
+    * "neighbors" for a zero query vector. */
+  private def cosOrFloor(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, d / (n1 * n2)).otherwise(lit(-2.0))
+
   /** Exact top-k neighbors for each query row (queries must be small —
     * they are broadcast). Excludes self-matches by id. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -38,7 +46,7 @@ object Similarity {
       norm(col(embCol)).as("cn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        cosOrFloor(dot(col("qe"), col("ce")), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -86,7 +94,7 @@ object Similarity {
       .select(col("cid"), col("re"), norm(col("re")).as("rn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+        cosOrFloor(dot(col("qe"), col("re")), col("qn"), col("rn")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -130,7 +138,10 @@ object Similarity {
     * nCentroids × D doubles. */
   def pqCodebookFromIds(corpus: DataFrame, idCol: String, embCol: String,
                         mSub: Int, nCentroids: Int): PqCodebook = {
-    val rows = corpus.filter(col(idCol) < nCentroids)
+    // "smallest ids" literally: a filter(id < n) would silently yield
+    // fewer (or zero) seeds for sparse/offset id spaces; on dense
+    // 0-based ids (the gated shape) the two are identical
+    val rows = corpus.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).cast("long").as("id"),
         col(embCol).cast("array<double>").as("e"))
       .collect().sortBy(_.getLong(0))
@@ -154,7 +165,7 @@ object Similarity {
       .select(col("cid"), col("re"), norm(col("re")).as("rn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+        cosOrFloor(dot(col("qe"), col("re")), col("qn"), col("rn")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -190,11 +201,15 @@ object Similarity {
     import spark.implicits._
     var cb = pqCodebookFromIds(corpus, idCol, embCol, mSub, nCentroids)
     val ds = cb.head.head.length
+    // loop-invariant: every Lloyd round re-reads this exploded frame —
+    // persist it once instead of re-running the scan + explode per round
     val subs = corpus.select(col(idCol).as("id"),
         col(embCol).cast("array<double>").as("e"))
       .select($"id", posexplode(
         array((0 until mSub).map(m => slice($"e", m * ds + 1, ds)): _*))
         .as(Seq("m", "sub")))
+      .persist()
+    try {
     var it = 0
     while (it < iters) {
       val flat = cb.zipWithIndex.flatMap { case (cents, m) =>
@@ -223,6 +238,7 @@ object Similarity {
       it += 1
     }
     cb
+    } finally subs.unpersist()
   }
 
   /** IVF-PQ: the production 100-TB serving composition (the FAISS
@@ -254,7 +270,7 @@ object Similarity {
     probes.join(enc, "cid")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("cand"),
-        (dot(col("qe"), col("re")) / (col("qn") * col("rn"))).as("cos"))
+        cosOrFloor(dot(col("qe"), col("re")), col("qn"), col("rn")).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
   }
@@ -372,7 +388,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
               nCentroids: Int, nprobe: Int, k: Int,
               queryPred: Column /* over the renamed `id` column */): DataFrame = {
-    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+    // smallest-n ids (not id < n) — exact on sparse/offset id spaces,
+    // identical on the dense 0-based gate corpus
+    val cents = broadcast(corpus.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).as("cid"), col(embCol).as("ce"),
         norm(col(embCol)).as("cn")))
     ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred)
@@ -414,7 +432,12 @@ object Similarity {
       col(embCol).cast("array<double>").as("e"),
       norm(col(embCol)).as("nrm"))
       .filter($"nrm" > 0)
-    var cents: Seq[(Int, Seq[Double])] = corpus.filter(col(idCol) < nCentroids)
+      // loop-invariant: every Lloyd round re-reads this frame — persist
+      // once instead of re-running the scan + norm filter per round
+      .persist()
+    try {
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).cast("int").as("cid"),
         col(embCol).cast("array<double>").as("ce"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
@@ -446,6 +469,7 @@ object Similarity {
       it += 1
     }
     cents
+    } finally vecs.unpersist()
   }
 
   /** [[ivfTopK]] with externally supplied centroids (typically

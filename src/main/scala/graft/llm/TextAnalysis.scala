@@ -23,9 +23,14 @@ object TextAnalysis {
     length(regexp_replace(trim(text), lit(" "), lit(""))).cast("double") /
       tokenCount(text).cast("double")
 
-  /** Punctuation character ratio. */
+  /** Punctuation character ratio — Unicode letter/digit classes, NOT
+    * ASCII: an `[^A-Za-z0-9\s]` class counts every accented or CJK
+    * character as "punctuation", so the quality score's punctuation
+    * penalty zeroed clean non-English documents — the exact multilingual
+    * data the langId markers claim to support. `\p{L}`/`\p{N}` evaluate
+    * identically in Java regex (Spark) and RE2 (the DuckDB oracle). */
   def punctRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+    size(regexp_extract_all(text, lit("[^\\p{L}\\p{N}\\s]"), lit(0))).cast("double") /
       length(text).cast("double")
 
   /** Ratio of tokens that are in the given stopword set. */
@@ -104,7 +109,10 @@ object TextAnalysis {
       acc => when(acc.getField("cnt") > 0,
         acc.getField("best").cast("double") / acc.getField("cnt").cast("double"))
         .otherwise(lit(0.0)))
-    coalesce(folded, lit(0.0))
+    // null text propagates null like every sibling metric (a bare
+    // coalesce scored null documents 0.0 — the one metric a
+    // "low-repetition" curation filter would have silently passed)
+    when(text.isNotNull, coalesce(folded, lit(0.0)))
   }
 
   /** Language-marker dictionaries for the stopword-voting language ID
@@ -117,7 +125,15 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和", "有"))
 
   /** Predicted language: argmax of marker-token hits with deterministic
-    * lexicographic tiebreak ('unknown' when nothing matches). */
+    * lexicographic tiebreak ('unknown' when nothing matches).
+    *
+    * Known limitation: markers are matched against WHITESPACE TOKENS, so
+    * unsegmented CJK text (no spaces) matches no zh marker and returns
+    * 'unknown' — the q32 gate corpus is space-segmented. A production
+    * pipeline for unsegmented scripts should route on a character-class
+    * prefilter (CJK codepoint ratio) or segment upstream before this
+    * stopword vote; substring-counting here would double-count markers
+    * inside other languages' words. */
   def langId(text: Column): Column = {
     val toks = split(trim(text), " ")
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

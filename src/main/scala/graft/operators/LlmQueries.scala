@@ -582,7 +582,7 @@ object LlmQueries {
         | floor((least(length(text)/500.0, 1.0)
         |   * (CAST(len(list_distinct(str_split(trim(text), ' '))) AS DOUBLE)
         |      / len(str_split(trim(text), ' ')))
-        |   * greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   * greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE)
         |                     / length(text)) * 10.0, 0.0))*10000 + 0.5)/10000 AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,

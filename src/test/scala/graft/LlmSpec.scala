@@ -71,6 +71,52 @@ class LlmSpec extends AnyFunSuite {
     assert(m("div") > m("rep"))
   }
 
+  test("quality score does not zero clean non-English text (unicode punct)") {
+    // the old ASCII class counted every accented/CJK char as punctuation
+    // and the 10x penalty zeroed the score of exactly the multilingual
+    // data the langId markers claim to support
+    val de = (1 to 60).map(i => s"über$i schön$i").mkString(" ")
+    val zh = (1 to 120).map(i => s"的是了在和有$i").mkString(" ")
+    val junk = (1 to 200).map(_ => "@#%&!").mkString(" ")
+    val m = Seq(("de", de), ("zh", zh), ("junk", junk)).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("de") > 0.5, s"de=${m("de")}")
+    assert(m("zh") > 0.5, s"zh=${m("zh")}")
+    assert(m("junk") == 0.0, s"junk=${m("junk")}")
+  }
+
+  test("topBigramFrac propagates null for null text like its siblings") {
+    val row = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(TextAnalysis.topBigramFrac($"text").as("tb"),
+        TextAnalysis.dupWordFrac($"text").as("dw")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("ANN seed selection works on sparse/offset id spaces") {
+    // ids start at 1000: filter(id < n) found nothing and returned an
+    // EMPTY result with no error; smallest-n selection must serve
+    val emb = Tables(spark, sf, "embeddings")
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCentroids = 4, nprobe = 2, k = 3, queryPred = $"id" < 1005)
+    assert(got.count() > 0)
+    val cb = Similarity.pqCodebookFromIds(emb, "vec_id", "embedding",
+      mSub = 8, nCentroids = 4)
+    assert(cb.head.size == 4, "codebook must carry all requested seeds")
+  }
+
+  test("a zero-norm query floors its cosines instead of fabricating neighbors") {
+    val emb = Tables(spark, sf, "embeddings")
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val zeroQ = Seq((9999L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(emb, zeroQ, "vec_id", "embedding", k = 3)
+      .select($"cos").as[Double].collect()
+    // neighbors still rank (floor score −2), but none carries a null or
+    // fabricated real cosine
+    assert(got.nonEmpty && got.forall(_ == -2.0))
+  }
+
   test("brute top-k is exact and bucketed LSH candidates agree with it where buckets match") {
     val emb = Tables(spark, sf, "embeddings")
     val topk = Similarity.bruteTopK(emb, emb.filter($"vec_id" < 5), "vec_id",

@@ -24,7 +24,7 @@ object TextAnalysisProps extends Properties("graft.textanalysis") {
 
   private val vocab: Seq[String] =
     TextAnalysis.langMarkers.values.flatten.toSeq ++
-      Seq("foo", "bar", "x1", "42", ".", "!!", "a,b")
+      Seq("foo", "bar", "x1", "42", ".", "!!", "a,b", "über", "café")
 
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 25)
@@ -61,7 +61,9 @@ object TextAnalysisProps extends Properties("graft.textanalysis") {
     forAll(textGen.suchThat(_.trim.nonEmpty)) { text =>
       val row = evalCols(text, "q" -> TextAnalysis.qualityScore($"text"))
       val t = toks(text)
-      val punct = "[^A-Za-z0-9\\s]".r.findAllIn(text).length.toDouble / text.length
+      // Unicode classes, like the expression: accents/CJK are letters,
+      // not punctuation (the penalty must not zero non-English docs)
+      val punct = "[^\\p{L}\\p{N}\\s]".r.findAllIn(text).length.toDouble / text.length
       val exp = math.min(text.length / 500.0, 1.0) *
         (t.distinct.length.toDouble / t.length) *
         math.max(1.0 - punct * 10.0, 0.0)
