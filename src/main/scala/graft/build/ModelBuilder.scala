@@ -20,26 +20,40 @@ object ModelBuilder {
 
   /** Refcount per canonicalized assembled-frame plan — see the
     * acquireAssembled doc. JVM-wide because the build threads share one
-    * SparkSession (and so one CacheManager). */
-  private val cacheOwners = scala.collection.mutable.Map.empty[String, Int]
+    * SparkSession (and so one CacheManager). Keyed on the canonicalized
+    * LogicalPlan OBJECT (structural case-class equality — exactly
+    * CacheManager's `sameResult` semantics), NOT its toString: plan
+    * toString truncates field lists past
+    * `spark.sql.debug.maxToStringFields` to "... N more fields", so two
+    * wide frames sharing their first 25 columns would string-collide —
+    * the second claimant would never persist its own frame and the
+    * interleaved releases would unpersist the wrong one. */
+  private val cacheOwners = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
 
   /** Claim the assembled frame's cache, refcounted by CANONICAL PLAN:
     * the first plan-identical claimant persists, the last one's release
     * unpersists — two machines over the same dataset block built in
     * parallel can no longer double-claim ownership or yank the shared
-    * cache from under each other (the check-then-act race). A frame the
-    * CALLER cached before entry (count 0, storage already set) is used
-    * without claiming and its release is a no-op. Returns the release
-    * thunk for the build's finally. */
+    * cache from under each other (the check-then-act race). A frame
+    * `TimeSeries.requireMinSamples` cached on the threshold path is
+    * CLAIMED here too (its registry hand-off), so the build's finally
+    * releases that cache like any other; only a frame some OUTSIDE
+    * caller cached before entry (count 0, storage set, not in the
+    * hand-off registry) is used without claiming — its release is a
+    * no-op (their unpersist, their timing). Returns the release thunk
+    * for the build's finally. */
   private[graft] def acquireAssembled(df: DataFrame): () => Unit =
     cacheOwners.synchronized {
-      val k = df.queryExecution.analyzed.canonicalized.toString
+      val k = df.queryExecution.analyzed.canonicalized
       val n = cacheOwners.getOrElse(k, 0)
-      val weOwn = n > 0 ||
-        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val alreadyCached =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val weOwn = n > 0 || !alreadyCached ||
+        graft.data.TimeSeries.claimAssemblyCache(k)
       if (!weOwn) () => ()
       else {
-        if (n == 0) df.persist()
+        if (n == 0 && !alreadyCached) df.persist()
         cacheOwners(k) = n + 1
         () => cacheOwners.synchronized {
           val m = cacheOwners(k) - 1
@@ -98,14 +112,26 @@ object ModelBuilder {
       val src = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
       val dst = java.nio.file.Paths.get(outputDir).toAbsolutePath.normalize
       if (src != dst) {
+        // a dst that previously held a DIFFERENT model would keep its
+        // extra files alongside the copied layout (breaking the
+        // checksummed-dir contract) — clear it before copying
+        if (java.nio.file.Files.isDirectory(dst)) {
+          val old = java.nio.file.Files.walk(dst)
+          try old.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => if (p != dst) java.nio.file.Files.delete(p))
+          finally old.close()
+        }
         java.nio.file.Files.createDirectories(dst)
-        java.nio.file.Files.walk(src).forEach { p =>
+        // walk streams hold a directory handle until closed — leaking
+        // one per registry cache hit exhausts fds on a hot serving loop
+        val walk = java.nio.file.Files.walk(src)
+        try walk.forEach { p =>
           val t = dst.resolve(src.relativize(p))
           if (java.nio.file.Files.isDirectory(p))
             java.nio.file.Files.createDirectories(t)
           else java.nio.file.Files.copy(p, t,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        }
+        } finally walk.close()
       }
       return BuildResult(spec, Persistence.load(outputDir),
         Persistence.loadMetadata(outputDir), outputDir, fromCache = true)

@@ -461,20 +461,55 @@ object TimeSeries {
   /** n_samples_threshold (ref: `gordo/cli/cli.py:26-39`, exit code 80). */
   class InsufficientDataError(msg: String) extends RuntimeException(msg)
 
+  /** Canonical plans [[requireMinSamples]] persisted — the explicit
+    * ownership hand-off to `ModelBuilder.acquireAssembled`: a build that
+    * receives a threshold-cached frame CLAIMS it from this registry (one
+    * successful claim per persist) and its finally then releases the
+    * cache like any build-persisted frame. Without the hand-off, every
+    * distinct dataset built with n_samples_threshold > 0 leaked its
+    * MEMORY_AND_DISK cache for the SparkSession lifetime (the build
+    * classified it "externally owned" and never unpersisted). Keyed on
+    * the canonicalized plan OBJECT (structural equality), matching the
+    * builder's refcount map. Direct (non-build) getData callers own the
+    * cache themselves — [[releaseAssembled]] is their release. */
+  private val assemblyCached = scala.collection.mutable.Set
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+
+  /** Claim (remove) a threshold-path cache registration. Returns true
+    * iff this call took ownership. */
+  private[graft] def claimAssemblyCache(
+      canonical: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    assemblyCached.synchronized(assemblyCached.remove(canonical))
+
+  /** Release a frame [[requireMinSamples]] cached (direct-caller path —
+    * builds release through their own refcount). No-op for frames this
+    * module never cached. */
+  def releaseAssembled(df: DataFrame): Unit = {
+    val k = df.queryExecution.analyzed.canonicalized
+    if (assemblyCached.synchronized(assemblyCached.remove(k)))
+      df.unpersist(): Unit
+  }
+
   def requireMinSamples(df: DataFrame, n: Long): DataFrame = {
     if (n <= 0) df
     else {
       // the count must execute the whole assembly anyway — persist
       // around it so the caller's first action reads the materialized
       // frame instead of re-running resample→grid→interpolate→pivot end
-      // to end. The returned frame is CACHED; the caller owns its
-      // lifecycle (build paths treat it like any pre-cached input).
+      // to end. The returned frame is CACHED and REGISTERED: a build
+      // claims it via [[claimAssemblyCache]] (and releases in its
+      // finally); direct callers release with [[releaseAssembled]].
       val cached =
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          df.persist()
-        else df
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          val p = df.persist()
+          assemblyCached.synchronized(
+            assemblyCached.add(p.queryExecution.analyzed.canonicalized)): Unit
+          p
+        } else df
       val c = cached.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
       if (c < n) {
+        assemblyCached.synchronized(assemblyCached
+          .remove(cached.queryExecution.analyzed.canonicalized)): Unit
         cached.unpersist()
         throw new InsufficientDataError(s"got $c rows < threshold $n")
       }

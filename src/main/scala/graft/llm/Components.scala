@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -19,27 +20,89 @@ import org.apache.spark.storage.StorageLevel
   * pointer jump that halves chain depth, giving O(log diameter)
   * convergence instead of O(diameter) for plain propagation. State per
   * round is one (node, label) frame, persisted and lineage-cut with a
-  * localCheckpoint so 40-round worst cases don't replay 40 joins deep.
-  * The driver sees only the per-round changed-count (one long), never
-  * row data.
+  * checkpoint so 40-round worst cases don't replay 40 joins deep. The
+  * driver sees only the per-round changed-count (one long), never row
+  * data.
+  *
+  * Storage lifecycle (hardening round 10): checkpointed frames hold
+  * RDD-level blocks that `Dataset.unpersist` (the CacheManager path)
+  * never touches — each superseded round's blocks are released
+  * in-loop via the underlying RDD, so a run holds at most TWO rounds
+  * of state regardless of iteration count, and [[release]] frees the
+  * RETURNED frame's blocks (and reliable-checkpoint files) once the
+  * caller has materialized what it needs. Repeated calls in one
+  * session return storage to baseline — ComponentsSpec pins this.
   */
 object Components {
+
+  /** The checkpoint-backed RDDs at a frame's leaves (the LogicalRDD a
+    * local/reliable checkpoint wraps) — derived frames (dupClusters
+    * output) still expose ours as their scan leaf. */
+  private def ckptRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** RDD ids of checkpoints THIS module created — [[release]] only ever
+    * frees these, so calling it on a frame whose lineage contains some
+    * caller-owned RDD (an upstream localCheckpoint, say) can never
+    * unpersist storage it doesn't own. */
+  private val ourCkpts = scala.collection.mutable.Set.empty[Int]
+
+  private def registerCkpt(df: DataFrame): Unit =
+    ckptRdds(df).foreach(r => ourCkpts.synchronized(ourCkpts.add(r.id)): Unit)
+
+  /** Release the storage backing a frame returned by
+    * [[connectedComponents]] / [[dupClusters]]: the localCheckpoint
+    * blocks (RDD-level — unreachable through `Dataset.unpersist`) and,
+    * in reliable-checkpoint mode, the checkpoint files. Call once the
+    * result is materialized (written/collected); the frame must not be
+    * evaluated again afterwards. No-op on frames this module didn't
+    * checkpoint (enforced by the ownership registry). */
+  def release(components: DataFrame): Unit =
+    ckptRdds(components).foreach { r =>
+      if (ourCkpts.synchronized(ourCkpts.remove(r.id))) {
+        r.unpersist(false)
+        r.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            components.sparkSession.sessionState.newHadoopConf())
+          fs.delete(p, true): Unit
+        }
+      }
+    }
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `a`, `b`, any orderable type). Returns (node, component)
     * where component = min node id reachable — one row per node that
     * appears in at least one edge (isolated nodes carry no dedup
     * information and are not materialized).
-    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame =
-    connectedComponentsWithRounds(edges, maxIter)._1
+    *
+    * @param reliableCheckpoint when set, per-round lineage cuts use a
+    *   reliable `checkpoint()` into this directory (a cluster FS path in
+    *   production) instead of `localCheckpoint()`: a lost executor
+    *   recomputes from the checkpoint files and the job SURVIVES — the
+    *   HA configuration for long dedup runs. Default (None) keeps
+    *   localCheckpoint: bounded plans, but an executor loss mid-run
+    *   fails the job loudly and it must rerun — the accepted trade for
+    *   zero-infrastructure runs. Sets the SparkContext checkpoint dir
+    *   (a context-global knob) if unset or different. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40,
+                          reliableCheckpoint: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter, reliableCheckpoint)._1
 
   /** [[connectedComponents]] plus the number of rounds the loop ran —
     * the observable the scale probe records (pointer jumping converges
     * in O(log diameter) rounds; plain propagation would need O(diameter)
     * and blow the maxIter budget on deep chains). */
   def connectedComponentsWithRounds(edges: DataFrame,
-                                    maxIter: Int = 40): (DataFrame, Int) = {
+                                    maxIter: Int = 40,
+                                    reliableCheckpoint: Option[String] = None)
+      : (DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    reliableCheckpoint.foreach { dir =>
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -72,21 +135,31 @@ object Components {
             least(col("label"), coalesce(col("parent"), col("label")))
               .as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // localCheckpoint TRUNCATES lineage: after it materializes (at the
+        // checkpoint TRUNCATES lineage: after it materializes (at the
         // `changed` count below, while `jumped` is still persisted), the
-        // per-round plan can't grow unboundedly — but a lost executor can
-        // no longer recompute dropped blocks either; the JOB fails (loudly)
-        // and must rerun. That is the accepted trade for bounded plans;
-        // reliable `checkpoint()` to a cluster FS is the HA upgrade path.
-        next = jumped.localCheckpoint(false)
+        // per-round plan can't grow unboundedly. localCheckpoint blocks
+        // die with their executor (job fails loudly, rerun); the
+        // reliableCheckpoint knob writes files a lost executor recovers
+        // from. The recompute-to-write pass a reliable checkpoint runs
+        // reads `jumped`'s persisted blocks, not the full lineage.
+        next =
+          if (reliableCheckpoint.isDefined) jumped.checkpoint(false)
+          else jumped.localCheckpoint(false)
+        registerCkpt(next)
         // the count below is what materializes the lazy checkpoint — if
-        // that job dies partway, `next`'s already-checkpointed blocks
-        // are released by the finally (it never became `labels`)
+        // that job dies partway, `next`'s already-stored blocks are
+        // released by the finally (it never became `labels`)
         val changed = next.as("n")
           .join(labels.as("o"), Seq("node"))
           .filter(col("n.label") =!= col("o.label"))
           .limit(1).count()
+        // `next` is now self-contained: release the SUPERSEDED round —
+        // round 0's CacheManager cache via unpersist, later rounds'
+        // RDD-level checkpoint blocks/files via release (Dataset
+        // .unpersist can't see those; leaking one per round held every
+        // round's node-set in storage for the session)
         labels.unpersist(false)
+        release(labels)
         jumped.unpersist(false)
         jumped = null
         labels = next
@@ -97,22 +170,23 @@ object Components {
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds")
     } finally {
-      // on the non-convergence throw (or any job failure) release every
+      // on the non-convergence throw (or any job failure) drop every
       // block this call pinned — including a mid-materialization `next`;
-      // on success the returned frame's own checkpoint blocks live until
-      // the caller drops it / session ends — callers should
-      // materialize-and-drop promptly (q87 writes parquet)
+      // on success only the RETURNED frame's checkpoint survives, and
+      // [[release]] frees it once the caller has materialized results
       sym.unpersist(false)
       if (jumped != null) jumped.unpersist(false)
-      if (next != null) next.unpersist(false)
-      if (!converged) labels.unpersist(false)
+      if (next != null) { next.unpersist(false); release(next) }
+      if (!converged) { labels.unpersist(false); release(labels) }
     }
     (labels.withColumnRenamed("label", "component"), it)
   }
 
   /** Dedup-cluster table from near-dup pairs: component id (= smallest
     * doc id in the cluster, the kept representative), per-doc keep flag,
-    * and cluster size. */
+    * and cluster size. The result's scan leaf is the components
+    * checkpoint — materialize it (write/collect), then free the blocks
+    * with [[release]] on this frame. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
                   idB: String = "id_b"): DataFrame = {
     val cc = connectedComponents(

@@ -335,6 +335,22 @@ object TextDedup {
       .agg(count_distinct(col("s")).as("n_shared"))
   }
 
+  /** [[contamination]] with a row for EVERY corpus document — the
+    * left-join + `coalesce(n_shared, 0)` convenience the inner-join
+    * contract tells callers to build themselves: selecting clean docs
+    * by `n_shared == 0` against the inner-join output silently selects
+    * NOTHING (clean docs are absent there), the foot-gun this variant
+    * removes. Corpus docs = rows where `isBenchmark` is exactly false
+    * (nulls stay excluded, matching the scan's contract); docs with no
+    * shared grams — including docs shorter than `n` tokens — report 0.
+    * One extra broadcast-scale join against the contaminated-id set; the
+    * corpus-side plan is unchanged. */
+  def contaminationFull(df: DataFrame, idCol: String, textCol: String,
+                        isBenchmark: Column, n: Int = 13): DataFrame =
+    df.filter(isBenchmark === false).select(col(idCol).as("id"))
+      .join(contamination(df, idCol, textCol, isBenchmark, n), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+
   /** Dup-cluster materialization (the dedup WRITE side): group by a
     * content key expression (exact md5 or the order-insensitive
     * fingerprint), keep the smallest id as the cluster representative,

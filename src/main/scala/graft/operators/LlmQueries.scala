@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{AnnIndex, Components, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Oracle-checked coverage for the LLM-data-pipeline operators over the
   * `documents` and `embeddings` tables: text statistics, quality scores,
@@ -184,10 +184,28 @@ object LlmQueries {
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     val cb = Similarity.pqCodebookFromIds(emb, "vec_id", "embedding",
       mSub = 8, nCentroids = 16)
-    Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, cb,
-      nprobe = 2, k = 5, queryPred = col("id") < 10)
-      .select($"qid", $"rank", $"cand", r4($"cos").as("cos"))
-      .orderBy($"qid", $"rank")
+    // the DEPLOYMENT path is what this gate verifies: build → persist →
+    // load → serve, through the checksummed AnnIndex artifact — not the
+    // in-session constants. The artifact round-trip is bit-exact
+    // (AnnIndexSpec's adversarial-doubles property), so the DuckDB
+    // oracle is unmoved; a drift in save/load now FAILS the gate.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_q86_annindex").toString
+    try {
+      AnnIndex.save(idxDir, AnnIndex.Index(cents, Some(cb), nprobe = 2))
+      val loaded = AnnIndex.load(idxDir)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", loaded.centroids,
+        loaded.codebook.get, nprobe = loaded.nprobe, k = 5,
+        queryPred = col("id") < 10)
+        .select($"qid", $"rank", $"cand", r4($"cos").as("cos"))
+        .orderBy($"qid", $"rank")
+    } finally {
+      val p = java.nio.file.Paths.get(idxDir)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+      finally walk.close()
+    }
   }
 
   /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -30,39 +30,92 @@ object Forwarder {
     * rejected at start — batch ids would restart at 0 and overwrite only
     * the low-numbered dirs, silently interleaving new data with stale
     * high-numbered dirs from the old run. Clear the sink (or pick a new
-    * one) when reprocessing from scratch. */
+    * one) when reprocessing from scratch.
+    *
+    * Fence ordering and portability (hardening round 10):
+    *  - the marker is written BEFORE any `batch_id=` dir can exist — at
+    *    start when the checkpoint already has metadata (a restart), and
+    *    inside the first `foreachBatch` otherwise (Spark has committed
+    *    `<checkpoint>/metadata` by the time any batch runs) — so a crash
+    *    can never leave batch dirs without a marker;
+    *  - a marker-absent sink whose batch dirs match an EXISTING
+    *    checkpoint's offset log is LEGACY-ADOPTED (marker written from
+    *    the checkpoint id) instead of rejected, so sinks written by a
+    *    pre-fencing version restart cleanly;
+    *  - all sink/checkpoint path ops go through the Hadoop FileSystem
+    *    API resolved from each path's own scheme, so an `hdfs://` or
+    *    `s3a://` outDir (which the parquet write already supports) is
+    *    fenced for real — the previous `java.io` calls silently
+    *    no-fenced remote sinks and dropped the marker in a stray local
+    *    directory. */
   def toParquet(stream: DataFrame, outDir: String,
                 checkpointDir: String): StreamingQuery = {
-    val marker = Paths.get(outDir, "_graft_query_id")
-    val existingBatches = {
-      val fs = new File(outDir).listFiles()
-      fs != null && fs.exists(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val hconf = stream.sparkSession.sessionState.newHadoopConf()
+    val outPath = new Path(outDir)
+    val sinkFs = outPath.getFileSystem(hconf)
+    val marker = new Path(outPath, "_graft_query_id")
+    val ckptMeta = new Path(new Path(checkpointDir), "metadata")
+    val ckptFs = ckptMeta.getFileSystem(hconf)
+
+    def readUtf8(fs: FileSystem, p: Path): String = {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
     }
+    def writeMarker(id: String): Unit = {
+      sinkFs.mkdirs(outPath)
+      val out = sinkFs.create(marker, /*overwrite=*/ true)
+      try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+    val existingBatches = sinkFs.exists(outPath) &&
+      sinkFs.listStatus(outPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     // the query id is stable across restarts of one checkpoint and
     // recorded in <checkpoint>/metadata as {"id":"<uuid>"}
-    val ckptMeta = Paths.get(checkpointDir, "metadata")
     val ckptId: Option[String] =
-      if (!Files.exists(ckptMeta)) None
+      if (!ckptFs.exists(ckptMeta)) None
       else """"id"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(Files.readString(ckptMeta)).map(_.group(1))
+        .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
     if (existingBatches) {
       val recorded =
-        if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
-      require(ckptId.isDefined && recorded == ckptId,
-        s"sink $outDir already holds batch_id dirs from " +
-          s"${recorded.fold("an unknown query")(id => s"query $id")} but " +
-          s"checkpoint $checkpointDir is ${ckptId.fold("fresh")(id => s"query $id")} — " +
-          "a restarted batch counter would interleave new dirs with stale " +
-          "ones; clear the sink directory (or use a new one) to reprocess")
-    }
+        if (sinkFs.exists(marker)) Some(readUtf8(sinkFs, marker).trim)
+        else None
+      (recorded, ckptId) match {
+        case (Some(r), Some(c)) if r == c => // clean same-checkpoint restart
+        case (None, Some(c)) =>
+          // legacy adopt: batch dirs + established checkpoint but no
+          // marker = a sink written before fencing existed (or a crash in
+          // the old post-start marker window); the checkpoint's offset
+          // log owns those batch ids, so adopt rather than force a wipe
+          writeMarker(c)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"sink $outDir already holds batch_id dirs from " +
+              s"${recorded.fold("an unknown query")(id => s"query $id")} but " +
+              s"checkpoint $checkpointDir is ${ckptId.fold("fresh")(id => s"query $id")} — " +
+              "a restarted batch counter would interleave new dirs with stale " +
+              "ones; clear the sink directory (or use a new one) to reprocess")
+      }
+    } else ckptId.foreach(writeMarker) // restart of an empty-sink query
+    // fresh checkpoint: the id doesn't exist yet — write the marker on
+    // the FIRST batch, before its batch dir, from the by-then-committed
+    // checkpoint metadata (never after start() on the driver thread,
+    // where a crash in the gap left batch dirs unmarked)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!sinkFs.exists(marker)) {
+          val id = """"id"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
+            .getOrElse(throw new IllegalStateException(
+              s"checkpoint $checkpointDir has no metadata id at first batch"))
+          writeMarker(id)
+        }
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId"): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()
-    Files.createDirectories(Paths.get(outDir))
-    Files.writeString(marker, q.id.toString)
     q
   }
 }

@@ -76,7 +76,8 @@ object StreamingScoring {
     * key: the in-order-delivery contract is ENFORCED against it, not
     * assumed. */
   case class SmoothState(hist: Seq[Seq[Option[Double]]],
-                         lastT: Option[Long] = None)
+                         lastT: Option[Long] = None,
+                         method: String = "")
 
   /** Stateful streaming smoothing (the smooth-* trailing windows of
     * W1–W3 applied to an arriving per-machine score stream) via
@@ -135,6 +136,17 @@ object StreamingScoring {
       .flatMapGroupsWithState[SmoothState, (String, Long, Seq[Option[Double]])](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key, rows, state) =>
+          // hist is method-SPECIFIC state: trailing-window values for
+          // smm/sma vs the (num, den) ewm accumulator pair — restarting
+          // a checkpointed query with a different method would silently
+          // reinterpret old state (the first two window values becoming
+          // ewm accumulators) and emit wrong smooth values; fail loudly
+          // instead (clear the checkpoint to switch methods)
+          if (state.exists && state.get.method != method)
+            throw new IllegalStateException(
+              s"smoothStream state for key '$key' was written by method " +
+                s"'${state.get.method}' but this query runs '$method' — " +
+                "state encodings are incompatible; use a fresh checkpoint")
           val hist: Array[Vector[Option[Double]]] =
             if (state.exists) state.get.hist.map(_.toVector).toArray
             else Array.fill(nSmooth)(Vector.empty[Option[Double]])
@@ -185,7 +197,7 @@ object StreamingScoring {
               Some((key, t, sm ++ vals.drop(nSmooth)))
             }
           }
-          state.update(SmoothState(hist.toSeq.map(_.toSeq), lastT))
+          state.update(SmoothState(hist.toSeq.map(_.toSeq), lastT, method))
           out.iterator
       }
     smoothed.toDF("__k", "__t", "__sm").select(

@@ -55,6 +55,61 @@ class ComponentsSpec extends AnyFunSuite {
     assert(components(edges) == components(edges))
   }
 
+  test("storage returns to baseline across repeated runs (release lifecycle)") {
+    val sc = spark.sparkContext
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    // warm once so lazily-initialized session state doesn't count as leak
+    Components.release(Components.connectedComponents(edges.toDF("a", "b")))
+    val baseline = sc.getPersistentRDDs.keySet
+    (1 to 3).foreach { n =>
+      val cc = Components.connectedComponents(edges.toDF("a", "b"))
+      assert(cc.count() == 64)
+      // the returned frame holds exactly its own checkpoint until released
+      Components.release(cc)
+      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty,
+        s"run $n leaked persistent RDDs: $leaked — in-loop intermediates " +
+          "or the released result left blocks behind")
+    }
+  }
+
+  test("release only frees checkpoints this module created") {
+    val ext = spark.range(16).toDF("a")
+      .withColumn("b", col("a") * 2).localCheckpoint()
+    val extRdd = ext.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    try {
+      assert(extRdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      Components.release(ext) // caller-owned checkpoint: must be untouched
+      assert(extRdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "release must never unpersist storage it does not own")
+    } finally extRdd.unpersist(false): Unit
+  }
+
+  test("reliableCheckpoint mode: correct result, files on disk, release removes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable")
+    def rddDirs: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toList
+      finally w.close()
+    }
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val (cc, rounds) = Components.connectedComponentsWithRounds(
+      edges, 40, reliableCheckpoint = Some(dir.toString))
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(rounds >= 1)
+    // only the FINAL round's files remain (superseded rounds were
+    // cleaned in-loop); release removes those too
+    assert(rddDirs.size == 1, s"expected one surviving checkpoint: $rddDirs")
+    Components.release(cc)
+    assert(rddDirs.isEmpty, "release must delete the reliable checkpoint files")
+  }
+
   test("dupClusters: keeper = component min, keep flag, cluster sizes") {
     val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L))
       .toDF("id_a", "id_b")

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.ModelBuilder
+import graft.llm.TextDedup
+
+/** Regression coverage for the round-9 ADVICE findings and round-10
+  * verdict items: assembled-cache refcount keying (truncated-toString
+  * collision), the requireMinSamples ownership hand-off, the
+  * contaminationFull left-join convenience, and the forwarder fence's
+  * legacy-adopt path. */
+class Round10FixesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("refcount keys distinguish plans sharing a truncated toString prefix (advice: medium)") {
+    // plan toString truncates past spark.sql.debug.maxToStringFields
+    // (default 25) to "... N more fields": these two 31-column frames
+    // share their first 25 columns and differ only in the last — a
+    // string-keyed refcount map collides them (second claimant never
+    // persists its own frame; interleaved releases unpersist the wrong
+    // one); the canonicalized-plan key must keep them separate
+    val base = spark.range(5)
+    val df1 = base.select(col("id") +: (1 to 30).map(i => lit(i).as(s"c$i")): _*)
+    val df2 = base.select(col("id") +:
+      ((1 to 29).map(i => lit(i).as(s"c$i")) :+ lit(999).as("c30")): _*)
+    val r1 = ModelBuilder.acquireAssembled(df1.toDF())
+    val r2 = ModelBuilder.acquireAssembled(df2.toDF())
+    assert(df1.storageLevel != StorageLevel.NONE, "df1 claimed + persisted")
+    assert(df2.storageLevel != StorageLevel.NONE,
+      "df2 must persist its OWN frame, not alias df1's refcount entry")
+    r1()
+    assert(df1.storageLevel == StorageLevel.NONE)
+    assert(df2.storageLevel != StorageLevel.NONE,
+      "df1's release must not yank df2's cache")
+    r2()
+    assert(df2.storageLevel == StorageLevel.NONE)
+  }
+
+  test("threshold-cached assembly is claimed and released by the build path (advice: medium)") {
+    val df = spark.range(10).toDF("bucket_ts")
+      .withColumn("v", col("bucket_ts") * lit(2.0))
+    val cached = graft.data.TimeSeries.requireMinSamples(df, 5)
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "threshold path persists around its count")
+    // the build's acquire CLAIMS the registered cache (instead of
+    // classifying it externally-owned) and its release frees it — the
+    // n_samples_threshold > 0 session-lifetime leak
+    val release = ModelBuilder.acquireAssembled(cached)
+    release()
+    assert(cached.storageLevel == StorageLevel.NONE,
+      "build release must unpersist the threshold-path cache")
+  }
+
+  test("a failed threshold unregisters and unpersists (no stale claim)") {
+    val df = spark.range(3).toDF("bucket_ts")
+      .withColumn("w", col("bucket_ts") + lit(1.0))
+    intercept[graft.data.TimeSeries.InsufficientDataError] {
+      graft.data.TimeSeries.requireMinSamples(df, 1000)
+    }
+    assert(df.storageLevel == StorageLevel.NONE)
+    assert(!graft.data.TimeSeries.claimAssemblyCache(
+      df.queryExecution.analyzed.canonicalized),
+      "the failure path must remove its registration")
+  }
+
+  test("releaseAssembled frees a direct caller's threshold cache; external caches stay external") {
+    val direct = spark.range(7).toDF("bucket_ts")
+      .withColumn("x", col("bucket_ts") * lit(3.0))
+    val cached = graft.data.TimeSeries.requireMinSamples(direct, 2)
+    assert(cached.storageLevel != StorageLevel.NONE)
+    graft.data.TimeSeries.releaseAssembled(cached)
+    assert(cached.storageLevel == StorageLevel.NONE)
+    // a frame some OUTSIDE caller cached is used without claiming and
+    // build release stays a no-op (their unpersist, their timing)
+    val ext = spark.range(4).toDF("bucket_ts")
+      .withColumn("y", col("bucket_ts") - lit(1.0))
+    ext.persist()
+    try {
+      val release = ModelBuilder.acquireAssembled(ext.toDF())
+      release()
+      assert(ext.storageLevel != StorageLevel.NONE,
+        "externally-owned cache must survive the build's release")
+      graft.data.TimeSeries.releaseAssembled(ext.toDF())
+      assert(ext.storageLevel != StorageLevel.NONE,
+        "releaseAssembled must not touch frames it never cached")
+    } finally ext.unpersist(): Unit
+  }
+
+  test("contaminationFull: a row per corpus doc, clean docs report 0 (verdict item 2)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Some(true)),
+      (2L, "so the quick brown fox jumps over a fence", Some(false)),
+      (3L, "completely different words appear in this document", Some(false)),
+      (4L, "tiny", Some(false)),
+      (5L, "the quick brown irrelevant", None: Option[Boolean])
+    ).toDF("doc_id", "text", "bm")
+    // inner-join contract unchanged: only contaminated docs appear
+    val inner = TextDedup.contamination(docs, "doc_id", "text", $"bm", n = 3)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(inner.map(_._1) == Seq(2L))
+    assert(inner.head._2 >= 1L)
+    // the full variant closes the foot-gun: selecting clean docs by
+    // n_shared == 0 works, short docs report 0, null-flag docs are
+    // neither corpus nor benchmark, benchmark docs absent
+    val full = TextDedup.contaminationFull(docs, "doc_id", "text", $"bm", n = 3)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(full.map(_._1) == Seq(2L, 3L, 4L))
+    assert(full == Seq((2L, inner.head._2), (3L, 0L), (4L, 0L)))
+  }
+}

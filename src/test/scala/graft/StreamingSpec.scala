@@ -356,6 +356,125 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("smoothStream rejects a checkpointed restart under a different method (advice: low)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-smethod").toString
+    def run(method: String, name: String,
+            batches: Seq[Seq[(String, Long, Option[Double])]]): Unit = {
+      val input = MemoryStream[(String, Long, Option[Double])]
+      val stream = input.toDF().toDF("machine", "bucket_ts", "err")
+      // foreachBatch sink: supports checkpoint RECOVERY (the memory sink
+      // refuses to restart from an existing checkpoint)
+      val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+        Seq("err" -> "sm"), width = 2, method)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.queryExecution.toRdd.count(): Unit // all partitions, all commits
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try {
+        batches.foreach(b => input.addData(b: _*))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run("smm", "sm_run1",
+      Seq(Seq(("m1", 0L, Some(1.0)), ("m1", 600L, Some(3.0)))))
+    // restarting the same checkpoint with ANOTHER method would silently
+    // reinterpret the trailing-window state as ewm accumulators (or vice
+    // versa) — the state records its method and the restore fails loudly.
+    // (The fresh MemoryStream's first addData block is consumed by the
+    // recovered offset; the second lands past it and forms a real batch.)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("ewma", "sm_run2", Seq(Seq(("m1", 900L, Some(4.0))),
+        Seq(("m1", 1200L, Some(5.0)))))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("incompatible")), e.toString)
+  }
+
+  test("forwarder writes the fence marker before any batch dir, adopts legacy sinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fence2").toString
+    val markerPath = java.nio.file.Paths.get(s"$tmp/out", "_graft_query_id")
+    def run(chunks: Seq[(Long, Double)]*): Unit = {
+      val input = MemoryStream[(Long, Double)]
+      val q = Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt")
+      try {
+        chunks.foreach(c => input.addData(c: _*))
+        q.processAllAvailable()
+        // ordering contract: a batch dir can never exist without the
+        // marker (the marker lands at first batch, before the write)
+        assert(java.nio.file.Files.exists(markerPath),
+          "marker must exist once any batch has landed")
+      } finally q.stop()
+    }
+    run(Seq((1L, 1.0)))
+    val recorded = java.nio.file.Files.readString(markerPath).trim
+    // a sink written by a pre-fencing version (marker absent) whose
+    // batch dirs belong to an ESTABLISHED checkpoint is adopted, not
+    // rejected — the checkpoint's offset log owns those batch ids
+    java.nio.file.Files.delete(markerPath)
+    // (first chunk is absorbed by the fresh MemoryStream's recovered
+    // offset; the second forms a real batch past it)
+    run(Seq((2L, 2.0)), Seq((3L, 3.0)))
+    assert(java.nio.file.Files.readString(markerPath).trim == recorded,
+      "legacy-adopt must re-record the same checkpoint's query id")
+    // run 1's row plus run 2's second-chunk row landed
+    assert(spark.read.parquet(s"$tmp/out").select($"id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+  }
+
+  test("M6 sequence detector composes in streaming via upstream window surgery (verdict item 6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val res = 600L
+    val wide = (0 until 30).map(i =>
+      (i * res, 10.0 + i + (i % 4), 25.0 + 2.0 * i - (i % 3)))
+      .toDF("bucket_ts", "tx", "ty")
+    // the ModelBuilder windowed-fit shape (M6): Windows.withLookback
+    // materializes the lookback window as lag features, the detector
+    // fits on the lag tags with the RAW tags as targets
+    val (lagged0, lagTags) = graft.ml.Windows.withLookback(
+      wide, Seq("tx", "ty"), "bucket_ts", lookback = 2, lookahead = 0)
+    val cols = Seq("bucket_ts", "tx", "ty") ++ lagTags
+    val lagged = lagged0.select(cols.map(graft.Cols.q): _*)
+    val fitted = DiffAnomaly.fit(lagged, lagTags, "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3,
+      targetTags = Seq("tx", "ty"))
+    val batch = DiffAnomaly.anomaly(fitted, lagged, res)
+    // streaming: anomalyJob rejects lag-feature detectors (it pivots raw
+    // tags); the compose-it-yourself path it points to is exercised here
+    // — rows arrive already windowed (the reference's serving contract:
+    // clients supply `window` rows of ordered history,
+    // docs/ml/model_output.rst:77-103) and scoreStream applies the same
+    // detector statelessly, split across micro-batches
+    val rows = lagged.orderBy($"bucket_ts").collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val input = MemoryStream[(Long, Double, Double, Double, Double, Double, Double)]
+    val stream = input.toDF().toDF(cols: _*)
+    val q = StreamingScoring.scoreStream(fitted, stream, res)
+      .writeStream.format("memory").queryName("m6scored")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 < 15 * res)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM m6scored ORDER BY start").collect()
+      val exp = batch.orderBy($"start").collect()
+      assert(got.length == exp.length && got.nonEmpty)
+      got.zip(exp).foreach { case (g, e) => assert(g == e) }
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrences only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
