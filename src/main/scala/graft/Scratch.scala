@@ -23,15 +23,21 @@ object Scratch {
     }, "graft-scratch-cleanup"))
   }
 
+  /** Recursive delete with the walk stream closed; `keepRoot` leaves
+    * the directory itself in place (cleared). Throws on failure — the
+    * shared strict form behind every tree delete in the library (a
+    * silent partial clear would corrupt checksummed layouts). */
+  def deleteTree(p: Path, keepRoot: Boolean = false): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => if (!(keepRoot && f == p)) { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
   private def deleteRecursively(p: Path): Unit =
-    try {
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.deleteIfExists(f); () })
-        finally walk.close()
-      }
-    } catch { case _: Exception => () } // best-effort: exit must not fail
+    try deleteTree(p)
+    catch { case _: Exception => () } // best-effort: exit must not fail
 
   /** Fresh scratch directory, recursively deleted on JVM exit. */
   def dir(prefix: String): String = {

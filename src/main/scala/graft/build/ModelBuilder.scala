@@ -37,23 +37,27 @@ object ModelBuilder {
     * parallel can no longer double-claim ownership or yank the shared
     * cache from under each other (the check-then-act race). A frame
     * `TimeSeries.requireMinSamples` cached on the threshold path is
-    * CLAIMED here too (its registry hand-off), so the build's finally
-    * releases that cache like any other; only a frame some OUTSIDE
-    * caller cached before entry (count 0, storage set, not in the
-    * hand-off registry) is used without claiming — its release is a
-    * no-op (their unpersist, their timing). Returns the release thunk
-    * for the build's finally. */
+    * handled by the REGISTRY'S OWN borrow count: this build's
+    * getData → requireMinSamples already registered one borrow, so the
+    * release thunk simply returns that borrow
+    * (`TimeSeries.releaseAssembled`) — the cache unpersists when the
+    * LAST borrower (build or plan-identical direct caller) releases,
+    * never from under a live sibling. Only a frame some OUTSIDE caller
+    * cached before entry (count 0, storage set, not in the registry) is
+    * used without claiming — its release is a no-op (their unpersist,
+    * their timing). Returns the release thunk for the build's finally. */
   private[graft] def acquireAssembled(df: DataFrame): () => Unit =
     cacheOwners.synchronized {
       val k = df.queryExecution.analyzed.canonicalized
       val n = cacheOwners.getOrElse(k, 0)
       val alreadyCached =
         df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-      val weOwn = n > 0 || !alreadyCached ||
-        graft.data.TimeSeries.claimAssemblyCache(k)
-      if (!weOwn) () => ()
-      else {
-        if (n == 0 && !alreadyCached) df.persist()
+      if (n == 0 && alreadyCached) {
+        if (graft.data.TimeSeries.isAssemblyRegistered(k))
+          () => graft.data.TimeSeries.releaseAssembled(df)
+        else () => ()
+      } else {
+        if (n == 0) df.persist()
         cacheOwners(k) = n + 1
         () => cacheOwners.synchronized {
           val m = cacheOwners(k) - 1
@@ -112,15 +116,17 @@ object ModelBuilder {
       val src = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
       val dst = java.nio.file.Paths.get(outputDir).toAbsolutePath.normalize
       if (src != dst) {
+        // nested layouts are a misconfiguration with destructive
+        // consequences: clearing a dst that CONTAINS the registry's src
+        // would wipe the cached model before the copy; loud beats that
+        require(!src.startsWith(dst) && !dst.startsWith(src),
+          s"cache materialization cannot copy between nested directories " +
+            s"(src=$src, dst=$dst) — choose an outputDir outside the registry")
         // a dst that previously held a DIFFERENT model would keep its
         // extra files alongside the copied layout (breaking the
         // checksummed-dir contract) — clear it before copying
-        if (java.nio.file.Files.isDirectory(dst)) {
-          val old = java.nio.file.Files.walk(dst)
-          try old.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => if (p != dst) java.nio.file.Files.delete(p))
-          finally old.close()
-        }
+        if (java.nio.file.Files.isDirectory(dst))
+          graft.Scratch.deleteTree(dst, keepRoot = true)
         java.nio.file.Files.createDirectories(dst)
         // walk streams hold a directory handle until closed — leaking
         // one per registry cache hit exhausts fds on a hot serving loop

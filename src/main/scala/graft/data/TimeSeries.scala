@@ -461,33 +461,38 @@ object TimeSeries {
   /** n_samples_threshold (ref: `gordo/cli/cli.py:26-39`, exit code 80). */
   class InsufficientDataError(msg: String) extends RuntimeException(msg)
 
-  /** Canonical plans [[requireMinSamples]] persisted — the explicit
-    * ownership hand-off to `ModelBuilder.acquireAssembled`: a build that
-    * receives a threshold-cached frame CLAIMS it from this registry (one
-    * successful claim per persist) and its finally then releases the
-    * cache like any build-persisted frame. Without the hand-off, every
-    * distinct dataset built with n_samples_threshold > 0 leaked its
-    * MEMORY_AND_DISK cache for the SparkSession lifetime (the build
-    * classified it "externally owned" and never unpersisted). Keyed on
+  /** BORROW COUNT per canonical plan [[requireMinSamples]] cached — the
+    * explicit ownership protocol with `ModelBuilder.acquireAssembled`:
+    * every requireMinSamples success on a frame this registry owns (or
+    * persists) registers one borrow; [[releaseAssembled]] returns one;
+    * the cache unpersists when the count reaches zero. A build's
+    * release and a plan-identical direct caller's release therefore
+    * coordinate through the SAME count — neither can yank the cache
+    * from under the other (the r9 ADVICE leak fix without the
+    * steal-on-claim hazard a remove-on-claim registry had). Keyed on
     * the canonicalized plan OBJECT (structural equality), matching the
-    * builder's refcount map. Direct (non-build) getData callers own the
-    * cache themselves — [[releaseAssembled]] is their release. */
-  private val assemblyCached = scala.collection.mutable.Set
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    * builder's refcount map. Frames some outside caller cached are
+    * never registered and never touched. */
+  private val assemblyCached = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
 
-  /** Claim (remove) a threshold-path cache registration. Returns true
-    * iff this call took ownership. */
-  private[graft] def claimAssemblyCache(
+  /** Whether the registry holds outstanding borrows for this plan. */
+  private[graft] def isAssemblyRegistered(
       canonical: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-    assemblyCached.synchronized(assemblyCached.remove(canonical))
+    assemblyCached.synchronized(assemblyCached.contains(canonical))
 
-  /** Release a frame [[requireMinSamples]] cached (direct-caller path —
-    * builds release through their own refcount). No-op for frames this
-    * module never cached. */
+  /** Return one [[requireMinSamples]] borrow; the last return
+    * unpersists. No-op for frames this module never cached. */
   def releaseAssembled(df: DataFrame): Unit = {
     val k = df.queryExecution.analyzed.canonicalized
-    if (assemblyCached.synchronized(assemblyCached.remove(k)))
-      df.unpersist(): Unit
+    val unpersistNow = assemblyCached.synchronized {
+      assemblyCached.get(k) match {
+        case Some(c) if c <= 1 => assemblyCached.remove(k); true
+        case Some(c) => assemblyCached(k) = c - 1; false
+        case None => false
+      }
+    }
+    if (unpersistNow) df.unpersist(): Unit
   }
 
   def requireMinSamples(df: DataFrame, n: Long): DataFrame = {
@@ -496,21 +501,28 @@ object TimeSeries {
       // the count must execute the whole assembly anyway — persist
       // around it so the caller's first action reads the materialized
       // frame instead of re-running resample→grid→interpolate→pivot end
-      // to end. The returned frame is CACHED and REGISTERED: a build
-      // claims it via [[claimAssemblyCache]] (and releases in its
-      // finally); direct callers release with [[releaseAssembled]].
-      val cached =
+      // to end. The returned frame is CACHED with one borrow REGISTERED
+      // to this caller: builds return it in their finally
+      // (acquireAssembled routes their release here), direct callers
+      // with [[releaseAssembled]].
+      val k = df.queryExecution.analyzed.canonicalized
+      val cached = assemblyCached.synchronized {
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
           val p = df.persist()
-          assemblyCached.synchronized(
-            assemblyCached.add(p.queryExecution.analyzed.canonicalized)): Unit
+          assemblyCached(k) = assemblyCached.getOrElse(k, 0) + 1
           p
-        } else df
+        } else if (assemblyCached.contains(k)) {
+          // our cache, another borrower (a plan-identical build or
+          // direct caller arriving while the first still holds it)
+          assemblyCached(k) = assemblyCached(k) + 1
+          df
+        } else df // externally cached: use, never own
+      }
       val c = cached.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
       if (c < n) {
-        assemblyCached.synchronized(assemblyCached
-          .remove(cached.queryExecution.analyzed.canonicalized)): Unit
-        cached.unpersist()
+        // return THIS call's borrow (external frames: no-op — the old
+        // code unpersisted even a caller's external cache here, wrongly)
+        releaseAssembled(cached)
         throw new InsufficientDataError(s"got $c rows < threshold $n")
       }
       cached

@@ -52,25 +52,33 @@ object Components {
   private def registerCkpt(df: DataFrame): Unit =
     ckptRdds(df).foreach(r => ourCkpts.synchronized(ourCkpts.add(r.id)): Unit)
 
+  /** Release one module-created checkpoint RDD: blocks, and (reliable
+    * mode) the checkpoint files. Registry-guarded — a caller-owned RDD
+    * id is never touched. */
+  private def releaseRdd(r: RDD[_],
+                         hconf: org.apache.hadoop.conf.Configuration): Unit =
+    if (ourCkpts.synchronized(ourCkpts.remove(r.id))) {
+      r.unpersist(false)
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).delete(p, true): Unit
+      }
+    }
+
   /** Release the storage backing a frame returned by
     * [[connectedComponents]] / [[dupClusters]]: the localCheckpoint
     * blocks (RDD-level — unreachable through `Dataset.unpersist`) and,
     * in reliable-checkpoint mode, the checkpoint files. Call once the
     * result is materialized (written/collected); the frame must not be
     * evaluated again afterwards. No-op on frames this module didn't
-    * checkpoint (enforced by the ownership registry). */
-  def release(components: DataFrame): Unit =
-    ckptRdds(components).foreach { r =>
-      if (ourCkpts.synchronized(ourCkpts.remove(r.id))) {
-        r.unpersist(false)
-        r.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val fs = p.getFileSystem(
-            components.sparkSession.sessionState.newHadoopConf())
-          fs.delete(p, true): Unit
-        }
-      }
-    }
+    * checkpoint (enforced by the ownership registry). A returned
+    * frame's lineage contains exactly its OWN checkpoint (the cut
+    * truncated everything upstream); on a frame that composes several
+    * returned results, this releases each of them. */
+  def release(components: DataFrame): Unit = {
+    val hconf = components.sparkSession.sessionState.newHadoopConf()
+    ckptRdds(components).foreach(releaseRdd(_, hconf))
+  }
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `a`, `b`, any orderable type). Returns (node, component)
@@ -100,8 +108,18 @@ object Components {
                                     reliableCheckpoint: Option[String] = None)
       : (DataFrame, Int) = {
     val sc = edges.sparkSession.sparkContext
+    val hconf = edges.sparkSession.sessionState.newHadoopConf()
     reliableCheckpoint.foreach { dir =>
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // setCheckpointDir stores an FS-QUALIFIED, uuid-suffixed SUBPATH
+      // (e.g. file:/dir/<uuid>) — comparing it to the raw dir is always
+      // false, which would re-set (and clobber) the context-global
+      // checkpoint dir on every call; compare the stored path's PARENT
+      val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val already = sc.getCheckpointDir.exists { cur =>
+        val p = new org.apache.hadoop.fs.Path(cur)
+        Option(p.getParent).exists(_.toUri.getPath == want)
+      }
+      if (!already) sc.setCheckpointDir(dir)
     }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -112,6 +130,14 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var jumped: DataFrame = null
     var next: DataFrame = null
+    // the checkpoint RDD backing `labels` / `next` THIS call created —
+    // superseded rounds release through these tracked handles, never by
+    // scanning the frame's lineage: round-0 `labels` derives from the
+    // CALLER's edges plan, and a lineage scan there would free a
+    // still-live checkpoint frame the caller passed as input (e.g. a
+    // prior connectedComponents result used as edges)
+    var labelsRdd: Option[RDD[_]] = None
+    var nextRdd: Option[RDD[_]] = None
     var it = 0
     var converged = false
     try {
@@ -146,6 +172,7 @@ object Components {
           if (reliableCheckpoint.isDefined) jumped.checkpoint(false)
           else jumped.localCheckpoint(false)
         registerCkpt(next)
+        nextRdd = ckptRdds(next).headOption // next IS the bare LogicalRDD
         // the count below is what materializes the lazy checkpoint — if
         // that job dies partway, `next`'s already-stored blocks are
         // released by the finally (it never became `labels`)
@@ -155,15 +182,17 @@ object Components {
           .limit(1).count()
         // `next` is now self-contained: release the SUPERSEDED round —
         // round 0's CacheManager cache via unpersist, later rounds'
-        // RDD-level checkpoint blocks/files via release (Dataset
-        // .unpersist can't see those; leaking one per round held every
-        // round's node-set in storage for the session)
+        // RDD-level checkpoint blocks/files via the TRACKED rdd handle
+        // (Dataset.unpersist can't see those; leaking one per round held
+        // every round's node-set in storage for the session)
         labels.unpersist(false)
-        release(labels)
+        labelsRdd.foreach(releaseRdd(_, hconf))
         jumped.unpersist(false)
         jumped = null
         labels = next
+        labelsRdd = nextRdd
         next = null
+        nextRdd = None
         converged = changed == 0
         it += 1
       }
@@ -176,8 +205,12 @@ object Components {
       // [[release]] frees it once the caller has materialized results
       sym.unpersist(false)
       if (jumped != null) jumped.unpersist(false)
-      if (next != null) { next.unpersist(false); release(next) }
-      if (!converged) { labels.unpersist(false); release(labels) }
+      if (next != null) {
+        next.unpersist(false); nextRdd.foreach(releaseRdd(_, hconf))
+      }
+      if (!converged) {
+        labels.unpersist(false); labelsRdd.foreach(releaseRdd(_, hconf))
+      }
     }
     (labels.withColumnRenamed("label", "component"), it)
   }

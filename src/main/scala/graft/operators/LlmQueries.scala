@@ -199,13 +199,7 @@ object LlmQueries {
         queryPred = col("id") < 10)
         .select($"qid", $"rank", $"cand", r4($"cos").as("cos"))
         .orderBy($"qid", $"rank")
-    } finally {
-      val p = java.nio.file.Paths.get(idxDir)
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(java.nio.file.Files.delete(_))
-      finally walk.close()
-    }
+    } finally graft.Scratch.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
   /** LSH bucketing invariant: deterministic 8-hyperplane sign buckets,

@@ -38,10 +38,13 @@ object Forwarder {
     *    inside the first `foreachBatch` otherwise (Spark has committed
     *    `<checkpoint>/metadata` by the time any batch runs) — so a crash
     *    can never leave batch dirs without a marker;
-    *  - a marker-absent sink whose batch dirs match an EXISTING
-    *    checkpoint's offset log is LEGACY-ADOPTED (marker written from
-    *    the checkpoint id) instead of rejected, so sinks written by a
-    *    pre-fencing version restart cleanly;
+    *  - a marker-absent sink is LEGACY-ADOPTED (marker written from the
+    *    checkpoint id) ONLY when the checkpoint's commit log actually
+    *    accounts for every batch dir present (each `batch_id=N` has
+    *    N ≤ the checkpoint's max committed batch) — a pre-fencing sink
+    *    of THIS query restarts cleanly, while a foreign sink paired
+    *    with an unrelated checkpoint (whose commit log can't explain
+    *    the high-numbered dirs) is still rejected;
     *  - all sink/checkpoint path ops go through the Hadoop FileSystem
     *    API resolved from each path's own scheme, so an `hdfs://` or
     *    `s3a://` outDir (which the parquet write already supports) is
@@ -69,48 +72,81 @@ object Forwarder {
       try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
 
-    val existingBatches = sinkFs.exists(outPath) &&
-      sinkFs.listStatus(outPath).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val sinkBatchIds: Seq[Long] =
+      if (!sinkFs.exists(outPath)) Nil
+      else sinkFs.listStatus(outPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .flatMap(s => s.getPath.getName.stripPrefix("batch_id=").toLongOption)
+    val existingBatches = sinkBatchIds.nonEmpty
     // the query id is stable across restarts of one checkpoint and
     // recorded in <checkpoint>/metadata as {"id":"<uuid>"}
     val ckptId: Option[String] =
       if (!ckptFs.exists(ckptMeta)) None
       else """"id"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
+    // highest batch id the checkpoint has COMMITTED (one file per batch
+    // in <checkpoint>/commits) — the evidence that this checkpoint's
+    // query is the one that wrote a marker-less sink
+    def maxCommitted: Option[Long] = {
+      val commits = new Path(new Path(checkpointDir), "commits")
+      if (!ckptFs.exists(commits)) None
+      else ckptFs.listStatus(commits).toSeq
+        .flatMap(s => s.getPath.getName.toLongOption).maxOption
+    }
     if (existingBatches) {
       val recorded =
         if (sinkFs.exists(marker)) Some(readUtf8(sinkFs, marker).trim)
         else None
+      val adoptable = recorded.isEmpty && ckptId.isDefined &&
+        maxCommitted.exists(mc => sinkBatchIds.forall(_ <= mc))
       (recorded, ckptId) match {
         case (Some(r), Some(c)) if r == c => // clean same-checkpoint restart
-        case (None, Some(c)) =>
-          // legacy adopt: batch dirs + established checkpoint but no
-          // marker = a sink written before fencing existed (or a crash in
-          // the old post-start marker window); the checkpoint's offset
-          // log owns those batch ids, so adopt rather than force a wipe
+        case (None, Some(c)) if adoptable =>
+          // legacy adopt: a marker-less sink whose every batch dir the
+          // checkpoint's commit log accounts for = a sink written by THIS
+          // query before fencing existed (or a crash in the old
+          // post-start marker window); adopt rather than force a wipe.
+          // A foreign sink fails the commit-log check (its high batch
+          // ids exceed this checkpoint's committed range) and rejects.
           writeMarker(c)
         case _ =>
           throw new IllegalArgumentException(
             s"sink $outDir already holds batch_id dirs from " +
               s"${recorded.fold("an unknown query")(id => s"query $id")} but " +
-              s"checkpoint $checkpointDir is ${ckptId.fold("fresh")(id => s"query $id")} — " +
-              "a restarted batch counter would interleave new dirs with stale " +
-              "ones; clear the sink directory (or use a new one) to reprocess")
+              s"checkpoint $checkpointDir is ${ckptId.fold("fresh")(id => s"query $id")}" +
+              (if (recorded.isEmpty && ckptId.isDefined)
+                " whose commit log does not account for the sink's batch ids"
+              else "") +
+              " — a restarted batch counter would interleave new dirs with " +
+              "stale ones; clear the sink directory (or use a new one) to reprocess")
       }
-    } else ckptId.foreach(writeMarker) // restart of an empty-sink query
+    } else ckptId match {
+      case Some(c) => writeMarker(c) // restart of an empty-sink query
+      case None =>
+        // fresh checkpoint + batch-less sink: a leftover marker guards
+        // NO data and would pin the sink to a dead query id (the first
+        // batch skips writing when a marker exists) — drop it
+        if (sinkFs.exists(marker)) sinkFs.delete(marker, false): Unit
+    }
     // fresh checkpoint: the id doesn't exist yet — write the marker on
     // the FIRST batch, before its batch dir, from the by-then-committed
     // checkpoint metadata (never after start() on the driver thread,
     // where a crash in the gap left batch dirs unmarked)
+    // memoized so only the FIRST batch pays the existence probe — on a
+    // remote sink an exists() per micro-batch is a per-trigger round
+    // trip for the lifetime of the query
+    @volatile var markerDone = false
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!sinkFs.exists(marker)) {
-          val id = """"id"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
-            .getOrElse(throw new IllegalStateException(
-              s"checkpoint $checkpointDir has no metadata id at first batch"))
-          writeMarker(id)
+        if (!markerDone) {
+          if (!sinkFs.exists(marker)) {
+            val id = """"id"\s*:\s*"([^"]+)"""".r
+              .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
+              .getOrElse(throw new IllegalStateException(
+                s"checkpoint $checkpointDir has no metadata id at first batch"))
+            writeMarker(id)
+          }
+          markerDone = true
         }
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId"): Unit
       }

@@ -74,7 +74,14 @@ object StreamingScoring {
     * functions) — state size is width × columns per machine, constant
     * in stream length. `lastT` is the highest orderCol emitted for the
     * key: the in-order-delivery contract is ENFORCED against it, not
-    * assumed. */
+    * assumed. `method` tags which encoding `hist` carries (trailing
+    * window for smm/sma vs the (num, den) ewm pair) so a checkpointed
+    * restart under a different method fails loudly. NOTE: adding this
+    * field changed the state-store schema — checkpoints written by the
+    * pre-method-tag build fail restart with Spark's own
+    * StateSchemaNotCompatible (loud, but regardless of method); there
+    * is no in-place state migration, start those jobs on a fresh
+    * checkpoint. */
   case class SmoothState(hist: Seq[Seq[Option[Double]]],
                          lastT: Option[Long] = None,
                          method: String = "")

@@ -110,6 +110,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rddDirs.isEmpty, "release must delete the reliable checkpoint files")
   }
 
+  test("a run over edges derived from a prior unreleased result leaves it intact (review fix)") {
+    val cc1 = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+    assert(cc1.count() == 5)
+    // feed cc1 back in as edges WITHOUT releasing it: the second run's
+    // round-0 labels derive from cc1's checkpoint leaf, and a lineage-
+    // scanning in-loop release would free cc1's blocks mid-life
+    val cc2 = Components.connectedComponents(
+      cc1.select(col("node").as("a"), col("component").as("b")))
+    assert(cc2.count() == 5)
+    assert(cc1.count() == 5,
+      "the prior result must survive the second run's in-loop releases")
+    Components.release(cc2)
+    Components.release(cc1)
+  }
+
   test("dupClusters: keeper = component min, keep flag, cluster sizes") {
     val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L))
       .toDF("id_a", "id_b")

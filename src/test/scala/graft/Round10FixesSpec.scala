@@ -62,9 +62,27 @@ class Round10FixesSpec extends AnyFunSuite {
       graft.data.TimeSeries.requireMinSamples(df, 1000)
     }
     assert(df.storageLevel == StorageLevel.NONE)
-    assert(!graft.data.TimeSeries.claimAssemblyCache(
+    assert(!graft.data.TimeSeries.isAssemblyRegistered(
       df.queryExecution.analyzed.canonicalized),
       "the failure path must remove its registration")
+  }
+
+  test("a build cannot yank a plan-identical direct caller's threshold cache (review fix)") {
+    val df = spark.range(12).toDF("bucket_ts")
+      .withColumn("z", col("bucket_ts") * lit(5.0))
+    // direct caller borrows first and HOLDS the frame...
+    val direct = graft.data.TimeSeries.requireMinSamples(df, 3)
+    assert(direct.storageLevel != StorageLevel.NONE)
+    // ...then a plan-identical build runs: its getData path borrows too
+    val viaBuild = graft.data.TimeSeries.requireMinSamples(direct, 3)
+    val release = ModelBuilder.acquireAssembled(viaBuild)
+    release() // build finishes
+    assert(direct.storageLevel != StorageLevel.NONE,
+      "the build's release must return ITS borrow, not unpersist the " +
+        "direct caller's live cache")
+    graft.data.TimeSeries.releaseAssembled(direct)
+    assert(direct.storageLevel == StorageLevel.NONE,
+      "the last borrower's release unpersists")
   }
 
   test("releaseAssembled frees a direct caller's threshold cache; external caches stay external") {

@@ -428,6 +428,49 @@ class StreamingSpec extends AnyFunSuite {
     // run 1's row plus run 2's second-chunk row landed
     assert(spark.read.parquet(s"$tmp/out").select($"id").as[Long]
       .collect().toSet == Set(1L, 3L))
+    // adoption is COMMIT-LOG-GATED: a marker-less FOREIGN sink whose
+    // batch ids the checkpoint's commit log cannot account for is still
+    // rejected — without the gate, legacy-adopt would reopen the exact
+    // interleaving corruption the fence exists to stop
+    java.nio.file.Files.delete(markerPath)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/out/batch_id=999"))
+    val input = MemoryStream[(Long, Double)]
+    val e = intercept[IllegalArgumentException] {
+      Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("commit log"), e.getMessage)
+  }
+
+  test("a stale marker on a batch-less sink is dropped, not inherited") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fence3").toString
+    val out = java.nio.file.Paths.get(s"$tmp/out")
+    java.nio.file.Files.createDirectories(out)
+    // leftover marker from a dead query, NO batch dirs — it guards
+    // nothing; a fresh query must fence to its own id, and its next
+    // restart must pass
+    java.nio.file.Files.writeString(out.resolve("_graft_query_id"),
+      "dead-query-id")
+    def run(chunks: Seq[(Long, Double)]*): Unit = {
+      val input = MemoryStream[(Long, Double)]
+      val q = Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt")
+      try {
+        chunks.foreach(c => input.addData(c: _*))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Seq((1L, 1.0)))
+    val recorded = java.nio.file.Files
+      .readString(out.resolve("_graft_query_id")).trim
+    assert(recorded != "dead-query-id",
+      "the first batch must fence to the LIVE query, not the stale id")
+    run(Seq((2L, 2.0)), Seq((3L, 3.0))) // same-checkpoint restart passes
+    assert(spark.read.parquet(s"$tmp/out").select($"id").as[Long]
+      .collect().toSet == Set(1L, 3L))
   }
 
   test("M6 sequence detector composes in streaming via upstream window surgery (verdict item 6)") {
