@@ -48,17 +48,45 @@ object ComponentsProbe {
       val pairs = TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
         .select($"id_a".as("a"), $"id_b".as("b")).persist()
       val nPairs = pairs.count()
+      // SPARK_GRAFT_CC_CKPT=<dir> probes the reliable-checkpoint (HA)
+      // configuration: same results, lineage cut to files instead of
+      // executor-local blocks, superseded rounds' files deleted in-loop
+      val ckptDir = sys.env.get("SPARK_GRAFT_CC_CKPT")
       val t0 = System.nanoTime()
-      val (labels, rounds) = Components.connectedComponentsWithRounds(pairs)
+      val (labels, rounds) =
+        Components.connectedComponentsWithRounds(pairs,
+          reliableCheckpoint = ckptDir)
       val nNodes = labels.count()
       val nComp = labels.select($"component").distinct().count()
       val badLabels = labels.filter($"component" > $"node").count()
       val wall = (System.nanoTime() - t0) / 1e9
       assert(badLabels == 0, s"$badLabels labels above their node id")
       assert(nComp <= nNodes)
+      // HA mode: after in-loop cleanup exactly ONE rdd-* checkpoint dir
+      // (the final labels') survives; release() removes it too
+      val ckptDirsLeft = ckptDir.fold(-1) { d =>
+        def count() = {
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try {
+            val it = w.iterator(); var n = 0
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.startsWith("rdd-")) n += 1
+            }
+            n
+          } finally w.close()
+        }
+        val live = count()
+        assert(live == 1, s"expected 1 surviving checkpoint dir, got $live")
+        Components.release(labels)
+        val after = count()
+        assert(after == 0, s"release must delete the final checkpoint, got $after")
+        live
+      }
       println(s"""{"probe":"components","dir":"$dir","pairs":$nPairs,""" +
         s""""nodes":$nNodes,"clusters":$nComp,"rounds":$rounds,""" +
-        f""""wall_sec":$wall%.1f}""")
+        f""""wall_sec":$wall%.1f""" +
+        ckptDir.fold("")(_ => s""","reliable_ckpt_dirs_live":$ckptDirsLeft""") +
+        "}")
       pairs.unpersist()
       shDf.unpersist()
     }
