@@ -52,7 +52,15 @@ object Bench {
       def timeOnce(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          try {
+            val df = fn(spark, sfDir)
+            // materialize, then release any checkpoint-backed storage
+            // the query's library call pinned (q87's dup clusters) —
+            // ownership-guarded no-op elsewhere; without it each rep
+            // leaks one node-label set for the JVM's lifetime
+            try { df.queryExecution.toRdd.count(); true }
+            finally graft.llm.Components.release(df)
+          }
           catch { case e: Throwable =>
             if (!errors.exists(_._1 == name))
               errors ::= (name -> Option(e.getMessage)

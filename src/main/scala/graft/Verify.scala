@@ -24,9 +24,15 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the materialize-then-release contract for checkpoint-backed
+        // results (q87's dup clusters): once written, free the
+        // RDD-level blocks — ownership-guarded, a no-op for every
+        // other query's frame
+        finally graft.llm.Components.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -18,54 +18,30 @@ import graft.ml.DiffAnomaly
   */
 object ModelBuilder {
 
-  /** Refcount per canonicalized assembled-frame plan — see the
-    * acquireAssembled doc. JVM-wide because the build threads share one
-    * SparkSession (and so one CacheManager). Keyed on the canonicalized
-    * LogicalPlan OBJECT (structural case-class equality — exactly
-    * CacheManager's `sameResult` semantics), NOT its toString: plan
-    * toString truncates field lists past
-    * `spark.sql.debug.maxToStringFields` to "... N more fields", so two
-    * wide frames sharing their first 25 columns would string-collide —
-    * the second claimant would never persist its own frame and the
-    * interleaved releases would unpersist the wrong one. */
-  private val cacheOwners = scala.collection.mutable.Map
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
-
-  /** Claim the assembled frame's cache, refcounted by CANONICAL PLAN:
-    * the first plan-identical claimant persists, the last one's release
-    * unpersists — two machines over the same dataset block built in
-    * parallel can no longer double-claim ownership or yank the shared
-    * cache from under each other (the check-then-act race). A frame
-    * `TimeSeries.requireMinSamples` cached on the threshold path is
-    * handled by the REGISTRY'S OWN borrow count: this build's
-    * getData → requireMinSamples already registered one borrow, so the
-    * release thunk simply returns that borrow
-    * (`TimeSeries.releaseAssembled`) — the cache unpersists when the
-    * LAST borrower (build or plan-identical direct caller) releases,
-    * never from under a live sibling. Only a frame some OUTSIDE caller
-    * cached before entry (count 0, storage set, not in the registry) is
-    * used without claiming — its release is a no-op (their unpersist,
+  /** Claim the assembled frame's cache for a build, refcounted through
+    * `TimeSeries`' SINGLE assembly registry — one count per canonical
+    * plan shared with the n_samples_threshold path, so plan-identical
+    * machines built in PARALLEL (Project.buildAll's dataset-sharing
+    * shape), direct threshold callers, and mixed-threshold siblings all
+    * coordinate releases through the same number. (An earlier design
+    * kept a builder-side refcount map beside the threshold path's
+    * borrow count; the two never saw each other's references, so a
+    * threshold-0 build could return a threshold-5 sibling's borrow —
+    * yanking its cache mid-CV — and a direct caller could classify a
+    * build-persisted cache as external and lose it to the build's
+    * release.)
+    *
+    * `ownedBorrow`: whether this build's own getData chain already took
+    * a registry reference (the `requireMinSamplesOwned` hand-off). True
+    * ⇒ ADOPT it — the returned thunk releases that reference, nothing
+    * is re-acquired. False ⇒ acquire our own (first reference
+    * persists). A frame some OUTSIDE caller cached while unregistered
+    * is used without claiming — release stays a no-op (their unpersist,
     * their timing). Returns the release thunk for the build's finally. */
-  private[graft] def acquireAssembled(df: DataFrame): () => Unit =
-    cacheOwners.synchronized {
-      val k = df.queryExecution.analyzed.canonicalized
-      val n = cacheOwners.getOrElse(k, 0)
-      val alreadyCached =
-        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-      if (n == 0 && alreadyCached) {
-        if (graft.data.TimeSeries.isAssemblyRegistered(k))
-          () => graft.data.TimeSeries.releaseAssembled(df)
-        else () => ()
-      } else {
-        if (n == 0) df.persist()
-        cacheOwners(k) = n + 1
-        () => cacheOwners.synchronized {
-          val m = cacheOwners(k) - 1
-          if (m == 0) { cacheOwners.remove(k); df.unpersist(): Unit }
-          else cacheOwners(k) = m
-        }
-      }
-    }
+  private[graft] def acquireAssembled(
+      df: DataFrame, ownedBorrow: Boolean = false): () => Unit =
+    if (ownedBorrow) () => graft.data.TimeSeries.releaseAssembled(df)
+    else graft.data.TimeSeries.acquireAssembly(df).getOrElse(() => ())
 
   case class BuildResult(
       spec: Config.MachineSpec,
@@ -147,16 +123,16 @@ object ModelBuilder {
     val t0 = System.nanoTime()
     // the assembled frame feeds every CV fold fit, the final fit, and the
     // fold-score pass — cache it so resample/grid/interpolate run once.
-    // Ownership is REFCOUNTED (not check-then-act): CacheManager dedups
-    // cached data by canonical plan session-wide, so plan-identical
-    // machines built in PARALLEL (Project.buildAll's dataset-sharing
-    // shape) must coordinate — a plain storageLevel check lets the first
-    // finisher unpersist the shared cache from under its still-running
-    // siblings, recomputing the whole assembly per remaining fold. A
-    // frame some OUTSIDE caller already cached is reused and never
-    // released here (their unpersist, their timing).
-    val assembled = TimeSeries.getData(long, keyCol, tsCol, valueCol, dsCfg)
-    val releaseCache = acquireAssembled(assembled)
+    // Ownership is REFCOUNTED through the single TimeSeries assembly
+    // registry (see acquireAssembled): a plain storageLevel check would
+    // let the first finisher of plan-identical parallel builds unpersist
+    // the shared cache from under its still-running siblings,
+    // recomputing the whole assembly per remaining fold. The threshold
+    // path's own reference (if getData took one) is adopted, so the
+    // finally below returns exactly what this chain acquired.
+    val (assembled, ownedBorrow) =
+      TimeSeries.getDataOwned(long, keyCol, tsCol, valueCol, dsCfg)
+    val releaseCache = acquireAssembled(assembled, ownedBorrow)
     val wide = assembled
     val querySec = (System.nanoTime() - t0) / 1e9
     try {

@@ -394,7 +394,16 @@ object TimeSeries {
     * alone — fine because tag count (columns) is bounded while bucket
     * count (rows) is what grows with data. */
   def getData(long: DataFrame, keyCol: String, tsCol: String,
-              valueCol: String, cfg: DatasetConfig): DataFrame = {
+              valueCol: String, cfg: DatasetConfig): DataFrame =
+    getDataOwned(long, keyCol, tsCol, valueCol, cfg)._1
+
+  /** [[getData]] plus whether the n_samples_threshold path took an
+    * assembly-cache reference this chain must eventually release (the
+    * [[requireMinSamplesOwned]] hand-off, threaded to the build's
+    * acquire/release bracket). */
+  private[graft] def getDataOwned(
+      long: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, cfg: DatasetConfig): (DataFrame, Boolean) = {
     val widthSec = parseResolutionSeconds(cfg.resolution)
     val limitSec = parseResolutionSeconds(cfg.interpolationLimit)
     // X tags plus any extra target tags align on the same grid
@@ -416,7 +425,7 @@ object TimeSeries {
     if (boundsRow.isNullAt(0))
       // empty input still honors n_samples_threshold (exit-code-80
       // contract): zero rows < any positive threshold
-      return requireMinSamples(spark_emptyWide(resampled, cfg),
+      return requireMinSamplesOwned(spark_emptyWide(resampled, cfg),
         cfg.nSamplesThreshold)
     // a configured tag with NO rows in the window pivots to an all-null
     // column, and the any-null inner-join filter then drops EVERY bucket
@@ -447,7 +456,7 @@ object TimeSeries {
       wide = rowFilterWithBuffer(wide, keys = Nil, orderCols = Seq("bucket_ts"),
         predicate = expr(translateRowFilter(cfg.rowFilter)),
         buffer = cfg.rowFilterBufferSize)
-    requireMinSamples(wide, cfg.nSamplesThreshold)
+    requireMinSamplesOwned(wide, cfg.nSamplesThreshold)
   }
 
   private def spark_emptyWide(resampled: DataFrame, cfg: DatasetConfig): DataFrame = {
@@ -461,20 +470,44 @@ object TimeSeries {
   /** n_samples_threshold (ref: `gordo/cli/cli.py:26-39`, exit code 80). */
   class InsufficientDataError(msg: String) extends RuntimeException(msg)
 
-  /** BORROW COUNT per canonical plan [[requireMinSamples]] cached — the
-    * explicit ownership protocol with `ModelBuilder.acquireAssembled`:
-    * every requireMinSamples success on a frame this registry owns (or
-    * persists) registers one borrow; [[releaseAssembled]] returns one;
-    * the cache unpersists when the count reaches zero. A build's
-    * release and a plan-identical direct caller's release therefore
-    * coordinate through the SAME count — neither can yank the cache
-    * from under the other (the r9 ADVICE leak fix without the
-    * steal-on-claim hazard a remove-on-claim registry had). Keyed on
-    * the canonicalized plan OBJECT (structural equality), matching the
-    * builder's refcount map. Frames some outside caller cached are
-    * never registered and never touched. */
+  /** REFERENCE COUNT per canonical plan for the assembled-frame cache —
+    * the SINGLE ownership registry shared by [[requireMinSamples]] (the
+    * n_samples_threshold path) and `ModelBuilder.acquireAssembled` (the
+    * build path). One map, one count: the earlier design kept a builder
+    * refcount and a threshold-path borrow count side by side, and the
+    * two never saw each other's references — a plan-identical pair of
+    * claimants split across the maps could yank the shared cache from
+    * under each other (a threshold-0 build handed a threshold-5
+    * sibling's borrow to return, or a build-persisted cache classified
+    * "external" by a later direct caller and then unpersisted under
+    * it). Every claimant now takes its OWN reference via
+    * [[acquireAssembly]]; the first reference persists, the last
+    * [[releaseAssembled]] unpersists. Frames some outside caller cached
+    * while unregistered are never owned. Keyed on the canonicalized
+    * plan OBJECT (structural case-class equality — CacheManager's
+    * `sameResult` semantics), never its toString, which truncates past
+    * `spark.sql.debug.maxToStringFields` and would collide wide
+    * frames sharing a 25-column prefix. */
   private val assemblyCached = scala.collection.mutable.Map
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int]
+
+  /** Take one reference on `df`'s assembled cache. Returns
+    * `Some(release)` when a reference was taken (the registry owns or
+    * now owns the cache; the first reference persists), `None` when the
+    * frame is externally cached — storage set while unregistered means
+    * some outside caller persisted it: use, never own, never release. */
+  private[graft] def acquireAssembly(df: DataFrame): Option[() => Unit] =
+    assemblyCached.synchronized {
+      val k = df.queryExecution.analyzed.canonicalized
+      val n = assemblyCached.getOrElse(k, 0)
+      if (n == 0 &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
+      else {
+        if (n == 0) df.persist()
+        assemblyCached(k) = n + 1
+        Some(() => releaseAssembled(df))
+      }
+    }
 
   /** Whether the registry holds outstanding borrows for this plan. */
   private[graft] def isAssemblyRegistered(
@@ -495,37 +528,35 @@ object TimeSeries {
     if (unpersistNow) df.unpersist(): Unit
   }
 
-  def requireMinSamples(df: DataFrame, n: Long): DataFrame = {
-    if (n <= 0) df
+  def requireMinSamples(df: DataFrame, n: Long): DataFrame =
+    requireMinSamplesOwned(df, n)._1
+
+  /** [[requireMinSamples]] plus whether THIS call took a registry
+    * reference (true ⇒ the caller owes one [[releaseAssembled]]) — the
+    * explicit hand-off the build path needs to return exactly the
+    * references its own getData chain took: a threshold-0 build takes
+    * none here and must acquire its own, and GUESSING from registry
+    * state at acquire time is how a plan-identical sibling's reference
+    * used to get stolen (returned by a build that never took one). */
+  private[graft] def requireMinSamplesOwned(
+      df: DataFrame, n: Long): (DataFrame, Boolean) = {
+    if (n <= 0) (df, false)
     else {
       // the count must execute the whole assembly anyway — persist
-      // around it so the caller's first action reads the materialized
-      // frame instead of re-running resample→grid→interpolate→pivot end
-      // to end. The returned frame is CACHED with one borrow REGISTERED
-      // to this caller: builds return it in their finally
-      // (acquireAssembled routes their release here), direct callers
-      // with [[releaseAssembled]].
-      val k = df.queryExecution.analyzed.canonicalized
-      val cached = assemblyCached.synchronized {
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-          val p = df.persist()
-          assemblyCached(k) = assemblyCached.getOrElse(k, 0) + 1
-          p
-        } else if (assemblyCached.contains(k)) {
-          // our cache, another borrower (a plan-identical build or
-          // direct caller arriving while the first still holds it)
-          assemblyCached(k) = assemblyCached(k) + 1
-          df
-        } else df // externally cached: use, never own
-      }
-      val c = cached.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+      // around it (one registry reference to this caller) so the
+      // caller's first action reads the materialized frame instead of
+      // re-running resample→grid→interpolate→pivot end to end. Builds
+      // return the reference in their finally (acquireAssembled adopts
+      // it), direct callers with [[releaseAssembled]].
+      val rel = acquireAssembly(df)
+      val c = df.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
       if (c < n) {
-        // return THIS call's borrow (external frames: no-op — the old
-        // code unpersisted even a caller's external cache here, wrongly)
-        releaseAssembled(cached)
+        // return THIS call's reference (external frames took none — the
+        // old code unpersisted even a caller's external cache here)
+        rel.foreach(_.apply())
         throw new InsufficientDataError(s"got $c rows < threshold $n")
       }
-      cached
+      (df, rel.isDefined)
     }
   }
 

@@ -43,21 +43,28 @@ object Components {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  /** RDD ids of checkpoints THIS module created — [[release]] only ever
-    * frees these, so calling it on a frame whose lineage contains some
+  /** Checkpoints THIS module created — [[release]] only ever frees
+    * these, so calling it on a frame whose lineage contains some
     * caller-owned RDD (an upstream localCheckpoint, say) can never
-    * unpersist storage it doesn't own. */
-  private val ourCkpts = scala.collection.mutable.Set.empty[Int]
+    * unpersist storage it doesn't own. Keyed (applicationId, rddId),
+    * NOT the bare RDD id: ids are SparkContext-scoped and restart from
+    * 0 in a new context, so a stale id from an unreleased prior-context
+    * frame would alias a new context's caller-owned RDD and let
+    * release() destroy storage it never created. */
+  private val ourCkpts = scala.collection.mutable.Set.empty[(String, Int)]
+
+  private def ckptKey(r: RDD[_]): (String, Int) =
+    (r.context.applicationId, r.id)
 
   private def registerCkpt(df: DataFrame): Unit =
-    ckptRdds(df).foreach(r => ourCkpts.synchronized(ourCkpts.add(r.id)): Unit)
+    ckptRdds(df).foreach(r => ourCkpts.synchronized(ourCkpts.add(ckptKey(r))): Unit)
 
   /** Release one module-created checkpoint RDD: blocks, and (reliable
     * mode) the checkpoint files. Registry-guarded — a caller-owned RDD
     * id is never touched. */
   private def releaseRdd(r: RDD[_],
                          hconf: org.apache.hadoop.conf.Configuration): Unit =
-    if (ourCkpts.synchronized(ourCkpts.remove(r.id))) {
+    if (ourCkpts.synchronized(ourCkpts.remove(ckptKey(r)))) {
       r.unpersist(false)
       r.getCheckpointFile.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
@@ -113,11 +120,17 @@ object Components {
       // setCheckpointDir stores an FS-QUALIFIED, uuid-suffixed SUBPATH
       // (e.g. file:/dir/<uuid>) — comparing it to the raw dir is always
       // false, which would re-set (and clobber) the context-global
-      // checkpoint dir on every call; compare the stored path's PARENT
-      val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      // checkpoint dir on every call; compare the stored path's PARENT.
+      // Compare FULLY-QUALIFIED URIs (scheme + authority + path), not
+      // the bare path component: hdfs://nn/ckpt and a later local
+      // /ckpt request share a path but are different filesystems, and
+      // a path-only match would silently keep checkpointing to the
+      // wrong durability domain
+      val wantPath = new org.apache.hadoop.fs.Path(dir)
+      val want = wantPath.getFileSystem(hconf).makeQualified(wantPath).toUri
       val already = sc.getCheckpointDir.exists { cur =>
         val p = new org.apache.hadoop.fs.Path(cur)
-        Option(p.getParent).exists(_.toUri.getPath == want)
+        Option(p.getParent).exists(_.toUri == want)
       }
       if (!already) sc.setCheckpointDir(dir)
     }

@@ -39,12 +39,13 @@ object Forwarder {
     *    `<checkpoint>/metadata` by the time any batch runs) — so a crash
     *    can never leave batch dirs without a marker;
     *  - a marker-absent sink is LEGACY-ADOPTED (marker written from the
-    *    checkpoint id) ONLY when the checkpoint's commit log actually
-    *    accounts for every batch dir present (each `batch_id=N` has
-    *    N ≤ the checkpoint's max committed batch) — a pre-fencing sink
-    *    of THIS query restarts cleanly, while a foreign sink paired
-    *    with an unrelated checkpoint (whose commit log can't explain
-    *    the high-numbered dirs) is still rejected;
+    *    checkpoint id) ONLY when the batch dirs line up with the
+    *    checkpoint's commit log BOTH ways: no dir above the max
+    *    committed batch AND the max committed batch's dir present — a
+    *    pre-fencing sink of THIS query restarts cleanly, while a
+    *    foreign sink paired with an unrelated checkpoint (high dirs
+    *    the log can't explain, or a log whose newest batch the sink
+    *    never wrote — a merely-OLDER foreign sink) is rejected;
     *  - all sink/checkpoint path ops go through the Hadoop FileSystem
     *    API resolved from each path's own scheme, so an `hdfs://` or
     *    `s3a://` outDir (which the parquet write already supports) is
@@ -79,11 +80,14 @@ object Forwarder {
         .flatMap(s => s.getPath.getName.stripPrefix("batch_id=").toLongOption)
     val existingBatches = sinkBatchIds.nonEmpty
     // the query id is stable across restarts of one checkpoint and
-    // recorded in <checkpoint>/metadata as {"id":"<uuid>"}
-    val ckptId: Option[String] =
+    // recorded in <checkpoint>/metadata as {"id":"<uuid>"} — ONE parse
+    // shared by the start-time fence and the first-batch marker write,
+    // so a format-handling fix can never reach one and miss the other
+    def readCkptId(): Option[String] =
       if (!ckptFs.exists(ckptMeta)) None
       else """"id"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
+    val ckptId: Option[String] = readCkptId()
     // highest batch id the checkpoint has COMMITTED (one file per batch
     // in <checkpoint>/commits) — the evidence that this checkpoint's
     // query is the one that wrote a marker-less sink
@@ -97,17 +101,29 @@ object Forwarder {
       val recorded =
         if (sinkFs.exists(marker)) Some(readUtf8(sinkFs, marker).trim)
         else None
+      // adoptable = the commit log both ACCOUNTS FOR every batch dir
+      // (none above max committed) and is COVERED by them (the newest
+      // committed batch's dir is present — every committed batch ran
+      // foreachBatch and wrote its dir; retention pruning only removes
+      // OLD dirs). "All ids ≤ max committed" alone cannot distinguish
+      // this query's pre-fencing sink from a FOREIGN sink that is
+      // merely older — whose low-numbered dirs would never be rewritten
+      // (batch ids are monotonic) and would silently interleave with
+      // this query's output under an adopted marker.
       val adoptable = recorded.isEmpty && ckptId.isDefined &&
-        maxCommitted.exists(mc => sinkBatchIds.forall(_ <= mc))
+        maxCommitted.exists(mc =>
+          sinkBatchIds.forall(_ <= mc) && sinkBatchIds.max == mc)
       (recorded, ckptId) match {
         case (Some(r), Some(c)) if r == c => // clean same-checkpoint restart
         case (None, Some(c)) if adoptable =>
-          // legacy adopt: a marker-less sink whose every batch dir the
-          // checkpoint's commit log accounts for = a sink written by THIS
+          // legacy adopt: a marker-less sink whose batch dirs line up
+          // with the checkpoint's commit log = a sink written by THIS
           // query before fencing existed (or a crash in the old
           // post-start marker window); adopt rather than force a wipe.
-          // A foreign sink fails the commit-log check (its high batch
-          // ids exceed this checkpoint's committed range) and rejects.
+          // A sink with an UNCOMMITTED trailing dir (crash between
+          // write and commit: max = committed + 1) still rejects —
+          // loud, and the one manual-cleanup case the adopt path
+          // accepts to keep the foreign-sink window narrow.
           writeMarker(c)
         case _ =>
           throw new IllegalArgumentException(
@@ -115,7 +131,9 @@ object Forwarder {
               s"${recorded.fold("an unknown query")(id => s"query $id")} but " +
               s"checkpoint $checkpointDir is ${ckptId.fold("fresh")(id => s"query $id")}" +
               (if (recorded.isEmpty && ckptId.isDefined)
-                " whose commit log does not account for the sink's batch ids"
+                " whose commit log does not line up with the sink's batch " +
+                  "ids (dirs above the committed range, or the newest " +
+                  "committed batch's dir missing)"
               else "") +
               " — a restarted batch counter would interleave new dirs with " +
               "stale ones; clear the sink directory (or use a new one) to reprocess")
@@ -140,10 +158,8 @@ object Forwarder {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!markerDone) {
           if (!sinkFs.exists(marker)) {
-            val id = """"id"\s*:\s*"([^"]+)"""".r
-              .findFirstMatchIn(readUtf8(ckptFs, ckptMeta)).map(_.group(1))
-              .getOrElse(throw new IllegalStateException(
-                s"checkpoint $checkpointDir has no metadata id at first batch"))
+            val id = readCkptId().getOrElse(throw new IllegalStateException(
+              s"checkpoint $checkpointDir has no metadata id at first batch"))
             writeMarker(id)
           }
           markerDone = true

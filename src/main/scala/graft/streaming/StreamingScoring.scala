@@ -76,12 +76,16 @@ object StreamingScoring {
     * key: the in-order-delivery contract is ENFORCED against it, not
     * assumed. `method` tags which encoding `hist` carries (trailing
     * window for smm/sma vs the (num, den) ewm pair) so a checkpointed
-    * restart under a different method fails loudly. NOTE: adding this
-    * field changed the state-store schema — checkpoints written by the
-    * pre-method-tag build fail restart with Spark's own
-    * StateSchemaNotCompatible (loud, but regardless of method); there
-    * is no in-place state migration, start those jobs on a fresh
-    * checkpoint. */
+    * restart under a different method fails loudly. MIGRATION NOTE:
+    * adding this field changed the state-store schema — checkpoints
+    * written by the pre-method-tag build fail restart with Spark's own
+    * StateSchemaNotCompatible (loud, but regardless of method). There
+    * is no in-place state migration; the upgrade recipe for an
+    * affected job is (1) fresh checkpoint dir, AND (2) if the job
+    * forwards through [[Forwarder.toParquet]], a cleared or new sink
+    * dir too — the sink fence (correctly) rejects a fresh checkpoint
+    * over a sink holding batch dirs, so both must move together and
+    * the stream reprocesses from the source's retained offsets. */
   case class SmoothState(hist: Seq[Seq[Option[Double]]],
                          lastT: Option[Long] = None,
                          method: String = "")

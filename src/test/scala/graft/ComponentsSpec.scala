@@ -126,6 +126,28 @@ class ComponentsSpec extends AnyFunSuite {
     Components.release(cc1)
   }
 
+  test("the harness lifecycle: a derived dupClusters frame releases to baseline (r10 review)") {
+    // Verify/Bench consume each query's frame then call release on it —
+    // the q87 shape is dupClusters(...).orderBy(...), a frame DERIVED
+    // from the checkpoint-backed result. release must find the
+    // checkpoint through the derived plan's scan leaf, and repeated
+    // harness reps must not accumulate node-label sets
+    val sc = spark.sparkContext
+    def run() = {
+      val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L)).toDF("id_a", "id_b")
+      Components.dupClusters(pairs).orderBy(col("doc_id"))
+    }
+    Components.release(run()) // warm lazily-initialized session state
+    val baseline = sc.getPersistentRDDs.keySet
+    (1 to 3).foreach { rep =>
+      val df = run()
+      assert(df.count() == 5) // materialize (the harness's action)
+      Components.release(df)
+      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty, s"harness rep $rep leaked RDDs: $leaked")
+    }
+  }
+
   test("dupClusters: keeper = component min, keep flag, cluster sizes") {
     val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L))
       .toDF("id_a", "id_b")

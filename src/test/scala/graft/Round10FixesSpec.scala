@@ -46,10 +46,10 @@ class Round10FixesSpec extends AnyFunSuite {
     val cached = graft.data.TimeSeries.requireMinSamples(df, 5)
     assert(cached.storageLevel != StorageLevel.NONE,
       "threshold path persists around its count")
-    // the build's acquire CLAIMS the registered cache (instead of
-    // classifying it externally-owned) and its release frees it — the
+    // the build ADOPTS the reference its own getData chain took
+    // (ownedBorrow hand-off) and its release frees it — the
     // n_samples_threshold > 0 session-lifetime leak
-    val release = ModelBuilder.acquireAssembled(cached)
+    val release = ModelBuilder.acquireAssembled(cached, ownedBorrow = true)
     release()
     assert(cached.storageLevel == StorageLevel.NONE,
       "build release must unpersist the threshold-path cache")
@@ -75,7 +75,7 @@ class Round10FixesSpec extends AnyFunSuite {
     assert(direct.storageLevel != StorageLevel.NONE)
     // ...then a plan-identical build runs: its getData path borrows too
     val viaBuild = graft.data.TimeSeries.requireMinSamples(direct, 3)
-    val release = ModelBuilder.acquireAssembled(viaBuild)
+    val release = ModelBuilder.acquireAssembled(viaBuild, ownedBorrow = true)
     release() // build finishes
     assert(direct.storageLevel != StorageLevel.NONE,
       "the build's release must return ITS borrow, not unpersist the " +
@@ -106,6 +106,43 @@ class Round10FixesSpec extends AnyFunSuite {
       assert(ext.storageLevel != StorageLevel.NONE,
         "releaseAssembled must not touch frames it never cached")
     } finally ext.unpersist(): Unit
+  }
+
+  test("a threshold-0 build cannot steal a threshold sibling's reference (r10 review)") {
+    // Build A (n_samples_threshold = 5): its getData chain takes the
+    // registry reference. Build B, plan-identical but threshold 0 (the
+    // config DEFAULT): its chain took nothing, so its acquire must take
+    // its OWN reference — the dual-map design handed B a release of A's
+    // borrow, unpersisting A's cache mid-CV while A's own later release
+    // became a silent no-op
+    val df = spark.range(9).toDF("bucket_ts")
+      .withColumn("s", col("bucket_ts") * lit(7.0))
+    val a = graft.data.TimeSeries.requireMinSamples(df, 5)
+    assert(a.storageLevel != StorageLevel.NONE)
+    val relB = ModelBuilder.acquireAssembled(a) // B: ownedBorrow = false
+    relB() // B finishes first
+    assert(a.storageLevel != StorageLevel.NONE,
+      "B's release must return B's own reference, never A's")
+    graft.data.TimeSeries.releaseAssembled(a) // A's finally
+    assert(a.storageLevel == StorageLevel.NONE)
+  }
+
+  test("a threshold caller joins a build-owned cache instead of classifying it external (r10 review)") {
+    // reverse hole: a threshold-0 build persists first; a plan-identical
+    // requireMinSamples caller must CO-OWN that cache (same count), not
+    // classify it external — otherwise the build's release unpersists it
+    // from under the live direct caller
+    val df = spark.range(11).toDF("bucket_ts")
+      .withColumn("t", col("bucket_ts") + lit(4.0))
+    val relBuild = ModelBuilder.acquireAssembled(df) // threshold-0 build persists
+    assert(df.storageLevel != StorageLevel.NONE)
+    val (direct, owned) = graft.data.TimeSeries.requireMinSamplesOwned(df, 2)
+    assert(owned, "a registry-owned cache must grant the caller a reference")
+    relBuild() // build finishes
+    assert(direct.storageLevel != StorageLevel.NONE,
+      "the build's release must not yank the direct caller's live cache")
+    graft.data.TimeSeries.releaseAssembled(direct)
+    assert(direct.storageLevel == StorageLevel.NONE)
   }
 
   test("contaminationFull: a row per corpus doc, clean docs report 0 (verdict item 2)") {

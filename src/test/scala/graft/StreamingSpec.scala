@@ -441,6 +441,22 @@ class StreamingSpec extends AnyFunSuite {
         s"$tmp/out", s"$tmp/ckpt")
     }
     assert(e.getMessage.contains("commit log"), e.getMessage)
+    // ...and the gate runs BOTH ways (r10 review): a marker-less sink
+    // that is merely OLDER than the checkpoint (every id ≤ max
+    // committed, but the newest committed batch's dir absent) is a
+    // foreign sink too — its low-numbered dirs would never be rewritten
+    // (batch ids are monotonic) and would silently interleave. "All ids
+    // accounted for" alone adopted it.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tmp/out/batch_id=999"))
+    graft.Scratch.deleteTree(
+      java.nio.file.Paths.get(s"$tmp/out/batch_id=1"), keepRoot = false)
+    val input2 = MemoryStream[(Long, Double)]
+    val e2 = intercept[IllegalArgumentException] {
+      Forwarder.toParquet(input2.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt")
+    }
+    assert(e2.getMessage.contains("commit log"), e2.getMessage)
   }
 
   test("a stale marker on a batch-less sink is dropped, not inherited") {
