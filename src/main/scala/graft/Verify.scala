@@ -30,8 +30,13 @@ object Verify {
         // the materialize-then-release contract for checkpoint-backed
         // results (q87's dup clusters): once written, free the
         // RDD-level blocks — ownership-guarded, a no-op for every
-        // other query's frame
-        finally graft.llm.Components.release(df)
+        // other query's frame. A release failure is a warning, never a
+        // per-query failure: the parquet output is already on disk.
+        finally {
+          try graft.llm.Components.release(df)
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name release: ${e.getMessage}") }
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -37,9 +37,15 @@ object ModelBuilder {
     * is re-acquired. False ⇒ acquire our own (first reference
     * persists). A frame some OUTSIDE caller cached while unregistered
     * is used without claiming — release stays a no-op (their unpersist,
-    * their timing). Returns the release thunk for the build's finally. */
+    * their timing). Returns the release thunk for the build's finally.
+    *
+    * `ownedBorrow` has NO default on purpose: a threshold>0 chain that
+    * reached here through plain `getData` (instead of `getDataOwned`)
+    * holds a hidden registry reference, and silently defaulting to
+    * false would double-acquire and leak it for the session — every
+    * caller must state what its chain took. */
   private[graft] def acquireAssembled(
-      df: DataFrame, ownedBorrow: Boolean = false): () => Unit =
+      df: DataFrame, ownedBorrow: Boolean): () => Unit =
     if (ownedBorrow) () => graft.data.TimeSeries.releaseAssembled(df)
     else graft.data.TimeSeries.acquireAssembly(df).getOrElse(() => ())
 

@@ -503,7 +503,13 @@ object TimeSeries {
       if (n == 0 &&
           df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
       else {
-        if (n == 0) df.persist()
+        // storage NONE covers both the first reference AND the repair
+        // of a registered cache some outside code dropped (e.g.
+        // spark.catalog.clearCache() between build phases) — without
+        // the re-persist every later claimant would silently recompute
+        // the assembly per action
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
         assemblyCached(k) = n + 1
         Some(() => releaseAssembled(df))
       }
@@ -515,18 +521,24 @@ object TimeSeries {
     assemblyCached.synchronized(assemblyCached.contains(canonical))
 
   /** Return one [[requireMinSamples]] borrow; the last return
-    * unpersists. No-op for frames this module never cached. */
-  def releaseAssembled(df: DataFrame): Unit = {
-    val k = df.queryExecution.analyzed.canonicalized
-    val unpersistNow = assemblyCached.synchronized {
+    * unpersists. No-op for frames this module never cached. The
+    * unpersist happens INSIDE the registry lock (mirroring
+    * [[acquireAssembly]]'s persist): removing the key under the lock
+    * but unpersisting after it opened a window where a concurrent
+    * acquire saw count 0 with storage still set and misclassified the
+    * module's own dying cache as externally owned — the new claimant
+    * then ran unreferenced and uncached. `unpersist` here is
+    * non-blocking, so no Spark job runs under the monitor. */
+  def releaseAssembled(df: DataFrame): Unit =
+    assemblyCached.synchronized {
+      val k = df.queryExecution.analyzed.canonicalized
       assemblyCached.get(k) match {
-        case Some(c) if c <= 1 => assemblyCached.remove(k); true
-        case Some(c) => assemblyCached(k) = c - 1; false
-        case None => false
+        case Some(c) if c <= 1 =>
+          assemblyCached.remove(k); df.unpersist(): Unit
+        case Some(c) => assemblyCached(k) = c - 1
+        case None => ()
       }
     }
-    if (unpersistNow) df.unpersist(): Unit
-  }
 
   def requireMinSamples(df: DataFrame, n: Long): DataFrame =
     requireMinSamplesOwned(df, n)._1

@@ -125,9 +125,14 @@ object Components {
       // the bare path component: hdfs://nn/ckpt and a later local
       // /ckpt request share a path but are different filesystems, and
       // a path-only match would silently keep checkpointing to the
-      // wrong durability domain
+      // wrong durability domain. Qualify with the CONTEXT's Hadoop conf
+      // — the one setCheckpointDir itself qualifies the stored path
+      // with; qualifying with the session conf would make the equality
+      // permanently false whenever the two diverge on fs.defaultFS,
+      // re-setting (and clobbering) the context-global dir every call
       val wantPath = new org.apache.hadoop.fs.Path(dir)
-      val want = wantPath.getFileSystem(hconf).makeQualified(wantPath).toUri
+      val want = wantPath.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(wantPath).toUri
       val already = sc.getCheckpointDir.exists { cur =>
         val p = new org.apache.hadoop.fs.Path(cur)
         Option(p.getParent).exists(_.toUri == want)

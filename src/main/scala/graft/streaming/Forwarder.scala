@@ -110,9 +110,11 @@ object Forwarder {
       // merely older — whose low-numbered dirs would never be rewritten
       // (batch ids are monotonic) and would silently interleave with
       // this query's output under an adopted marker.
+      // max == mc is the whole two-way check: it fails when any dir
+      // sits above the committed range AND when the newest committed
+      // batch's dir is missing
       val adoptable = recorded.isEmpty && ckptId.isDefined &&
-        maxCommitted.exists(mc =>
-          sinkBatchIds.forall(_ <= mc) && sinkBatchIds.max == mc)
+        maxCommitted.exists(sinkBatchIds.max == _)
       (recorded, ckptId) match {
         case (Some(r), Some(c)) if r == c => // clean same-checkpoint restart
         case (None, Some(c)) if adoptable =>

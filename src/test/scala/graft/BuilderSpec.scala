@@ -160,9 +160,9 @@ class BuilderSpec extends AnyFunSuite {
     // dedups the cache by canonical plan, so ownership must refcount
     val df1 = longFrame.select($"tag", $"value")
     val df2 = longFrame.select($"tag", $"value")
-    val rel1 = ModelBuilder.acquireAssembled(df1)
+    val rel1 = ModelBuilder.acquireAssembled(df1, ownedBorrow = false)
     assert(df1.storageLevel != StorageLevel.NONE)
-    val rel2 = ModelBuilder.acquireAssembled(df2)
+    val rel2 = ModelBuilder.acquireAssembled(df2, ownedBorrow = false)
     rel1()
     // the first release must NOT yank the cache from the second owner
     assert(df2.storageLevel != StorageLevel.NONE)
@@ -171,7 +171,7 @@ class BuilderSpec extends AnyFunSuite {
     // a frame the CALLER cached is used but never claimed or released
     val ext = longFrame.select($"value").persist()
     try {
-      ModelBuilder.acquireAssembled(ext)()
+      ModelBuilder.acquireAssembled(ext, ownedBorrow = false)()
       assert(ext.storageLevel != StorageLevel.NONE)
     } finally ext.unpersist()
   }

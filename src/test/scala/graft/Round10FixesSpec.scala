@@ -27,8 +27,8 @@ class Round10FixesSpec extends AnyFunSuite {
     val df1 = base.select(col("id") +: (1 to 30).map(i => lit(i).as(s"c$i")): _*)
     val df2 = base.select(col("id") +:
       ((1 to 29).map(i => lit(i).as(s"c$i")) :+ lit(999).as("c30")): _*)
-    val r1 = ModelBuilder.acquireAssembled(df1.toDF())
-    val r2 = ModelBuilder.acquireAssembled(df2.toDF())
+    val r1 = ModelBuilder.acquireAssembled(df1.toDF(), ownedBorrow = false)
+    val r2 = ModelBuilder.acquireAssembled(df2.toDF(), ownedBorrow = false)
     assert(df1.storageLevel != StorageLevel.NONE, "df1 claimed + persisted")
     assert(df2.storageLevel != StorageLevel.NONE,
       "df2 must persist its OWN frame, not alias df1's refcount entry")
@@ -98,7 +98,7 @@ class Round10FixesSpec extends AnyFunSuite {
       .withColumn("y", col("bucket_ts") - lit(1.0))
     ext.persist()
     try {
-      val release = ModelBuilder.acquireAssembled(ext.toDF())
+      val release = ModelBuilder.acquireAssembled(ext.toDF(), ownedBorrow = false)
       release()
       assert(ext.storageLevel != StorageLevel.NONE,
         "externally-owned cache must survive the build's release")
@@ -119,7 +119,7 @@ class Round10FixesSpec extends AnyFunSuite {
       .withColumn("s", col("bucket_ts") * lit(7.0))
     val a = graft.data.TimeSeries.requireMinSamples(df, 5)
     assert(a.storageLevel != StorageLevel.NONE)
-    val relB = ModelBuilder.acquireAssembled(a) // B: ownedBorrow = false
+    val relB = ModelBuilder.acquireAssembled(a, ownedBorrow = false) // B
     relB() // B finishes first
     assert(a.storageLevel != StorageLevel.NONE,
       "B's release must return B's own reference, never A's")
@@ -134,7 +134,7 @@ class Round10FixesSpec extends AnyFunSuite {
     // from under the live direct caller
     val df = spark.range(11).toDF("bucket_ts")
       .withColumn("t", col("bucket_ts") + lit(4.0))
-    val relBuild = ModelBuilder.acquireAssembled(df) // threshold-0 build persists
+    val relBuild = ModelBuilder.acquireAssembled(df, ownedBorrow = false) // threshold-0 build
     assert(df.storageLevel != StorageLevel.NONE)
     val (direct, owned) = graft.data.TimeSeries.requireMinSamplesOwned(df, 2)
     assert(owned, "a registry-owned cache must grant the caller a reference")
@@ -143,6 +143,27 @@ class Round10FixesSpec extends AnyFunSuite {
       "the build's release must not yank the direct caller's live cache")
     graft.data.TimeSeries.releaseAssembled(direct)
     assert(direct.storageLevel == StorageLevel.NONE)
+  }
+
+  test("a registered cache dropped by outside code is repaired on the next claim (r10 review)") {
+    // some outside code unpersists a registry-owned cache (the
+    // clearCache-between-phases shape): the registry still counts a
+    // reference, so the next claimant must RE-PERSIST, not hand out a
+    // cache that no longer exists (silent per-action recompute)
+    val df = spark.range(8).toDF("bucket_ts")
+      .withColumn("u", col("bucket_ts") * lit(9.0))
+    val cached = graft.data.TimeSeries.requireMinSamples(df, 2)
+    assert(cached.storageLevel != StorageLevel.NONE)
+    cached.unpersist() // outside interference, registry count still 1
+    assert(cached.storageLevel == StorageLevel.NONE)
+    val rel = ModelBuilder.acquireAssembled(cached, ownedBorrow = false)
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "the claim must repair the externally-dropped cache")
+    rel()
+    assert(cached.storageLevel != StorageLevel.NONE,
+      "the original reference still holds the repaired cache")
+    graft.data.TimeSeries.releaseAssembled(cached)
+    assert(cached.storageLevel == StorageLevel.NONE)
   }
 
   test("contaminationFull: a row per corpus doc, clean docs report 0 (verdict item 2)") {
