@@ -71,11 +71,14 @@ object Bench {
         // pinned (q87's dup clusters) — ownership-guarded no-op
         // elsewhere; without it each rep leaks one node-label set for
         // the JVM's lifetime. A release failure must not void an
-        // otherwise-valid rep (the result was already materialized).
+        // otherwise-valid rep (the result was already materialized),
+        // but it MUST land in the JSON errors map: stderr has been
+        // clipped two rounds running, and a silently-failing release is
+        // the q87 leak coming back invisibly.
         if (df != null)
-          try graft.llm.Components.release(df)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name release: ${e.getMessage}") }
+          graft.llm.Components.releaseQuietly(df).foreach { msg =>
+            if (!errors.exists(_._1 == name)) errors ::= (name -> msg)
+          }
         elapsed
       }
       var times = (1 to reps).flatMap(_ => timeOnce())

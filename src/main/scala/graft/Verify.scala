@@ -32,11 +32,8 @@ object Verify {
         // RDD-level blocks — ownership-guarded, a no-op for every
         // other query's frame. A release failure is a warning, never a
         // per-query failure: the parquet output is already on disk.
-        finally {
-          try graft.llm.Components.release(df)
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name release: ${e.getMessage}") }
-        }
+        finally graft.llm.Components.releaseQuietly(df).foreach(msg =>
+          System.err.println(s"[verify] $name $msg"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

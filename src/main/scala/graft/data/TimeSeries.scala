@@ -496,9 +496,13 @@ object TimeSeries {
     * now owns the cache; the first reference persists), `None` when the
     * frame is externally cached — storage set while unregistered means
     * some outside caller persisted it: use, never own, never release. */
-  private[graft] def acquireAssembly(df: DataFrame): Option[() => Unit] =
+  private[graft] def acquireAssembly(df: DataFrame): Option[() => Unit] = {
+    // canonicalization is a pure (and, for the wide assembled frames
+    // this registry exists for, expensive) function of the plan —
+    // compute it before taking the monitor so parallel builds don't
+    // serialize on it
+    val k = df.queryExecution.analyzed.canonicalized
     assemblyCached.synchronized {
-      val k = df.queryExecution.analyzed.canonicalized
       val n = assemblyCached.getOrElse(k, 0)
       if (n == 0 &&
           df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) None
@@ -514,6 +518,7 @@ object TimeSeries {
         Some(() => releaseAssembled(df))
       }
     }
+  }
 
   /** Whether the registry holds outstanding borrows for this plan. */
   private[graft] def isAssemblyRegistered(
@@ -529,9 +534,9 @@ object TimeSeries {
     * module's own dying cache as externally owned — the new claimant
     * then ran unreferenced and uncached. `unpersist` here is
     * non-blocking, so no Spark job runs under the monitor. */
-  def releaseAssembled(df: DataFrame): Unit =
+  def releaseAssembled(df: DataFrame): Unit = {
+    val k = df.queryExecution.analyzed.canonicalized
     assemblyCached.synchronized {
-      val k = df.queryExecution.analyzed.canonicalized
       assemblyCached.get(k) match {
         case Some(c) if c <= 1 =>
           assemblyCached.remove(k); df.unpersist(): Unit
@@ -539,6 +544,7 @@ object TimeSeries {
         case None => ()
       }
     }
+  }
 
   def requireMinSamples(df: DataFrame, n: Long): DataFrame =
     requireMinSamplesOwned(df, n)._1

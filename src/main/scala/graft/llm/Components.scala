@@ -87,6 +87,18 @@ object Components {
     ckptRdds(components).foreach(releaseRdd(_, hconf))
   }
 
+  /** [[release]] for harness callers (Verify/Bench): never throws.
+    * Returns the failure rendered as `"release: <detail>"` so the
+    * harness can surface it in its machine-readable record — a silent
+    * release failure would reintroduce the exact per-rep leak release()
+    * exists to prevent, invisibly. Fatal JVM errors still propagate. */
+  def releaseQuietly(components: DataFrame): Option[String] =
+    try { release(components); None }
+    catch { case scala.util.control.NonFatal(e) =>
+      Some("release: " +
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+    }
+
   /** Connected components of the undirected graph given by `edges`
     * (columns `a`, `b`, any orderable type). Returns (node, component)
     * where component = min node id reachable — one row per node that

@@ -148,6 +148,19 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseQuietly: releases like release, None on success paths") {
+    val sc = spark.sparkContext
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    Components.release(Components.dupClusters(pairs)) // warm session state
+    val baseline = sc.getPersistentRDDs.keySet
+    val df = Components.dupClusters(pairs)
+    assert(df.count() == 3)
+    assert(Components.releaseQuietly(df).isEmpty)
+    assert((sc.getPersistentRDDs.keySet -- baseline).isEmpty)
+    // a frame this module never checkpointed: quiet no-op, not an error
+    assert(Components.releaseQuietly(pairs).isEmpty)
+  }
+
   test("dupClusters: keeper = component min, keep flag, cluster sizes") {
     val pairs = Seq((10L, 11L), (11L, 12L), (30L, 31L))
       .toDF("id_a", "id_b")
