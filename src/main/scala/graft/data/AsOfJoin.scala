@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
+import graft.Cols.{q => qc}
+
 /** Backward as-of join — for each left row, the single right row with the
   * greatest `rightTs <= leftTs` in the same key group (optionally within
   * `tolerance`). The alignment primitive of every training-data
@@ -28,7 +30,12 @@ import org.apache.spark.sql.types.NumericType
   *
   * Contracts: `leftTs`/`rightTs` are NUMERIC epochs in caller-chosen
   * units; `tolerance` and `chunkSpan` are in the SAME units (callers
-  * convert timestamps; the tolerance test is plain subtraction). Right
+  * convert timestamps; the tolerance test is plain subtraction). The
+  * default chunkSpan (86400) is one day of epoch-SECONDS — with
+  * epoch-millis/micros timestamps pass a span in those units (e.g.
+  * 86_400_000_000L for a day of micros), or each chunk covers
+  * milliseconds of data and the "small" ids/finals/carry frames grow by
+  * the unit factor into a scale problem of their own. Right
   * rows tying on (keys, rightTs) make the winner
   * unspecified — pre-aggregate for determinism. A null left ts yields a
   * null match; null right ts rows are dropped. `payload` names must not
@@ -58,20 +65,20 @@ object AsOfJoin {
         s"$side ts column $c must be numeric (epoch), got ${df.schema(c).dataType}")
     numeric(left, leftTs, "left"); numeric(right, rightTs, "right")
 
-    val kc = keys.map(col)
+    val kc = keys.map(qc)
     val chunked = chunkSpan > 0
     def chunkOf(ts: Column): Column =
       if (chunked) floor(ts / chunkSpan).cast("long") else lit(0L)
 
-    val rp = struct((col(rightTs).as("__ts") +: payload.map(col)): _*)
-    val r2 = right.filter(col(rightTs).isNotNull)
-      .select((kc :+ col(rightTs).as("__rts") :+ rp.as("__rp")): _*)
+    val rp = struct((qc(rightTs).as("__ts") +: payload.map(qc)): _*)
+    val r2 = right.filter(qc(rightTs).isNotNull)
+      .select((kc :+ qc(rightTs).as("__rts") :+ rp.as("__rp")): _*)
       .withColumn("__chunk", chunkOf(col("__rts")))
     val rpType = r2.schema("__rp").dataType
 
     val l2 = left
-      .withColumn("__chunk", chunkOf(col(leftTs)))
-      .withColumn("__ord", col(leftTs))
+      .withColumn("__chunk", chunkOf(qc(leftTs)))
+      .withColumn("__ord", qc(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__rp", lit(null).cast(rpType))
     val r3 = r2.withColumn("__ord", col("__rts")).withColumn("__side", lit(0))
@@ -113,6 +120,6 @@ object AsOfJoin {
 
     val matchedCols = col("__match").getField("__ts").as(matchedTsName) +:
       payload.map(p => col("__match").getField(p).as(p))
-    gated.select(left.columns.toIndexedSeq.map(col) ++ matchedCols: _*)
+    gated.select(left.columns.toIndexedSeq.map(qc) ++ matchedCols: _*)
   }
 }

@@ -55,7 +55,8 @@ object Influx {
     tags.map(queryFor(measurement, _, startIso, endIso, valueField, tagKey))
 
   private val responseSchema =
-    "STRUCT<results: ARRAY<STRUCT<series: ARRAY<STRUCT<" +
+    "STRUCT<error: STRING, results: ARRAY<STRUCT<error: STRING, " +
+      "series: ARRAY<STRUCT<" +
       "name: STRING, tags: MAP<STRING, STRING>, " +
       "columns: ARRAY<STRING>, values: ARRAY<ARRAY<STRING>>>>>>>"
 
@@ -70,9 +71,22 @@ object Influx {
                         valueField: String = "Value",
                         tagKey: String = "tag"): DataFrame = {
     import spark.implicits._
-    Seq(json).toDF("body")
+    val parsed = Seq(json).toDF("body")
       .select(from_json($"body",
         org.apache.spark.sql.types.DataType.fromDDL(responseSchema)).as("r"))
+    // a failed query reports {"error": ...} (top level) or
+    // {"results":[{"error": ...}]} and NO series — exploding straight
+    // past it would return an empty frame indistinguishable from "no
+    // data in the window", and the operator would debug availability
+    // instead of the error the server actually sent. One row, so the
+    // check is a trivial driver job.
+    val errRow = parsed.select($"r.error",
+      filter($"r.results.error", _.isNotNull)).head()
+    val errs = Option(errRow.getString(0)).toSeq ++
+      Option(errRow.getSeq[String](1)).getOrElse(Nil)
+    require(errs.isEmpty,
+      s"influx query returned error(s): ${errs.mkString("; ")}")
+    parsed
       .select(explode($"r.results").as("res"))
       .select(explode($"res.series").as("s"))
       .select(
@@ -105,7 +119,10 @@ object Influx {
     * encoding: line protocol has no null representation (a null point is
     * nothing to write), and `concat` would otherwise null-propagate the
     * whole line — a null element in a Dataset[String] that crashes
-    * `.write.text` and NPEs custom transports. */
+    * `.write.text` and NPEs custom transports. NaN/±Infinity values are
+    * dropped for the same reason: line protocol has no representation
+    * for them, and a literal `Value=NaN` is rejected by the server —
+    * with batched writes, failing the whole batch for one bad point. */
   def toLineProtocol(df: DataFrame, measurement: String, tagCol: String,
                      tsCol: String, valueCol: String,
                      field: String = "Value",
@@ -115,8 +132,11 @@ object Influx {
     val meas = measurement.replaceAll("([, ])", "\\\\$1")
     val tkey = tagKey.replaceAll("([,= ])", "\\\\$1")
     val fkey = field.replaceAll("([,= ])", "\\\\$1")
+    val v = col(valueCol).cast("double")
     df.filter(col(tagCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        v.isNotNull && !isnan(v) &&
+        v =!= lit(Double.PositiveInfinity) &&
+        v =!= lit(Double.NegativeInfinity))
       .select(concat(
       lit(s"$meas,$tkey="),
       regexp_replace(col(tagCol), "([,= ])", "\\\\$1"),

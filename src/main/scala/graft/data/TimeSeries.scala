@@ -44,24 +44,47 @@ object TimeSeries {
       case "T" | "min" | "Min"                  => 60L
       case "H" | "h" | "hour"                   => 3600L
       case "D" | "d" | "day"                    => 86400L
-      case "W" | "w"                            => 604800L
+      case "W" | "w"                            =>
+        // pandas multi-week bins ("2W") anchor on the END of the data —
+        // a data-dependent phase no pure bucket function can reproduce;
+        // n = 1 is exact (see resolutionAnchorSec), larger n would be
+        // silently misaligned, so refuse it
+        require(n == 1, s"only 1W weekly resample is supported " +
+          s"(pandas anchors ${n}W bins on the end of the data): $freq")
+        604800L
       case u => throw new IllegalArgumentException(s"unsupported frequency unit: $u")
     }
     n * unit
   }
 
+  /** Bucket anchor for a frequency: epoch-second shift added to the
+    * epoch-floor lattice. 0 for the intraday units (their lattice is
+    * epoch-aligned, the pandas default), 259 200 for "W": pandas `W` is
+    * `W-SUN` — right-closed, right-labeled weeks ending Sunday — so a
+    * timestamp buckets to the next Sunday DATE (Monday-00:00
+    * boundaries), while a plain epoch floor would produce
+    * Thursday-anchored left labels. The weekly lattice is still a fixed
+    * 604 800-second grid, so the shared-grid/interpolation pipeline is
+    * unchanged; only the bucket label moves. */
+  def resolutionAnchorSec(freq: String): Long =
+    if (raw"^\s*\d*\s*[Ww]\s*$$".r.findFirstMatchIn(freq).isDefined) 259200L
+    else 0L
+
   /** Left-closed, left-labeled resample bucket as epoch seconds (pandas
-    * default labeling). */
-  def bucketCol(ts: Column, widthSec: Long): Column =
-    (floor(unix_timestamp(ts) / widthSec) * widthSec).cast("long")
+    * default labeling); `anchorSec` shifts the lattice for units whose
+    * pandas bins are not epoch-aligned (see [[resolutionAnchorSec]]). */
+  def bucketCol(ts: Column, widthSec: Long, anchorSec: Long = 0L): Column =
+    (floor((unix_timestamp(ts) + anchorSec) / widthSec) * widthSec
+      + anchorSec).cast("long")
 
   /** Resample: per (keys, bucket) aggregate of `value` (SURVEY A1;
     * default "mean", ref `test_config_elements.py:139`). Output columns:
     * keys..., `bucket_ts` (epoch secs), `value`. */
   def resample(df: DataFrame, keys: Seq[String], tsCol: String,
                valueCol: String, widthSec: Long,
-               method: String = "mean"): DataFrame = {
-    val b = bucketCol(col(tsCol), widthSec).as("bucket_ts")
+               method: String = "mean",
+               anchorSec: Long = 0L): DataFrame = {
+    val b = bucketCol(col(tsCol), widthSec, anchorSec).as("bucket_ts")
     df.groupBy((keys.map(col) :+ b): _*)
       .agg(aggFor(method, valueCol, tsCol).as(valueCol))
   }
@@ -72,9 +95,10 @@ object TimeSeries {
     * MultiIndex level. One aggregation pass for all methods. */
   def resampleMulti(df: DataFrame, keys: Seq[String], tsCol: String,
                     valueCol: String, widthSec: Long,
-                    methods: Seq[String]): DataFrame = {
+                    methods: Seq[String],
+                    anchorSec: Long = 0L): DataFrame = {
     require(methods.nonEmpty, "need at least one aggregation method")
-    val b = bucketCol(col(tsCol), widthSec).as("bucket_ts")
+    val b = bucketCol(col(tsCol), widthSec, anchorSec).as("bucket_ts")
     val aggs = methods.map(m => aggFor(m, valueCol, tsCol).as(s"${valueCol}__$m"))
     df.groupBy((keys.map(col) :+ b): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -257,17 +281,25 @@ object TimeSeries {
       val c = math.max(4096, 2 * (buffer + 1))
       val idx = graft.ml.CrossValidate.withRowIndex(df, orderCols.map(col))
       val ck = (col("__row") / c).cast("long")
-      val base = idx.withColumn("__wck", ck)
-        .withColumn("__wcarry", lit(false))
-      // the last `buffer` rows of chunk k serve chunk k+1's left edge,
-      // the first `buffer` rows of chunk k serve chunk k-1's right edge
-      val prevCarry = idx.filter(col("__row") % c >= c - buffer)
-        .withColumn("__wck", ck + 1).withColumn("__wcarry", lit(true))
-      val nextCarry = idx.filter(col("__row") % c < buffer && ck >= 1)
-        .withColumn("__wck", ck - 1).withColumn("__wcarry", lit(true))
+      // single-scan fan-out: the last `buffer` rows of chunk k also serve
+      // chunk k+1's left edge, the first `buffer` rows serve chunk k-1's
+      // right edge — as exploded copies, not a 3-branch self-union that
+      // re-executed the assembled-frame lineage once per branch
+      val emptyCp = array().cast("array<struct<ck: long, cy: boolean>>")
+      val copies = concat(
+        array(struct(ck.as("ck"), lit(false).as("cy"))),
+        when(col("__row") % c >= c - buffer,
+          array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
+          .otherwise(emptyCp),
+        when(col("__row") % c < buffer && ck >= 1,
+          array(struct((ck - 1).as("ck"), lit(true).as("cy"))))
+          .otherwise(emptyCp))
       val w = Window.partitionBy(col("__wck")).orderBy(col("__row"))
         .rowsBetween(-buffer, buffer)
-      base.unionByName(prevCarry).unionByName(nextCarry)
+      idx.withColumn("__we", explode(copies))
+        .withColumn("__wck", col("__we.ck"))
+        .withColumn("__wcarry", col("__we.cy"))
+        .drop("__we")
         .withColumn("__bad", when(predicate, 0).otherwise(1))
         .withColumn("__drop", max($"__bad").over(w))
         .filter(!col("__wcarry") && col("__drop") === 0)
@@ -332,6 +364,15 @@ object TimeSeries {
     * exceeds n · IQR(residuals) for the series. */
   def filterPeriodsMedian(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                           valueCol: String, window: Int, nIqr: Double): DataFrame = {
+    // keys = Nil would build Window.partitionBy() — the single-task
+    // global-sort shape this module's chunked kernels exist to avoid;
+    // the operation is per-series by definition, so demand the series
+    // key instead of silently funneling the frame through one task
+    require(keys.nonEmpty,
+      "filterPeriodsMedian needs at least one series key column — an " +
+        "unkeyed frame would run the rolling median in ONE task; add " +
+        "the tag/series column (a constant column works for a genuinely " +
+        "single, bounded series)")
     // Exactly `window` rows, centered like pandas rolling(window,
     // center=True): for even windows pandas puts the extra row BEFORE the
     // label, i.e. frame = [-(window/2), window - window/2 - 1].
@@ -392,7 +433,14 @@ object TimeSeries {
     * Scale: one shuffle on (key, bucket) for resample; grid + window
     * interpolation reuse that partitioning; the pivot shuffles on bucket
     * alone — fine because tag count (columns) is bounded while bucket
-    * count (rows) is what grows with data. */
+    * count (rows) is what grows with data.
+    *
+    * Ownership: with `cfg.nSamplesThreshold > 0` the returned frame is
+    * persisted under one assembly-registry reference (the threshold
+    * count materializes the frame anyway, so the caller's first action
+    * reads cache); call [[releaseAssembled]] on the result when done
+    * with it, or the cache stays pinned for the session. Builds thread
+    * this reference through `ModelBuilder.acquireAssembled` instead. */
   def getData(long: DataFrame, keyCol: String, tsCol: String,
               valueCol: String, cfg: DatasetConfig): DataFrame =
     getDataOwned(long, keyCol, tsCol, valueCol, cfg)._1
@@ -414,8 +462,20 @@ object TimeSeries {
     cfg.trainEnd.foreach(e =>
       df = df.filter(col(tsCol) < tsBound(df, e, "train_end_date")))
     df = dropKnownPeriods(df, tsCol, cfg.knownFilterPeriods)
-    val resampled = resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
-      cfg.aggregationMethod)
+    val resampled0 = resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
+      cfg.aggregationMethod, resolutionAnchorSec(cfg.resolution))
+    // Scope a cache over the EAGER plan-construction jobs: the bounds
+    // agg below, the buffer path's two row-indexing jobs, and the
+    // threshold path's materializing count each re-execute the
+    // filter→resample lineage — the dominant scan at lake scale, paid
+    // 3-4× without it. Persisted only when a later eager job exists to
+    // amortize the write, and ALWAYS released in the finally: by then
+    // the threshold path's count has materialized the wide frame's own
+    // registry-owned cache, so nothing downstream reads this one.
+    val scopedCache = cfg.nSamplesThreshold > 0 ||
+      (cfg.rowFilter.nonEmpty && cfg.rowFilterBufferSize > 0)
+    val resampled = if (scopedCache) resampled0.persist() else resampled0
+    try {
     // Shared grid: global [min, max] bucket so every tag lands on the
     // same row set, PLUS the set of tags actually present — one tiny agg
     // collected to the driver (two longs + a tag-bounded set).
@@ -457,6 +517,7 @@ object TimeSeries {
         predicate = expr(translateRowFilter(cfg.rowFilter)),
         buffer = cfg.rowFilterBufferSize)
     requireMinSamplesOwned(wide, cfg.nSamplesThreshold)
+    } finally { if (scopedCache) resampled.unpersist(): Unit }
   }
 
   private def spark_emptyWide(resampled: DataFrame, cfg: DatasetConfig): DataFrame = {
@@ -567,10 +628,15 @@ object TimeSeries {
       // return the reference in their finally (acquireAssembled adopts
       // it), direct callers with [[releaseAssembled]].
       val rel = acquireAssembly(df)
-      val c = df.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+      // EVERY non-success path must return this call's reference — a
+      // count job that dies (executor loss, cancellation) would
+      // otherwise leave the refcount at 1 with no holder, pinning the
+      // wide cache for the session (external frames took none — the old
+      // code unpersisted even a caller's external cache here)
+      val c =
+        try df.limit(math.min(n + 1, Int.MaxValue.toLong).toInt).count()
+        catch { case e: Throwable => rel.foreach(_.apply()); throw e }
       if (c < n) {
-        // return THIS call's reference (external frames took none — the
-        // old code unpersisted even a caller's external cache here)
         rel.foreach(_.apply())
         throw new InsufficientDataError(s"got $c rows < threshold $n")
       }

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object CrossValidate {
 
-  /** Half-open row ranges, 0-based. */
+  /** Half-open row ranges, 0-based. `complementTrain` marks a KFold-style
+    * fold whose train set is EVERYTHING OUTSIDE the test span — a
+    * non-contiguous set no (trainStart, trainEnd) range can express;
+    * [[trainFold]] dispatches on it, so composing the public fold
+    * constructors with trainFold is always correct (a range-filter on
+    * the placeholder (0, 0) range would silently train on zero rows). */
   case class Fold(index: Int, trainStart: Long, trainEnd: Long,
-                  testStart: Long, testEnd: Long) {
+                  testStart: Long, testEnd: Long,
+                  complementTrain: Boolean = false) {
     def nTrain: Long = trainEnd - trainStart
     def nTest: Long = testEnd - testStart
   }
@@ -46,7 +52,7 @@ object CrossValidate {
     var start = 0L
     (0 until nSplits).map { i =>
       val size = base + (if (i < extra) 1 else 0)
-      val f = Fold(i, 0, 0, start, start + size) // train = complement, see below
+      val f = Fold(i, 0, 0, start, start + size, complementTrain = true)
       start += size
       f
     }
@@ -116,7 +122,12 @@ object CrossValidate {
     indexed.filter(col("__row") >= fold.testStart && col("__row") < fold.testEnd)
 
   def trainFold(indexed: DataFrame, fold: Fold): DataFrame =
-    indexed.filter(col("__row") >= fold.trainStart && col("__row") < fold.trainEnd)
+    if (fold.complementTrain)
+      indexed.filter(col("__row") < fold.testStart ||
+        col("__row") >= fold.testEnd)
+    else
+      indexed.filter(col("__row") >= fold.trainStart &&
+        col("__row") < fold.trainEnd)
 
   /** A8: per-metric fold aggregation exactly as
     * `gordo/builder/build_model.py:274-289` — mean/std/max/min across

@@ -320,11 +320,14 @@ object DiffAnomaly {
         count(lit(1)).cast("double").as("pc_n") +: aggs,
         row => {
           val n = row.getAs[Double]("pc_n")
+          // aggCell, not getAs[Double]: an all-null tag in this segment
+          // yields null avg/covar aggregates, and a bare read would
+          // unbox them to 0.0 — silent zero-stat components
           (Seq("n" -> n) ++
             tags.zipWithIndex.map { case (t, i) =>
-              s"mu_$i" -> row.getAs[Double](s"mu_$t") } ++
+              s"mu_$i" -> aggCell(row, s"mu_$t") } ++
             pairs.map { case (i, j) =>
-              s"C_${i}_$j" -> row.getAs[Double](s"c_${i}_$j") * n }).toMap
+              s"C_${i}_$j" -> aggCell(row, s"c_${i}_$j") * n }).toMap
         },
         (a, b) => {
           val (n1, n2) = (a("n"), b("n"))
@@ -351,10 +354,12 @@ object DiffAnomaly {
     private def decode(row: org.apache.spark.sql.Row, tags: Seq[String],
                        feature: String => Column): Fitted = {
       val m = tags.size
-      val mu = tags.map(t => row.getAs[Double](s"mu_$t")).toArray
+      // aggCell, not getAs[Double]: a tag with no non-null fit rows must
+      // fail loudly, not unbox null stats to a zero mean/covariance
+      val mu = tags.map(t => aggCell(row, s"mu_$t")).toArray
       val cov = Array.tabulate(m, m) { (i, j) =>
         val (a, b) = if (i <= j) (i, j) else (j, i)
-        row.getAs[Double](s"c_${a}_$b")
+        aggCell(row, s"c_${a}_$b")
       }
       decodeStats(mu, cov, tags, feature)
     }
@@ -802,8 +807,7 @@ object DiffAnomaly {
       // expressions dispatch on the fold id — O(1) full-data scans.
       def loopScattered(): (DataFrame, Option[(Fitted, FittedScaler)]) =
         (folds.map { f =>
-          val train = indexed.filter(
-            col("__row") < f.testStart || col("__row") >= f.testEnd)
+          val train = CrossValidate.trainFold(indexed, f)
           val test = CrossValidate.testFold(indexed, f)
           val (m, sc) = fitModelAndScaler(train, tags, y, base, scalerKind)
           test.select(
@@ -969,10 +973,21 @@ object DiffAnomaly {
       (c - lit(ctr)) / lit(s)
     }
     val extraTargets = tags.filterNot(fd.tags.contains)
-    val base = wide.select(
-      (col(fd.orderCol).as("start") +:
-        (col(fd.orderCol) + lit(resolutionSec)).as("end") +:
-        fd.tags.map(t => qc(t).as(s"model-input.$t"))) ++
+    // smm/sma smoothing needs a dense row index; attach it to the RAW
+    // wide frame, before the prediction columns exist — withRowIndex's
+    // multi-scan protocol over the scored frame would re-run the model
+    // forward pass once per indexing job (and lean on the predictions
+    // recomputing deterministically), while over `wide` it scans only
+    // the assembled inputs
+    val preIndexed = fd.window.isDefined && fd.smoothingMethod != "ewma"
+    val src =
+      if (preIndexed) CrossValidate.withRowIndex(wide, Seq(col(fd.orderCol)))
+      else wide
+    val base = src.select(
+      (if (preIndexed) Seq(col("__row")) else Nil) ++
+        Seq(col(fd.orderCol).as("start"),
+          (col(fd.orderCol) + lit(resolutionSec)).as("end")) ++
+        fd.tags.map(t => qc(t).as(s"model-input.$t")) ++
         tags.map(t => m.predictCol(t).as(s"model-output.$t")) ++
         extraTargets.map(t => qc(t).as(s"__target.$t")): _*)
     // error columns compare model-output against the TARGET tag values;
@@ -1032,10 +1047,14 @@ object DiffAnomaly {
       case method =>
         require(method == "smm" || method == "sma",
           s"unsupported smoothing: $method")
-        // index the frame scale-safely (value-chunked, no global window),
-        // then run the trailing smm/sma chunk-partitioned
-        Windows.chunkedTrailing(
-          CrossValidate.withRowIndex(df, Seq(col("start"))),
+        // run the trailing smm/sma chunk-partitioned over the dense
+        // index; anomaly() pre-attached `__row` to the raw input frame
+        // so the indexing jobs never re-ran the model forward pass — an
+        // externally built frame without one is indexed here
+        val indexed =
+          if (df.columns.contains("__row")) df
+          else CrossValidate.withRowIndex(df, Seq(col("start")))
+        Windows.chunkedTrailing(indexed,
           "__row", 0L, width,
           smoothPairs(fd.targets).map { case (in, out) => (in, out, method) })
           .drop("__row")

@@ -83,8 +83,14 @@ object Ewma {
           num(c) *= decay
           den(c) *= decay
           if (!r.isNullAt(vIdx(c))) {
-            num(c) += r.getDouble(vIdx(c))
-            den(c) += 1.0
+            val v = r.getDouble(vIdx(c))
+            // NaN is a missing observation exactly like null (pandas ewm
+            // skips NaN); accumulating it would poison num forever —
+            // every later output for the series would be NaN
+            if (!java.lang.Double.isNaN(v)) {
+              num(c) += v
+              den(c) += 1.0
+            }
           }
           outs(c) = if (den(c) == 0.0) null else num(c) / den(c)
           c += 1

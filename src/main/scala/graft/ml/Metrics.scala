@@ -19,13 +19,24 @@ object Metrics {
 
   def mae(y: Column, yhat: Column): Column = avg(abs(y - yhat))
 
+  /** y restricted to rows where the (y, ŷ) PAIR is present: numerator
+    * terms like Σ(y−ŷ)² naturally skip rows with a null prediction (the
+    * expression is null there), so the y-side statistics must skip the
+    * same rows — mixing populations (pairwise numerator over an all-rows
+    * denominator) silently inflates the score whenever a model emits
+    * null predictions (e.g. a sequence model on a null-bearing span).
+    * sklearn computes every term over the same sample set. */
+  private def paired(y: Column, yhat: Column): Column =
+    when(y.isNotNull && yhat.isNotNull, y)
+
   /** sklearn r2_score: 1 − Σ(y−ŷ)² / Σ(y−ȳ)². A constant-y span follows
     * sklearn's degenerate convention — zero denominator scores 1.0 for a
     * perfect fit and 0.0 otherwise (a plain division would go null, or
     * throw under ANSI, and poison the fold aggregation with NaN). */
   def r2(y: Column, yhat: Column): Column = {
-    val num = sum(pow(y - yhat, 2))
-    val den = var_pop(y) * count(y)
+    val yp = paired(y, yhat)
+    val num = sum(pow(yp - yhat, 2))
+    val den = var_pop(yp) * count(yp)
     when(den === 0.0, when(num === 0.0, 1.0).otherwise(0.0))
       .otherwise(lit(1.0) - num / den)
   }
@@ -33,8 +44,9 @@ object Metrics {
   /** sklearn explained_variance_score: 1 − Var(y−ŷ) / Var(y), same
     * constant-y convention as [[r2]]. */
   def explainedVariance(y: Column, yhat: Column): Column = {
-    val num = var_pop(y - yhat)
-    val den = var_pop(y)
+    val yp = paired(y, yhat)
+    val num = var_pop(yp - yhat)
+    val den = var_pop(yp)
     when(den === 0.0, when(num === 0.0, 1.0).otherwise(0.0))
       .otherwise(lit(1.0) - num / den)
   }

@@ -33,11 +33,17 @@ object Windows {
     val out = df
       .withColumn("window", collect_list(qc(valueCol)).over(frame))
       .withColumn("__rn", row_number().over(ord))
+      // y BEFORE the full-window filter: lead() over the filtered frame
+      // would skip the dropped null-bearing rows and silently hand row t
+      // a target from further in the future than `lookahead` — the
+      // target is the series value at t+lookahead whether or not the
+      // rows between survive windowing (null there stays null, and
+      // training callers filter `y IS NOT NULL`)
+      .withColumn("y",
+        if (lookahead == 0) qc(valueCol)
+        else lead(qc(valueCol), lookahead).over(ord))
       .filter(col("__rn") >= lookback && size(col("window")) === lookback)
-    val withY =
-      if (lookahead == 0) out.withColumn("y", qc(valueCol))
-      else out.withColumn("y", lead(qc(valueCol), lookahead).over(ord))
-    withY.drop("__rn")
+    out.drop("__rn")
   }
 
   /** J3: keep only the trailing `n` rows per series (the positional
@@ -74,8 +80,11 @@ object Windows {
     *
     * `cols` maps (input → output → kind) with kind ∈ min | sma (mean) |
     * smm (median). Rows with fewer than `width−1` predecessors get null
-    * (the pandas rolling NaN prefix). `idxOffset` re-bases an index that
-    * does not start at 0 (e.g. a CV fold's span). */
+    * (the pandas rolling NaN prefix), and so does any frame with an
+    * interior null observation — pandas-default `min_periods = window`,
+    * the semantics of every reference `rolling()` this implements.
+    * `idxOffset` re-bases an index that does not start at 0 (e.g. a CV
+    * fold's span). */
   def chunkedTrailing(df: DataFrame, idxCol: String, idxOffset: Long,
                       width: Int, cols: Seq[(String, String, String)],
                       chunkSize: Int = 4096, totalRows: Long = -1L): DataFrame =
@@ -123,25 +132,43 @@ object Windows {
         case "smm" => percentile(qc(in), lit(0.5)).over(w)
         case k => throw new IllegalArgumentException(s"unsupported kind: $k")
       }
+    // pandas-default strictness (min_periods = window, the semantics of
+    // every reference rolling() this implements): a frame is complete
+    // only when it holds `width` OBSERVATIONS, not just width rows —
+    // SQL window aggregates skip interior nulls, which would quietly
+    // aggregate partial frames the reference scores as NaN. The count
+    // shares the aggregate's window spec, so it rides the same sort.
+    def full(in: String, width: Int,
+             w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      col("__wrel") >= width - 1 && count(qc(in)).over(w) === width
     val withRel = df.withColumn("__wrel", relCol)
     if (boundedRows >= 0 && boundedRows <= c) {
       val part = Window.partitionBy(groupCol).orderBy(col(idxCol))
       return cols.foldLeft(withRel) { case (d, (in, out, kind, width)) =>
-        d.withColumn(out, when(col("__wrel") >= width - 1,
-          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
+        val fr = part.rowsBetween(-(width - 1), 0)
+        d.withColumn(out, when(full(in, width, fr), aggOf(kind, in, fr)))
       }.drop("__wrel")
     }
-    val base = withRel.withColumn("__wck", (col("__wrel") / c).cast("long"))
-      .withColumn("__wcarry", lit(false))
-    val carry = withRel.filter(col("__wrel") % c >= c - (maxWidth - 1))
-      .withColumn("__wck", (col("__wrel") / c).cast("long") + 1)
-      .withColumn("__wcarry", lit(true))
+    // single-scan fan-out: each row EXPLODES into its own chunk plus
+    // (for the last maxWidth−1 rows of a chunk) a carry copy in the next
+    // chunk — the union-of-two-filters formulation read the (often
+    // expensive, recomputed-per-branch) input lineage twice per action
+    val ck = (col("__wrel") / c).cast("long")
+    val copies = concat(
+      array(struct(ck.as("ck"), lit(false).as("cy"))),
+      when(col("__wrel") % c >= c - (maxWidth - 1),
+        array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
+        .otherwise(array().cast("array<struct<ck: long, cy: boolean>>")))
+    val fanned = withRel.withColumn("__we", explode(copies))
+      .withColumn("__wck", col("__we.ck"))
+      .withColumn("__wcarry", col("__we.cy"))
+      .drop("__we")
     val part = Window.partitionBy(groupCol, col("__wck"))
       .orderBy(col(idxCol))
-    val withAggs = cols.foldLeft(base.unionByName(carry)) {
+    val withAggs = cols.foldLeft(fanned) {
       case (d, (in, out, kind, width)) =>
-        d.withColumn(out, when(col("__wrel") >= width - 1,
-          aggOf(kind, in, part.rowsBetween(-(width - 1), 0))))
+        val fr = part.rowsBetween(-(width - 1), 0)
+        d.withColumn(out, when(full(in, width, fr), aggOf(kind, in, fr)))
     }
     withAggs.filter(!col("__wcarry")).drop("__wck", "__wcarry", "__wrel")
   }
@@ -170,13 +197,20 @@ object Windows {
         d.withColumn(out, lag(qc(in), k).over(part))
       }
     }
-    val base = df.withColumn("__wck", (rel / c).cast("long"))
-      .withColumn("__wcarry", lit(false))
-    val carry = df.filter(rel % c >= c - maxLag)
-      .withColumn("__wck", (rel / c).cast("long") + 1)
-      .withColumn("__wcarry", lit(true))
+    // single-scan fan-out (see chunkedTrailingMultiGrouped): explode
+    // each row into its chunk + an optional next-chunk carry copy
+    val ck = (rel / c).cast("long")
+    val copies = concat(
+      array(struct(ck.as("ck"), lit(false).as("cy"))),
+      when(rel % c >= c - maxLag,
+        array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
+        .otherwise(array().cast("array<struct<ck: long, cy: boolean>>")))
+    val fanned = df.withColumn("__we", explode(copies))
+      .withColumn("__wck", col("__we.ck"))
+      .withColumn("__wcarry", col("__we.cy"))
+      .drop("__we")
     val part = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
-    lags.foldLeft(base.unionByName(carry)) { case (d, (in, out, k)) =>
+    lags.foldLeft(fanned) { case (d, (in, out, k)) =>
       d.withColumn(out, lag(qc(in), k).over(part))
     }.filter(!col("__wcarry")).drop("__wck", "__wcarry")
   }

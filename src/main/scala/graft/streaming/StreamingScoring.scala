@@ -180,16 +180,20 @@ object StreamingScoring {
                   var num = if (hist(i).isEmpty) 0.0 else hist(i)(0).get
                   var den = if (hist(i).isEmpty) 0.0 else hist(i)(1).get
                   num *= decay; den *= decay
-                  v.foreach { x => num += x; den += 1.0 }
+                  // NaN is a missing observation like null (pandas ewm
+                  // skips NaN) — matching the batch Ewma kernel
+                  v.filterNot(_.isNaN).foreach { x => num += x; den += 1.0 }
                   hist(i) = Vector(Some(num), Some(den))
                   if (den == 0.0) None else Some(num / den)
                 } else {
                 hist(i) = (hist(i) :+ v).takeRight(width)
                 val defined = hist(i).flatten
-                // pandas NaN prefix: null until the key has seen `width`
-                // ROWS; within a full frame, nulls are skipped like the
-                // batch min/avg/percentile
-                if (hist(i).size < width || defined.isEmpty) None
+                // pandas-default strictness (min_periods = window), like
+                // the batch chunkedTrailing: null until the key has seen
+                // `width` rows AND the frame holds `width` observations —
+                // a frame with an interior null scores null, not the
+                // aggregate of the partial frame
+                if (hist(i).size < width || defined.size < width) None
                 else Some(method match {
                   case "sma" => defined.sum / defined.size
                   case "smm" =>

@@ -109,4 +109,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.backward(l.drop("v"), rTs, Seq("k"), "ts", "rts", Seq("__ts"))
     }
   }
+
+  test("dotted tag-style column names resolve as literal names, not struct paths") {
+    // the reference's tag names contain dots (e.g. "GRA-YE.PV"); a bare
+    // col() would parse them as struct-field access and fail resolution
+    val l = Seq(("a", 10L, 1L), ("a", 25L, 2L))
+      .toDF("sys.key", "t.s", "row.id")
+    val r = Seq(("a", 5L, 7.5), ("a", 20L, 9.5))
+      .toDF("sys.key", "r.ts", "cal.value")
+    val got = AsOfJoin.backward(l, r, Seq("sys.key"), "t.s", "r.ts",
+      Seq("cal.value"))
+      .orderBy(graft.Cols.q("row.id")).collect()
+      .map(row => (row.getAs[Long]("row.id"), row.getAs[Long]("asof_ts"),
+        row.getAs[Double]("cal.value")))
+    assert(got.toSeq == Seq((1L, 5L, 7.5), (2L, 20L, 9.5)))
+  }
 }

@@ -89,4 +89,30 @@ class InfluxSpec extends AnyFunSuite {
     assert(lines.length == 1 && lines.head.startsWith("m,tag=a "))
     assert(!lines.contains(null))
   }
+
+  test("toLineProtocol drops NaN and infinite points (server rejects them)") {
+    // `Value=NaN` is invalid line protocol — one bad point would 400 the
+    // whole write batch; unencodable points drop like null points do
+    val df = Seq(("a", 1.0), ("b", Double.NaN),
+      ("c", Double.PositiveInfinity), ("d", Double.NegativeInfinity))
+      .toDF("tag", "value")
+      .select($"tag", to_timestamp(lit("2024-01-01T00:00:00Z")).as("ts"),
+        $"value")
+    val lines = Influx.toLineProtocol(df, "m", "tag", "ts", "value").collect()
+    assert(lines.length == 1 && lines.head.startsWith("m,tag=a "))
+  }
+
+  test("fromQueryResponse fails loudly on a server-reported error") {
+    // a failed query has NO series — exploding past the error would
+    // return an empty frame indistinguishable from "no data"
+    val resErr =
+      """{"results":[{"statement_id":0,"error":"measurement not found"}]}"""
+    val e1 = intercept[IllegalArgumentException](
+      Influx.fromQueryResponse(spark, resErr).collect())
+    assert(e1.getMessage.contains("measurement not found"))
+    val topErr = """{"error":"authorization failed"}"""
+    val e2 = intercept[IllegalArgumentException](
+      Influx.fromQueryResponse(spark, topErr).collect())
+    assert(e2.getMessage.contains("authorization failed"))
+  }
 }

@@ -82,7 +82,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     // two machines, interleaved; values chosen so smm interpolation
     // (even width) and sma are both non-trivial; m1 has a NULL score
-    // mid-series (the aggregates must skip it like the batch windows)
+    // mid-series (every frame containing it must score null — pandas
+    // min_periods strictness, like the batch windows)
     def series(key: String): Seq[(String, Long, Option[Double])] =
       (0 until 12).map(i => (key, i * 600L,
         if (key == "m1" && i == 6) None
@@ -108,8 +109,10 @@ class StreamingSpec extends AnyFunSuite {
             "ORDER BY machine, bucket_ts").collect()
           .map(r => (r.getString(0), r.getLong(1),
             if (r.isNullAt(2)) None else Some(r.getDouble(2))))
-        // scala oracle: trailing window over each ordered series, nulls
-        // skipped inside a full frame (batch min/avg/percentile do)
+        // scala oracle: trailing window over each ordered series with
+        // pandas-default strictness (min_periods = window, like the
+        // batch chunkedTrailing): a frame missing an observation — the
+        // null prefix OR m1's interior null — scores None
         val exp = Seq("m1", "m2").flatMap { k =>
           val vs = series(k).map(_._3)
           vs.zipWithIndex.map { case (_, i) =>
@@ -117,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
               if (i < width - 1) None
               else {
                 val w = vs.slice(i - width + 1, i + 1).flatten
-                if (w.isEmpty) None
+                if (w.size < width) None
                 else Some(method match {
                   case "sma" => w.sum / w.size
                   case "smm" =>

@@ -36,6 +36,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       == Seq((35400L, 1.0), (36000L, 3.0)))
   }
 
+  test("weekly resample buckets match pandas W (W-SUN, right-labeled)") {
+    // pandas-replayed fixture: resample("W").sum() over
+    // [Thu 01-01 23:00, Fri 01-02 01:00, Sun 01-04 12:00, Mon 01-05
+    // 00:00, Sun 01-11 00:00] → {1970-01-04: 6, 1970-01-11: 9} — a
+    // Sunday's intraday times bucket to that Sunday, Monday 00:00 opens
+    // the next week; an epoch floor would produce Thursday anchors
+    val df = longFrame(Seq(("a", 82800L, 1.0), ("a", 90000L, 2.0),
+      ("a", 302400L, 3.0), ("a", 345600L, 4.0), ("a", 864000L, 5.0)))
+    val anchor = TimeSeries.resolutionAnchorSec("W")
+    assert(anchor == 259200L &&
+      TimeSeries.resolutionAnchorSec("10T") == 0L)
+    val r = TimeSeries.resample(df, Seq("tag"), "ts", "value",
+      TimeSeries.parseResolutionSeconds("W"), "sum", anchor)
+      .orderBy($"bucket_ts").collect()
+      .map(x => (x.getAs[Long]("bucket_ts"), x.getAs[Double]("value")))
+    assert(r.toSeq == Seq((259200L, 6.0), (864000L, 9.0)))
+    intercept[IllegalArgumentException](TimeSeries.parseResolutionSeconds("2W"))
+  }
+
   test("ffill fills only within the time limit") {
     // buckets 0, 600 (null), 1200 (null), 1800 (null), 2400 (value):
     // with limit 1200s the 600/1200 gaps fill from bucket 0, 1800 does not.
