@@ -213,8 +213,14 @@ object ModelBuilder {
     import graft.ml.{CrossValidate, Metrics, Scalers}
     val metricNames = spec.evaluation.get("metrics") match {
       case Some(l: List[_]) => l.map(_.toString)
-      case _ => List("explained_variance_score", "r2_score",
+      case None | Some(null) => List("explained_variance_score", "r2_score",
         "mean_squared_error", "mean_absolute_error")
+      case Some(other) =>
+        // a scalar ("metrics: r2_score") silently falling through to the
+        // defaults would discard the user's selection with no error —
+        // the same loud stance the evaluation.cv parser takes
+        throw new ModelRegistry.CompileException(
+          s"evaluation.metrics must be a LIST of metric names, got: $other")
     }
     val foldMetrics = metricNames.map(name => name -> (name match {
       case "explained_variance_score" => Metrics.explainedVariance _

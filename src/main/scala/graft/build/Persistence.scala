@@ -25,7 +25,12 @@ object Persistence {
   def toJson(v: Any): String = v match {
     case null => "null"
     case m: Map[_, _] =>
-      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+      // JSON keys are strings; a YAML-parsed config can carry numeric
+      // keys (metadata: {2024: retrained}) — stringify instead of the
+      // unchecked String cast, whose ClassCastException would fire in
+      // save() AFTER the expensive fit completed, losing the model
+      m.toSeq.map { case (k, vv) => String.valueOf(k) -> vv }
+        .sortBy(_._1)
         .map { case (k, vv) => s"${quote(k)}:${toJson(vv)}" }
         .mkString("{", ",", "}")
     case s: Seq[_]    => s.map(toJson).mkString("[", ",", "]")
@@ -272,17 +277,34 @@ object Persistence {
   // ---- disk registry (ref: gordo/util/disk_registry.py:18-117) ----
 
   /** Record cache_key → model dir; `checkCache` probes it
-    * (`build_model.py:634-668`). */
+    * (`build_model.py:634-668`). Written to a temp file and atomically
+    * moved into place: a concurrent `checkCache` racing a plain
+    * truncate-then-write could read a half-written path, miss, and
+    * silently re-run a full training that was already cached. */
   def registerModel(registryDir: String, key: String, modelDir: String): Unit = {
-    Files.createDirectories(Paths.get(registryDir))
-    Files.writeString(Paths.get(registryDir, key), modelDir)
+    val rd = Paths.get(registryDir)
+    Files.createDirectories(rd)
+    val tmp = Files.createTempFile(rd, s".$key", ".tmp")
+    Files.writeString(tmp, modelDir)
+    Files.move(tmp, rd.resolve(key),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** A hit requires the registered dir to still hold THIS key's model:
+    * model dirs are overwritten in place by rebuilds (and by cache-hit
+    * materialization), so a stale entry can point at a dir that now
+    * holds a DIFFERENT spec's model — metadata.json records the dir's
+    * own cache_key, and anything but an exact match is a miss (rebuild),
+    * never a silently-wrong cached model. */
   def checkCache(registryDir: String, key: String): Option[String] = {
     val f = Paths.get(registryDir, key)
     if (Files.exists(f)) {
       val dir = Files.readString(f).trim
-      if (Files.exists(Paths.get(dir, "model.json"))) Some(dir) else None
+      val valid = Files.exists(Paths.get(dir, "model.json")) &&
+        scala.util.Try(loadMetadata(dir).get("cache_key"))
+          .toOption.flatten.contains(key)
+      if (valid) Some(dir) else None
     } else None
   }
 }

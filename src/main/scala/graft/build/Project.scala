@@ -78,6 +78,23 @@ object Project {
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)
+    } catch { case e: Throwable =>
+      // fail-fast must not return while sibling builds are still
+      // WRITING: plain shutdown() runs every queued build and lets
+      // in-flight ones finish in the background, so a caller that
+      // retries or cleans outputRoot/registry after catching would race
+      // half-written model dirs. Drop the QUEUED builds (never started,
+      // nothing torn), let the in-flight ones COMPLETE their writes
+      // (shutdownNow's interrupt could tear a dir mid-save), and only
+      // then rethrow.
+      pool match {
+        case tp: java.util.concurrent.ThreadPoolExecutor =>
+          tp.getQueue.clear()
+        case _ => ()
+      }
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+      throw e
     } finally pool.shutdown()
   }
 }

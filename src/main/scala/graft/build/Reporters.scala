@@ -161,15 +161,29 @@ object Reporters {
       try java.sql.DriverManager.getConnection(url)
       catch { case e: Exception =>
         throw new ReporterException(s"cannot connect to $url", e) }
+    /** Case-normalized existence probe RESTRICTED to the connection's
+      * own schema (Derby upper-cases identifiers; getSchema gives e.g.
+      * "APP"): an unrestricted getTables(null, null, ...) would see a
+      * same-named table owned by another application in another schema,
+      * skip creation, and every later statement — which resolves in the
+      * CURRENT schema — would fail "table does not exist" forever. A
+      * driver that cannot report its schema falls back to the
+      * all-schemas scan. */
+    private def tableExists(table: String): Boolean = {
+      val schema =
+        try conn.getSchema catch { case _: Throwable => null }
+      val tables = conn.getMetaData.getTables(null, schema, "%", null)
+      try {
+        var exists = false
+        while (tables.next())
+          exists ||= tables.getString("TABLE_NAME").equalsIgnoreCase(table)
+        exists
+      } finally tables.close()
+    }
+
     locally {
-      // Machine.create_table(safe=True): create if missing. Table lookup
-      // is case-normalized per engine (Derby upper-cases identifiers).
-      val tables = conn.getMetaData.getTables(null, null, "%", null)
-      var exists = false
-      try while (tables.next())
-        exists ||= tables.getString("TABLE_NAME").equalsIgnoreCase("machine")
-      finally tables.close()
-      if (!exists) {
+      // Machine.create_table(safe=True): create if missing.
+      if (!tableExists("machine")) {
         val st = conn.createStatement()
         try st.executeUpdate(
           "CREATE TABLE machine (name VARCHAR(63) NOT NULL UNIQUE, " +
@@ -202,9 +216,30 @@ object Reporters {
           up.executeUpdate()
         } finally up.close()
         conn.commit()
-      } catch { case e: Exception =>
-        conn.rollback()
-        throw new ReporterException(s"report of '$name' failed", e)
+      } catch {
+        case e: java.sql.SQLIntegrityConstraintViolationException =>
+          // lost the select-then-insert race to ANOTHER reporter
+          // instance/process (the per-instance lock cannot cover those):
+          // the row exists now, so the upsert contract says overwrite —
+          // retry once as UPDATE instead of failing the report
+          conn.rollback()
+          try {
+            val up2 = conn.prepareStatement(
+              "UPDATE machine SET dataset = ?, model = ?, metadata = ? WHERE name = ?")
+            try {
+              up2.setString(1, dataset); up2.setString(2, model)
+              up2.setString(3, meta); up2.setString(4, name)
+              up2.executeUpdate()
+            } finally up2.close()
+            conn.commit()
+          } catch { case e2: Exception =>
+            conn.rollback()
+            throw new ReporterException(
+              s"report of '$name' failed after insert-race retry", e2)
+          }
+        case e: Exception =>
+          conn.rollback()
+          throw new ReporterException(s"report of '$name' failed", e)
       } finally conn.setAutoCommit(true)
     }
 
@@ -295,12 +330,7 @@ object Reporters {
       }
 
     private def ensureMetricTable(): Unit = {
-      val tables = conn.getMetaData.getTables(null, null, "%", null)
-      var exists = false
-      try while (tables.next())
-        exists ||= tables.getString("TABLE_NAME").equalsIgnoreCase("metric_batch")
-      finally tables.close()
-      if (!exists) {
+      if (!tableExists("metric_batch")) {
         val st = conn.createStatement()
         try st.executeUpdate(
           "CREATE TABLE metric_batch (name VARCHAR(63) NOT NULL, " +

@@ -33,6 +33,12 @@ object Responses {
     require(rows.forall(!_.isNullAt(0)),
       "toNestedJson: the start column is the response index and may not " +
         "contain nulls — drop or repair null-start rows before encoding")
+    // duplicate start values would silently collapse under toMap below
+    // (last row wins, one point lost per tag with no error) — a
+    // DatetimeIndex response has unique timestamps; reject like nulls
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      "toNestedJson: duplicate start values — the start column is the " +
+        "response index and must be unique; de-duplicate upstream")
     val byGroup: Map[String, Map[String, Map[String, Any]]] =
       cols.toSeq.map { c =>
         val (group, tag) = splitName(c)

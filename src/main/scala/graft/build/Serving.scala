@@ -24,6 +24,12 @@ object Serving {
     import graft.Cols.q
     val keep = orderCol.toSeq
     val present = df.columns.toSeq
+    // a missing order column is malformed INPUT like a missing tag —
+    // it must surface as BadInputException (HTTP 400 in a server), not
+    // as the AnalysisException df.select would throw below (a 500 with
+    // a Spark-internal message)
+    keep.filterNot(present.contains).foreach(c =>
+      throw new BadInputException(s"missing expected order column: $c"))
     val dataCols = present.filterNot(keep.contains)
     if (expected.forall(present.contains)) {
       df.select((keep ++ expected).map(q): _*)
@@ -59,7 +65,14 @@ object Serving {
     * lazy-val failed-init semantics): the next get of that key
     * retries. */
   final class LruCache[K, V](capacity: Int)(load: K => V) {
-    private final class Holder(k: K) { lazy val value: V = load(k) }
+    private final class Holder(k: K, val born: Long) {
+      lazy val value: V = load(k)
+    }
+    // bumped by remove(); a holder born before the latest removal is
+    // never RE-inserted by get's eviction-race repair — without the
+    // guard, an in-flight get could resurrect an invalidated entry into
+    // the slot remove() just emptied
+    private var epoch = 0L
     private val map = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, Holder]): Boolean =
         this.size() > capacity // `this.` disambiguates from LruCache.size
@@ -67,7 +80,7 @@ object Serving {
     def get(k: K): V = {
       val h = map.synchronized {
         Option(map.get(k)).getOrElse {
-          val nh = new Holder(k); map.put(k, nh); nh
+          val nh = new Holder(k, epoch); map.put(k, nh); nh
         }
       }
       val v = h.value
@@ -76,13 +89,22 @@ object Serving {
       // Re-insert ONLY into an empty slot — if a concurrent get already
       // installed a NEWER holder for k, overwriting it would let an
       // older value replace a newer one (visible if `load` reads
-      // mutable state, e.g. a rewritten model dir)
-      map.synchronized { if (map.get(k) eq null) map.put(k, h) }
+      // mutable state, e.g. a rewritten model dir) — and only when no
+      // remove() has happened since the holder was created
+      map.synchronized {
+        if ((map.get(k) eq null) && h.born == epoch) map.put(k, h)
+      }
       v
     }
     /** Containment WITHOUT touching recency (LinkedHashMap.containsKey
       * does not record an access). */
     def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
+    /** Drop k; the next get re-loads. An in-flight get that already
+      * picked up the removed holder still returns its value once, but
+      * the epoch guard keeps it from re-installing that holder. */
+    def remove(k: K): Unit = map.synchronized {
+      epoch += 1; map.remove(k): Unit
+    }
     def size: Int = map.synchronized(map.size())
   }
 
@@ -104,6 +126,12 @@ object Serving {
     /** Detector plus its windowing spec (base tags, lookback, lookahead). */
     def getFull(dir: String): Entry = cache.get(dir)
     def get(dir: String): FittedDetector = getFull(dir)._1
+    /** Drop a cached entry so the next access re-reads the dir. Model
+      * dirs are REBUILT IN PLACE (buildSpec overwrites, cache-hit
+      * materialization clears-and-copies), and the cache keys only on
+      * the path — without an explicit invalidate a hot entry would keep
+      * serving the pre-rebuild weights for the process lifetime. */
+    def invalidate(dir: String): Unit = cache.remove(dir)
     def size: Int = cache.size
     /** Disk loads performed so far — `1 - loads/accesses` is the hit
       * rate a serving deployment sizes its capacity by. */
