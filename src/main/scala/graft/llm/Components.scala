@@ -251,9 +251,15 @@ object Components {
     * checkpoint — materialize it (write/collect), then free the blocks
     * with [[release]] on this frame. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-                  idB: String = "id_b"): DataFrame = {
+                  idB: String = "id_b", maxIter: Int = 40,
+                  reliableCheckpoint: Option[String] = None): DataFrame = {
+    // thread the closure knobs through: dupClusters is THE dedup write
+    // side, and without these a production run could not reach the
+    // executor-loss-resilient (reliable checkpoint) configuration the
+    // closure documents without reimplementing the keep/size logic
     val cc = connectedComponents(
-      pairs.select(col(idA).as("a"), col(idB).as("b")))
+      pairs.select(col(idA).as("a"), col(idB).as("b")),
+      maxIter, reliableCheckpoint)
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
     cc.join(sizes, "component")
       .select(col("node").as("doc_id"), col("component"),

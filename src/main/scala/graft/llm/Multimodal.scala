@@ -395,7 +395,12 @@ object Multimodal {
         val id = r.getLong(idIdx)
         parseAvi(bytes).iterator.flatMap { avi =>
           val durMs = avi.frames.size * avi.usPerFrame / 1000L
-          val n = if (durMs <= 0) 0 else ((durMs - 1) / intervalMs).toInt + 1
+          // container metadata is UNTRUSTED: a hostile usPerFrame can
+          // claim a multi-week duration from a few-KB file — Long math
+          // (an Int quotient wraps negative and silently emits zero
+          // frames) and a fan-out cap (one row must not explode into
+          // millions, OOMing the task) bound the damage
+          val n = boundedFrames(durMs, intervalMs)
           (0 until n).iterator.map { f =>
             val tsMs = f * intervalMs
             val idx = math.min((tsMs * 1000L / avi.usPerFrame).toInt,
@@ -412,7 +417,24 @@ object Multimodal {
     * would decode → scale → re-encode; the plumbing — payload in,
     * payload out, meta width/height updated, partition-local, no
     * shuffle — is identical. */
+  /** Frame count for a clip of `durMs` at one frame per `intervalMs`,
+    * computed in Long (an Int quotient wraps) and capped at
+    * [[MaxFramesPerClip]] — duration metadata is untrusted input. */
+  private def boundedFrames(durMs: Long, intervalMs: Long): Int =
+    if (durMs <= 0) 0
+    else math.min((durMs - 1) / intervalMs + 1, MaxFramesPerClip.toLong).toInt
+
+  /** Per-clip fan-out bound for the frame samplers: a hostile duration
+    * claim caps here instead of exploding one input row into millions
+    * of frame rows (27.8 h at 1 frame/s — far beyond any real clip). */
+  val MaxFramesPerClip: Int = 100000
+
   def resizeStub(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"resize target must be positive: ${w}x$h")
+    // w*h in Int silently wraps at 46341x46341 (negative-size crash) and
+    // 65536x65536 (zero-length payloads labeled full-size)
+    require(w.toLong * h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize target ${w}x$h overflows a byte array")
     val out = new Array[Byte](w * h)
     if (content.nonEmpty) {
       var i = 0
@@ -472,10 +494,11 @@ object Multimodal {
           else bytes.length.toLong
         val id = r.getLong(idIdx)
         // frames strictly WITHIN [0, duration): a duration that divides
-        // evenly must not emit a phantom empty frame at ts == duration
-        val n =
-          if (durationMs <= 0) 0
-          else ((durationMs - 1) / intervalMs).toInt + 1
+        // evenly must not emit a phantom empty frame at ts == duration.
+        // Long math + fan-out cap: duration_ms is caller metadata, and
+        // garbage must not wrap an Int (zero frames) or fan one row out
+        // into millions (see sampleFramesAvi)
+        val n = boundedFrames(durationMs, intervalMs)
         (0 until n).iterator.map { f =>
           val tsMs = f * intervalMs
           val off =

@@ -66,10 +66,19 @@ object Similarity {
               embCol: String, k: Int): DataFrame = {
     val stats = corpus
       .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      // non-finite elements must not train the quantizer: one NaN at
+      // dimension d makes hi (NaN sorts largest) and then step, recon,
+      // and EVERY corpus row's cosine NaN — cosOrFloor floors them all
+      // to -2 and each query "finds" the k smallest ids, silently
+      .filter(!isnan(col("x").cast("double")) &&
+        col("x").cast("double") =!= lit(Double.PositiveInfinity) &&
+        col("x").cast("double") =!= lit(Double.NegativeInfinity))
       .groupBy(col("d"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .orderBy(col("d"))
       .collect() // D rows (one per dimension) — bounded by the embedding width
+    stats.foreach(r => require(!r.isNullAt(r.fieldIndex("lo")),
+      s"sq8TopK: dimension ${r.get(0)} has no finite values to train on"))
     // Number, not Float: the kernel contract is array<float|double>
     val loArr = stats.map(_.getAs[Number]("lo").doubleValue)
     val stepArr = stats.map { r =>
@@ -260,19 +269,11 @@ object Similarity {
     import spark.implicits._
     val cents = broadcast(centroids.toDF("cid", "ce")
       .select(col("cid"), col("ce"), norm(col("ce")).as("cn")))
-    val (assigned, probes) =
-      ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
-    val enc = assigned.select(col("id"), col("cid"),
-        pqReconstruct(col("e"), codebook).as("re"))
-      .select(col("id"), col("cid"), col("re"), norm(col("re")).as("rn"))
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cand").asc)
-    probes.join(enc, "cid")
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("cand"),
-        cosOrFloor(dot(col("qe"), col("re")), col("qn"), col("rn")).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+    // same probe/join/rank as plain IVF; candidates score against their
+    // PQ reconstruction (ADC) — one shared body, so ranking semantics
+    // cannot drift between the two paths again
+    ivfBody(corpus, idCol, embCol, cents, nprobe, k, queryPred,
+      encode = Some(e => pqReconstruct(e, codebook)))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
@@ -367,7 +368,10 @@ object Similarity {
     val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        // zero-norm guard: -2 fails every sane threshold exactly like
+        // the null a raw 0/0 would produce, but never NaN-poisons
+        cosOrFloor(dot(col("a.e"), col("b.e")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }
@@ -505,18 +509,34 @@ object Similarity {
       .agg(coalesce(avg($"c"), lit(0.0))).as[Double].head() // 0.0 when no queries match
   }
 
+  /** Shared probe/join/rank tail of [[ivfTopKWith]] and [[ivfPqTopK]]:
+    * `encode`, when set, replaces each candidate's vector with its
+    * (e.g. PQ-reconstructed) stand-in before scoring — asymmetric
+    * distance computation with exact queries. */
   private def ivfBody(corpus: DataFrame, idCol: String, embCol: String,
                       cents: DataFrame, nprobe: Int, k: Int,
-                      queryPred: Column): DataFrame = {
-    val (assigned, probes) =
+                      queryPred: Column,
+                      encode: Option[Column => Column] = None): DataFrame = {
+    val (assigned0, probes) =
       ivfParts(corpus, idCol, embCol, cents, nprobe, queryPred)
+    val assigned = encode match {
+      case None => assigned0
+      case Some(f) => assigned0
+        .select(col("id"), col("cid"), f(col("e")).as("e"))
+        .select(col("id"), col("cid"), col("e"), norm(col("e")).as("nrm"))
+    }
     // rank candidates from the probed lists only
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cand").asc)
     probes.join(assigned, "cid")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("cand"),
-        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+        // cosOrFloor, not the raw ratio: ivfParts ASSIGNS zero-norm rows
+        // into lists via safeCos, so they reach this ranking — a raw 0/0
+        // here (NaN sorts first under desc) would crown them top
+        // neighbor for every query probing their list. Value-identical
+        // for positive norms (the oracle replay's case).
+        cosOrFloor(dot(col("qe"), col("e")), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
   }
@@ -572,7 +592,11 @@ object Similarity {
     val pairs = a.join(b,
       col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("cid"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        // zero-norm/NaN guard like every other ranking path (a zero
+        // vector DOES get a valid all-ones sign bucket, so it reaches
+        // this scoring): floor to -2, never NaN-first-under-desc
+        cosOrFloor(dot(col("a.e"), col("b.e")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

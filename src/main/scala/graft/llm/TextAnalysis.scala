@@ -14,9 +14,14 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(split(trim(text), " "))
 
   /** BPE-ish subword count: word-piece segments + digit runs + punct
-    * marks, the usual pre-tokenizer regex shape. */
+    * marks, the usual pre-tokenizer regex shape. Unicode letter/digit
+    * classes like [[punctRatio]] — ASCII classes counted every accented
+    * or non-Latin letter as its own "punctuation" segment, so cost/
+    * length filters built on this systematically misjudged exactly the
+    * non-English documents the langId markers support. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Mean token length (chars per token). */
   def meanTokenLength(text: Column): Column =
@@ -30,8 +35,12 @@ object TextAnalysis {
     * data the langId markers claim to support. `\p{L}`/`\p{N}` evaluate
     * identically in Java regex (Spark) and RE2 (the DuckDB oracle). */
   def punctRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^\\p{L}\\p{N}\\s]"), lit(0))).cast("double") /
-      length(text).cast("double")
+    // empty text has no punctuation — an unguarded 0/0 would score the
+    // row NaN (and NaN-poison every product composed on it, e.g. the
+    // quality score) instead of the 0.0 the definition implies
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^\\p{L}\\p{N}\\s]"), lit(0))).cast("double") /
+        length(text).cast("double"))
 
   /** Ratio of tokens that are in the given stopword set. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

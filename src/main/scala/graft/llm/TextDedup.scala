@@ -203,18 +203,29 @@ object TextDedup {
   def simhash32(text: Column): Column =
     graft.functions.SimHash.simhash32(tokens(text))
 
-  /** Banded SimHash near-dup pairs: the 32-bit simhash splits into 4
-    * bands of 8 bits; docs sharing ANY (band index, band value) are
-    * candidates (hamming ≤ 3 guarantees ≥ 1 clean band), verified by
-    * exact Hamming distance ≤ `maxHamming`. Same OR-construction scale
-    * shape as MinHash banding — no all-pairs join. */
+  /** Banded SimHash near-dup pairs: the 32-bit simhash splits into
+    * `maxHamming + 1` near-even bit bands — by pigeonhole, any pair
+    * within the threshold shares at least one CLEAN band, so candidate
+    * recall is total for every requested threshold (a fixed 4-band
+    * layout silently missed pairs whose 4+ differing bits spread one
+    * per band). maxHamming = 3 reproduces the classic 4×8 layout
+    * exactly. Candidates are verified by exact Hamming distance. Same
+    * OR-construction scale shape as MinHash banding — no all-pairs
+    * join; note bands narrow as the threshold grows (more, bigger
+    * buckets), so very loose thresholds trade scan cost for recall. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (32-bit simhash), got $maxHamming")
+    val bands = maxHamming + 1
     val keyed = df
       .select(col(idCol).as("id"), simhash32(col(textCol)).as("sh32"))
-      .select(col("id"), col("sh32"), explode(array((0 until 4).map(i =>
+      .select(col("id"), col("sh32"), explode(array((0 until bands).map { i =>
+        val lo = 32 * i / bands
+        val hi = 32 * (i + 1) / bands
         concat_ws("#", lit(i.toString),
-          shiftright(col("sh32"), 8 * i).bitwiseAND(255))): _*)).as("band"))
+          shiftright(col("sh32"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)))
+      }: _*)).as("band"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -590,12 +590,13 @@ object LlmQueries {
     "q31_quality_scores" ->
       """SELECT doc_id,
         | len(str_split(trim(text), ' ')) AS n_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+        | len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_subwords,
         | floor((least(length(text)/500.0, 1.0)
         |   * (CAST(len(list_distinct(str_split(trim(text), ' '))) AS DOUBLE)
         |      / len(str_split(trim(text), ' ')))
-        |   * greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE)
-        |                     / length(text)) * 10.0, 0.0))*10000 + 0.5)/10000 AS quality
+        |   * greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |                     ELSE CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE)
+        |                          / length(text) END) * 10.0, 0.0))*10000 + 0.5)/10000 AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q32_langid_confusion" ->

@@ -49,7 +49,9 @@ object TextAnalysisProps extends Properties("graft.textanalysis") {
         "sc" -> TextAnalysis.subwordCount($"text"),
         "mtl" -> TextAnalysis.meanTokenLength($"text"))
       val t = toks(text)
-      val subRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+      // Unicode classes, like the expression: "über" is ONE subword,
+      // not u + "punctuation" + ber
+      val subRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]".r
       val expMtl = t.map(_.length).sum.toDouble / t.length
       Prop(row.getInt(0) == t.length) :| s"tokenCount on '$text'" &&
         Prop(row.getInt(1) == subRe.findAllIn(text).length) :|
