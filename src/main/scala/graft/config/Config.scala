@@ -52,7 +52,12 @@ object Config {
       // an empty config so callers raise their own "missing X" errors
       // instead of an anonymous NullPointerException
       case null => Map.empty
-      case m => m.asInstanceOf[Map[String, Any]]
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      // a scalar/list document (e.g. a bare class-path string where a
+      // mapping is expected) must be the contract's ConfigException,
+      // not a raw ClassCastException
+      case other => throw new ConfigException(
+        s"config document must be a mapping, got: $other")
     }
 
   // ---- patch_dict ----
@@ -96,8 +101,9 @@ object Config {
                         globals: Map[String, Any] = Map.empty): MachineSpec = {
     val g = yamlFields.foldLeft(globals)((m, f) =>
       if (m.contains(f)) m + (f -> section(m, f)) else m)
-    val name = config.getOrElse("name",
-      throw new ConfigException("machine has no name")).toString
+    val name = Option(config.getOrElse("name", null))
+      .map(_.toString)
+      .getOrElse(throw new ConfigException("machine has no name"))
     val model = {
       val m = section(config, "model")
       val merged = if (m.nonEmpty) m else section(g, "model")
@@ -110,10 +116,14 @@ object Config {
     val runtime = patchDict(section(g, "runtime"), section(config, "runtime"))
     // NB reference asymmetry: globals PATCH the machine's dataset
     val dataset = patchDict(section(config, "dataset"), section(g, "dataset"))
-    val evaluation = patchDict(section(g, "evaluation"), {
-      val e = section(config, "evaluation")
-      if (e.isEmpty) Map[String, Any]("cv_mode" -> "full_build") else e
-    })
+    // layering mirrors NormalizedConfig: engine defaults BENEATH the
+    // user's globals, machine on top. The old shape injected cv_mode:
+    // full_build as a MACHINE-side patch whenever the machine omitted
+    // its evaluation section — silently clobbering a globals-configured
+    // cv_mode, the opposite of the documented precedence
+    val evaluation = patchDict(
+      patchDict(section(defaultGlobals, "evaluation"), section(g, "evaluation")),
+      section(config, "evaluation"))
     val metadata = Map[String, Any](
       "global-metadata" -> section(g, "metadata"),
       "machine-metadata" -> section(config, "metadata"))
@@ -180,6 +190,8 @@ object Config {
     * semantics, not a loosening of the contract; the same text QUOTED
     * reaches the string branch and is rejected as naive. */
   def parseTzAware(v: Any): java.time.OffsetDateTime = v match {
+    case null => // an explicit-null YAML value ("train_start_date:")
+      throw new ConfigException("datetime must be tz-aware ISO: null")
     case d: java.util.Date => // snakeyaml parses ISO timestamps natively
       d.toInstant.atOffset(java.time.ZoneOffset.UTC)
     case s =>
@@ -220,8 +232,13 @@ object Config {
   /** F10: resource-limit fixup — every limit is raised to at least its
     * request (`gordo/machine/validators.py:160-230`). */
   def fixupResources(resources: Map[String, Any]): Map[String, Any] = {
+    // k8s quantity strings ("1Gi", "512Mi", "100m") must participate in
+    // the raise-limit-to-request comparison — skipping non-numeric
+    // values silently left limits BELOW requests for exactly the
+    // suffixed forms real runtime configs use
     def num(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue)
+      case s: String => parseQuantity(s)
       case _ => None
     }
     val requests = resources.getOrElse("requests", Map.empty)
@@ -238,6 +255,34 @@ object Config {
     val completed = requests.keys.filterNot(fixed.contains)
       .map(k => k -> requests(k)).toMap ++ fixed
     resources + ("limits" -> completed)
+  }
+
+  /** Canonical value of a k8s resource quantity (binary/decimal SI
+    * suffixes, plus milli for cpu): "1Gi" → 2^30, "100m" → 0.1. None
+    * for anything unparseable — the caller then leaves the pair alone
+    * rather than guessing. */
+  private[config] def parseQuantity(s: String): Option[Double] = {
+    val m = raw"^\s*([0-9]+(?:\.[0-9]+)?)(Ki|Mi|Gi|Ti|Pi|Ei|k|M|G|T|P|E|m)?\s*$$".r
+    m.findFirstMatchIn(s).map { g =>
+      val base = g.group(1).toDouble
+      val mult = Option(g.group(2)).getOrElse("") match {
+        case ""   => 1.0
+        case "m"  => 1e-3
+        case "k"  => 1e3
+        case "M"  => 1e6
+        case "G"  => 1e9
+        case "T"  => 1e12
+        case "P"  => 1e15
+        case "E"  => 1e18
+        case "Ki" => 1024.0
+        case "Mi" => math.pow(1024, 2)
+        case "Gi" => math.pow(1024, 3)
+        case "Ti" => math.pow(1024, 4)
+        case "Pi" => math.pow(1024, 5)
+        case "Ei" => math.pow(1024, 6)
+      }
+      base * mult
+    }
   }
 
   /** Bridge the merged dataset block onto the engine's DatasetConfig

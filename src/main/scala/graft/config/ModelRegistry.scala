@@ -47,8 +47,13 @@ object ModelRegistry {
     * feature columns. */
   case class Windowed(lookback: Int, lookahead: Int,
                       inner: Reconstruction) extends Stage {
-    require(lookback >= 1, s"lookback_window must be >= 1: $lookback")
-    require(lookahead >= 0, s"lookahead must be >= 0: $lookahead")
+    // CompileException, not require: a bad lookback_window is a CONFIG
+    // rejection and must be catchable by the same handlers as every
+    // other unsupported shape (an IllegalArgumentException escapes them)
+    if (lookback < 1) throw new CompileException(
+      s"lookback_window must be >= 1: $lookback")
+    if (lookahead < 0) throw new CompileException(
+      s"lookahead must be >= 0: $lookahead")
     /** J3 model offset: rows dropped at the frame head. */
     def offset: Int = lookback + lookahead - 1
   }
@@ -204,7 +209,11 @@ object ModelRegistry {
           val s = v.toString
           scala.util.Try(s.toDouble).toOption match {
             case Some(d) if d >= 1.0 && d == math.floor(d) => d.toInt.toString
-            case Some(d) if d > 0.0 && d < 1.0 => s
+            // canonicalize fractions: intoDefinition/reconstructorOf
+            // dispatch on contains('.'), and YAML 1.1 hands "5e-1" over
+            // as a dot-less STRING that would take the int branch and
+            // NumberFormatException mid-build
+            case Some(d) if d > 0.0 && d < 1.0 => d.toString
             case _ => throw new CompileException(
               s"PCA n_components must be a positive integer, a variance " +
                 s"fraction in (0, 1), or null: $s")
@@ -299,33 +308,47 @@ object ModelRegistry {
     * selected over the same rows). Returns the transformed frame. The
     * final Reconstruction/Detector stage is handled by the builder. */
   def fitTransform(df: DataFrame, tags: Seq[String], stage: Stage): DataFrame =
+    fitTransformCols(df, tags, stage)._1
+
+  /** [[fitTransform]] threading the ACTIVE feature columns through the
+    * chain: a stage after a FeatureUnion must transform the union's
+    * branch outputs, not the original raw tags — sklearn Pipeline
+    * semantics, where each step consumes the previous step's output
+    * matrix. Returns (frame, columns the next stage operates on). */
+  private def fitTransformCols(df: DataFrame, cols: Seq[String],
+                               stage: Stage): (DataFrame, Seq[String]) =
     stage match {
       case PipelineOf(steps) =>
-        steps.foldLeft(df)((d, s) => fitTransform(d, tags, s))
+        steps.foldLeft((df, cols)) { case ((d, cs), s) =>
+          fitTransformCols(d, cs, s) }
       case Scaler(kind) =>
-        val s = if (kind == "minmax") Scalers.fitMinMax(df, tags)
-                else Scalers.fitRobust(df, tags)
-        s.transform(df, tags)
+        val s = if (kind == "minmax") Scalers.fitMinMax(df, cols)
+                else Scalers.fitRobust(df, cols)
+        (s.transform(df, cols), cols)
       case Imputer(strategy, delta) =>
-        InfImputer.fit(df, tags, strategy, delta).transform(df, tags)
+        (InfImputer.fit(df, cols, strategy, delta).transform(df, cols), cols)
       case Multiply(factor) =>
-        tags.foldLeft(df)((d, t) =>
-          d.withColumn(t, graft.Cols.q(t) * lit(factor)))
+        (cols.foldLeft(df)((d, t) =>
+          d.withColumn(t, graft.Cols.q(t) * lit(factor))), cols)
       case UnionOf(branches) =>
         // column-wise composition over the SAME rows (no join): branch i
-        // gets its own copy of the tag columns (suffix __b{i}) and its
-        // chain transforms those in place
-        branches.zipWithIndex.foldLeft(df) { case (acc, (b, i)) =>
-          val branchCols = tags.map(t => s"${t}__b$i")
-          val withCopies = tags.zip(branchCols).foldLeft(acc) {
-            case (a, (t, bc)) => a.withColumn(bc, graft.Cols.q(t))
+        // gets its own copy of the active columns (suffix __b{i}) and
+        // its chain transforms those in place; the union's OUTPUT is
+        // the concatenation of the branches' outputs
+        val (out, unionCols) = branches.zipWithIndex
+          .foldLeft((df, Seq.empty[String])) { case ((acc, ucols), (b, i)) =>
+            val branchCols = cols.map(t => s"${t}__b$i")
+            val withCopies = cols.zip(branchCols).foldLeft(acc) {
+              case (a, (t, bc)) => a.withColumn(bc, graft.Cols.q(t))
+            }
+            val (d2, bOut) = fitTransformCols(withCopies, branchCols, b)
+            (d2, ucols ++ bOut)
           }
-          fitTransform(withCopies, branchCols, b)
-        }
+        (out, unionCols)
       // estimator-stage nodes (incl. the raw-spec and windowed wrappers)
       // are the builder's job, not preprocessing — pass the frame through
       case _: Reconstruction | _: Detector | _: CvSplit | _: RawSpec |
-           _: Windowed => df
+           _: Windowed => (df, cols)
     }
 
   /** Extract the anomaly-detector spec from a compiled tree (the final
@@ -366,6 +389,8 @@ object ModelRegistry {
       case Windowed(_, 0, _) =>
         new DiffAnomaly.WindowAutoencoder(t => s"${t}__lag0")
       case Windowed(_, _, inner) => reconstructorOf(inner, orderCol, epoch0)
+      case PipelineOf(Nil) =>
+        throw new CompileException("empty base-estimator Pipeline")
       case PipelineOf(steps) => reconstructorOf(steps.last, orderCol, epoch0)
       case other => throw new CompileException(s"no reconstructor in $other")
     }

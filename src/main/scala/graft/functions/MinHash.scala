@@ -38,23 +38,13 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhash_signature expects array<string>, got ${other.catalogString}")
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   /** Per-permutation salt bytes, computed once per expression instance —
     * not once per row. */
   @transient private lazy val prefixes: Array[Array[Byte]] =
     Array.tabulate(k)(p => (p.toString + "|").getBytes("UTF-8"))
 
-  private def hex(bytes: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = hexDigits(bytes(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
+  private def hex(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromBytes(HexBytes.lowerHex(bytes))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -195,18 +185,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       s"winnow_fingerprints expects string, got ${other.catalogString}")
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def hex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < 16) {
-      sb.append(hexDigits((bytes(i) >> 4) & 0xf))
-      sb.append(hexDigits(bytes(i) & 0xf))
-      i += 1
-    }
-    sb.toString
-  }
+  private def hex(bytes: Array[Byte]): String =
+    new String(HexBytes.lowerHex(bytes), java.nio.charset.StandardCharsets.US_ASCII)
 
   override def nullSafeEval(v: Any): Any = {
     // CODE POINTS, not UTF-16 units: SQL length()/substr() count code
@@ -256,4 +236,21 @@ object Winnow {
   /** Distinct winnowing fingerprints of a text column. */
   def fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+}
+
+/** Shared lowercase-hex encoder for the md5-digest kernels — one
+  * implementation, two string representations (UTF8String for the
+  * expression path, String for the fingerprint path). */
+private[functions] object HexBytes {
+  private val hexDigits = "0123456789abcdef".getBytes("US-ASCII")
+  def lowerHex(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    out
+  }
 }
