@@ -77,7 +77,16 @@ object Bench {
         // the q87 leak coming back invisibly.
         if (df != null)
           graft.llm.Components.releaseQuietly(df).foreach { msg =>
-            if (!errors.exists(_._1 == name)) errors ::= (name -> msg)
+            // MERGE with any rep error rather than suppressing: a flaky
+            // query that already recorded a rep failure must not render
+            // its leaking release invisible — both signals matter
+            errors = errors.find(_._1 == name) match {
+              case Some((_, prior)) if prior.contains(msg) => errors
+              case Some((_, prior)) =>
+                (name -> s"$prior; $msg".take(240)) ::
+                  errors.filterNot(_._1 == name)
+              case None => (name -> msg) :: errors
+            }
           }
         elapsed
       }
@@ -100,9 +109,13 @@ object Bench {
         }
       name -> (mn, md, sp)
     }
+    // ALL control chars (< 0x20), not just newline/tab: an ESC from
+    // ANSI-colored JDBC/native error text would otherwise emit invalid
+    // JSON and void the whole round's metrics (the contract Verify's
+    // escaper documents)
     def jq(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def jnum(v: Double): String = if (v.isNaN) "\"NaN\"" else v.toString
     def jmap(f: ((Double, Double, Double)) => Double): String =
       results.map { case (k, t) => jq(k) + ":" + jnum(f(t)) }
@@ -114,7 +127,7 @@ object Bench {
     val total = results.map(_._2._1).filterNot(_.isNaN).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""subsec_extra_reps":$subSecExtra,"queries":$qs,"medians":$medians,""" +
-      s""""spreads":$spreads,"errors":$errs,"sf":"$sfDir"}"""
+      s""""spreads":$spreads,"errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
     // the stdout line is what the driver tails, and tailing has clipped
     // the head of the query map two rounds running — persist the full

@@ -52,6 +52,12 @@ object Scratch {
     * changes. Callers mark completeness themselves (e.g. `_SUCCESS`). */
   def cachedDir(prefix: String, witnessFile: String): String = {
     val f = new File(witnessFile)
+    // a MISSING witness has length 0 and mtime 0 — a constant identity
+    // that would never re-key, so a regenerated source would keep
+    // serving the old cached contents forever; demand a real witness
+    require(f.exists,
+      s"cachedDir witness does not exist: $witnessFile — without it the " +
+        "cache identity cannot track source changes")
     val ident = s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8"))

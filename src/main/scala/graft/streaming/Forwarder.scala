@@ -68,9 +68,21 @@ object Forwarder {
       finally in.close()
     }
     def writeMarker(id: String): Unit = {
+      // write-temp-then-rename: a crash mid-create+write would leave a
+      // TRUNCATED marker over real batch dirs — recorded id "" matches
+      // neither the owner nor the marker-absent adopt path, locking the
+      // rightful query out of its own sink until manual cleanup. Rename
+      // is atomic on HDFS and posix local FS; object stores degrade to
+      // copy, still closing the local/cluster crash window this guards.
       sinkFs.mkdirs(outPath)
-      val out = sinkFs.create(marker, /*overwrite=*/ true)
+      val tmp = new org.apache.hadoop.fs.Path(outPath,
+        s"._graft_query_id.$id.tmp")
+      val out = sinkFs.create(tmp, /*overwrite=*/ true)
       try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      sinkFs.delete(marker, false)
+      if (!sinkFs.rename(tmp, marker))
+        throw new IllegalStateException(
+          s"could not move fence marker into place: $tmp -> $marker")
     }
 
     val sinkBatchIds: Seq[Long] =

@@ -88,7 +88,9 @@ object StreamingScoring {
     * the stream reprocesses from the source's retained offsets. */
   case class SmoothState(hist: Seq[Seq[Option[Double]]],
                          lastT: Option[Long] = None,
-                         method: String = "")
+                         method: String = "",
+                         cols: Seq[String] = Nil,
+                         width: Int = 0)
 
   /** Stateful streaming smoothing (the smooth-* trailing windows of
     * W1–W3 applied to an arriving per-machine score stream) via
@@ -133,11 +135,17 @@ object StreamingScoring {
     val spark = scored.sparkSession
     import spark.implicits._
     val nSmooth = cols.size
+    val smoothCols = cols.map(_._1)
     // boxed score values: a null score rides as None and is SKIPPED by
     // the aggregates, exactly like the batch window functions — a plain
     // Seq[Double] encoder would kill the streaming query on the first
     // null (NOT_NULL_ASSERT_VIOLATION at deserialization)
-    val packed = scored.select(
+    // a null orderCol row has no position in a trailing window and the
+    // non-nullable Long in the tuple encoder would kill the query at
+    // deserialization — permanently, since every restart replays the
+    // same offsets; drop it like a late row (the same enforcement
+    // discipline as the lastT guard)
+    val packed = scored.filter(graft.Cols.q(orderCol).isNotNull).select(
       graft.Cols.q(keyCol).cast("string"),
       graft.Cols.q(orderCol).cast("long"),
       array((cols.map(_._1) ++ carry).map(c =>
@@ -158,6 +166,19 @@ object StreamingScoring {
               s"smoothStream state for key '$key' was written by method " +
                 s"'${state.get.method}' but this query runs '$method' — " +
                 "state encodings are incompatible; use a fresh checkpoint")
+          // the column LIST and width are state-layout too: hist(i) is
+          // positional, so a restart with reordered/changed cols would
+          // silently append column b's values to column a's history
+          // (same Spark state schema — nothing else catches it), and a
+          // changed width would mix window lengths
+          if (state.exists && state.get.cols.nonEmpty &&
+              (state.get.cols != smoothCols || state.get.width != width))
+            throw new IllegalStateException(
+              s"smoothStream state for key '$key' was written for columns " +
+                s"${state.get.cols.mkString("[", ",", "]")} width " +
+                s"${state.get.width} but this query runs " +
+                s"${smoothCols.mkString("[", ",", "]")} width $width — " +
+                "per-column state is positional; use a fresh checkpoint")
           val hist: Array[Vector[Option[Double]]] =
             if (state.exists) state.get.hist.map(_.toVector).toArray
             else Array.fill(nSmooth)(Vector.empty[Option[Double]])
@@ -212,7 +233,8 @@ object StreamingScoring {
               Some((key, t, sm ++ vals.drop(nSmooth)))
             }
           }
-          state.update(SmoothState(hist.toSeq.map(_.toSeq), lastT, method))
+          state.update(SmoothState(hist.toSeq.map(_.toSeq), lastT, method,
+            smoothCols, width))
           out.iterator
       }
     smoothed.toDF("__k", "__t", "__sm").select(
@@ -296,10 +318,19 @@ object StreamingScoring {
     * the streaming side of the LLM-pipeline dedup family; near-dup
     * (MinHash/SimHash) stays a periodic batch job over the deduped sink,
     * as signatures need the full corpus index. */
+  /** Streaming exact dedup: the output carries every input column PLUS
+    * `exact_key` (the content fingerprint the dedup keyed on — part of
+    * the contract, consumers select or drop it deliberately). An input
+    * that already HAS an `exact_key` column is rejected: withColumn
+    * would silently overwrite the caller's data with the fingerprint. */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
-                  watermarkDelay: String = "1 hour"): DataFrame =
+                  watermarkDelay: String = "1 hour"): DataFrame = {
+    require(!docs.columns.contains("exact_key"),
+      "dedupStream appends its fingerprint as 'exact_key' and the input " +
+        "already has a column of that name — rename it first")
     docs
       .withWatermark(tsCol, watermarkDelay)
       .withColumn("exact_key", graft.llm.TextDedup.exactKey(col(textCol)))
       .dropDuplicatesWithinWatermark("exact_key")
+  }
 }

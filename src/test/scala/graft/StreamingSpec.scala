@@ -399,6 +399,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("incompatible")), e.toString)
   }
 
+  test("smoothStream rejects a restart with reordered columns or changed width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scols").toString
+    def run(cols: Seq[(String, String)], width: Int,
+            batches: Seq[Seq[(String, Long, Option[Double], Option[Double])]]): Unit = {
+      val input = MemoryStream[(String, Long, Option[Double], Option[Double])]
+      val stream = input.toDF().toDF("machine", "bucket_ts", "ea", "eb")
+      val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+        cols, width, "sma")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.queryExecution.toRdd.count(): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try {
+        batches.foreach(b => input.addData(b: _*))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Seq("ea" -> "sa", "eb" -> "sb"), 2,
+      Seq(Seq(("m1", 0L, Some(1.0), Some(10.0)),
+        ("m1", 600L, Some(3.0), Some(30.0)))))
+    // hist(i) is positional: restarting with the columns REORDERED (same
+    // count, same Spark state schema) would append eb's values to ea's
+    // history — the state records its column list and fails loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq("eb" -> "sb", "ea" -> "sa"), 2,
+        Seq(Seq(("m1", 900L, Some(4.0), Some(40.0))),
+          Seq(("m1", 1200L, Some(5.0), Some(50.0)))))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("positional")), e.toString)
+  }
+
+  test("smoothStream drops null-order rows instead of dying permanently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Option[Long], Option[Double])]
+    val stream = input.toDF().toDF("machine", "bucket_ts", "err")
+    val q = StreamingScoring.smoothStream(stream, "machine", "bucket_ts",
+      Seq("err" -> "sm"), width = 2, "sma")
+      .writeStream.format("memory").queryName("sm_nullord")
+      .outputMode("append").start()
+    try {
+      // the null-order row has no window position; an unfiltered encode
+      // would NOT_NULL_ASSERT and kill the query on every restart
+      input.addData(("m1", Some(0L), Some(1.0)),
+        ("m1", None, Some(99.0)), ("m1", Some(600L), Some(3.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT bucket_ts, sm FROM sm_nullord ORDER BY bucket_ts")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.toSeq == Seq((0L, None), (600L, Some(2.0))))
+    } finally q.stop()
+  }
+
+  test("dedupStream refuses an input already carrying exact_key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts", "exact_key")
+    val e = intercept[IllegalArgumentException](
+      StreamingScoring.dedupStream(stream, "text", "ts"))
+    assert(e.getMessage.contains("exact_key"))
+  }
+
+  test("cachedDir demands an existing witness (missing => frozen identity)") {
+    val e = intercept[IllegalArgumentException](
+      graft.Scratch.cachedDir("graft-testwit", "/no/such/file.parquet"))
+    assert(e.getMessage.contains("witness"))
+  }
+
   test("forwarder writes the fence marker before any batch dir, adopts legacy sinks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
