@@ -112,8 +112,19 @@ object TimeSeries {
       case "max"    => max(col(valueCol))
       case "median" => percentile(col(valueCol), lit(0.5))
       case "count"  => count(col(valueCol)).cast("double")
-      case "first"  => min_by(col(valueCol), col(tsCol))
-      case "last"   => max_by(col(valueCol), col(tsCol))
+      // first/last with a DETERMINISTIC tie-break: bare min_by/max_by
+      // pick an arbitrary row when several share the extreme timestamp
+      // (partitioning-dependent, so the same data could hash differently
+      // across runs). Lexicographic (ts, value) struct ordering breaks
+      // ties by value — identically expressible in external SQL engines
+      // — and null values are excluded like the other aggregates
+      // (a null is a missing observation, not a winning candidate).
+      case "first"  =>
+        min(when(col(valueCol).isNotNull,
+          struct(col(tsCol), col(valueCol)))).getField(valueCol)
+      case "last"   =>
+        max(when(col(valueCol).isNotNull,
+          struct(col(tsCol), col(valueCol)))).getField(valueCol)
       case m => throw new IllegalArgumentException(s"unsupported aggregation: $m")
     }
 
@@ -345,6 +356,13 @@ object TimeSeries {
     * interpolated quantiles, drop rows outside. Two-phase agg+broadcast
     * join: the fence table has one row per series, so the join is a
     * broadcast at any scale. */
+  /** Scale note: the exact `percentile` aggregate buffers a
+    * distinct-value map PER GROUP, so per-task state is bounded only by
+    * the group's distinct-value count — fine for the reference shape
+    * (per-series resampled frames: bounded rows per machine), a
+    * scale trap when fed RAW events keyed by a low-cardinality column
+    * (one group swallows a table-sized population). Feed resampled
+    * series, or pre-bucket values, when the input is lake-scale. */
   def filterPeriodsIqr(df: DataFrame, keys: Seq[String], valueCol: String,
                        nIqr: Double): DataFrame = {
     val v = col(valueCol)

@@ -508,8 +508,11 @@ object AnomalyQueries {
     require(again.forall(_.fromCache),
       "second project build must hit the cache registry")
     val rows = results.flatMap { r =>
-      val dsCfg = graft.config.Config.datasetConfig(r.spec)
-      val n = TimeSeries.getData(long, "tag", "ts", "value", dsCfg).count()
+      // the assembled-frame row count IS the last fold's testEnd (the
+      // TimeSeriesSplit test spans tile the tail of the frame) — a
+      // third full resample→grid→interpolate→pivot assembly per machine
+      // just to count rows would pay the dominant lake-scan cost again
+      val n = r.fitted.folds.last.testEnd
       r.fitted.targets.map { t =>
         val (ctr, span) = r.fitted.scaler.stats(t)
         (r.spec.name, t, n, ctr, span)
@@ -756,7 +759,7 @@ object AnomalyQueries {
         |      sum(${a}) AS sx_c, sum(${a}*${a}) AS sxx_c,
         |      sum(${a}) AS sy_c, sum(${b}*${a}) AS sxy_c,
         |      sum(${b}) AS sy_v, sum(${a}*${b}) AS sxy_v,
-        |      max(${a}) - min(${a}) AS s_c, max(${b}) - min(${b}) AS s_v
+        |      CASE WHEN max(${a}) = min(${a}) THEN 1.0 ELSE max(${a}) - min(${a}) END AS s_c, CASE WHEN max(${b}) = min(${b}) THEN 1.0 ELSE max(${b}) - min(${b}) END AS s_v
         |    FROM tr)),
         |te AS (SELECT i.rn, i.${a}, i.${b},
         |    a_c + b_c * i.${b} AS p_c, a_v + b_v * i.${a} AS p_v, s_c, s_v,
@@ -844,8 +847,8 @@ object AnomalyQueries {
         |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
         |fm AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
         |              regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
-        |              max(click) - min(click) AS s_c,
-        |              max(view) - min(view) AS s_v
+        |              CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c,
+        |              CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v
         |       FROM tr),
         |te AS (SELECT i.rn, i.click, i.view,
         |              a_c + b_c * i.x AS p_c, a_v + b_v * i.x AS p_v, s_c, s_v,
@@ -920,8 +923,8 @@ object AnomalyQueries {
         |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
         |fm AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
         |              regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
-        |              max(click) - min(click) AS s_c,
-        |              max(view) - min(view) AS s_v
+        |              CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c,
+        |              CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v
         |       FROM tr),
         |te AS (SELECT i.rn, i.click, i.view,
         |              a_c + b_c * i.x AS p_c, a_v + b_v * i.x AS p_v, s_c, s_v,
@@ -1022,7 +1025,7 @@ object AnomalyQueries {
         |trs AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
         |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
         |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
-        |    sum(l2*click) AS s2y, max(click) - min(click) AS s_c
+        |    sum(l2*click) AS s2y, CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c
         |  FROM tr),
         |fm AS (SELECT s_c,
         |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
@@ -1110,7 +1113,7 @@ object AnomalyQueries {
         |trs AS (SELECT count(*) + 1e-8 AS a, sum(l1) AS s1, sum(l2) AS s2,
         |    sum(click) AS sy, sum(l1*l1) + 1e-8 AS s11, sum(l1*l2) AS s12,
         |    sum(l2*l2) + 1e-8 AS s22, sum(l1*click) AS s1y,
-        |    sum(l2*click) AS s2y, max(click) - min(click) AS s_c
+        |    sum(l2*click) AS s2y, CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c
         |  FROM tr),
         |fm AS (SELECT s_c,
         |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
@@ -1255,7 +1258,7 @@ object AnomalyQueries {
         |  FROM (SELECT count(*) AS n,
         |      sum(click) AS sx_c, sum(click*click) AS sxx_c,
         |      sum(view) AS sy_v, sum(click*view) AS sxy_v,
-        |      max(view) - min(view) AS s_v
+        |      CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v
         |    FROM tr)),
         |te AS (SELECT i.rn, i.view,
         |    a_v + b_v * i.click AS p_v, s_v,
@@ -1317,8 +1320,8 @@ object AnomalyQueries {
         |lastfold AS (SELECT n - (n//4) AS test_start FROM nn),
         |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
         |fm AS (${pcaFitSql("tr")}),
-        |fs AS (SELECT max(click) - min(click) AS s_c,
-        |              max(view) - min(view) AS s_v FROM tr),
+        |fs AS (SELECT CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c,
+        |              CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v FROM tr),
         |te AS (SELECT i.rn, i.click, i.view,
         |    fm.mu_c + fm.w_c * ((i.click - fm.mu_c) * fm.w_c + (i.view - fm.mu_v) * fm.w_v) AS p_c,
         |    fm.mu_v + fm.w_v * ((i.click - fm.mu_c) * fm.w_c + (i.view - fm.mu_v) * fm.w_v) AS p_v,
@@ -1408,8 +1411,8 @@ object AnomalyQueries {
         |tr AS (SELECT i.* FROM idx i, lastfold WHERE rn < test_start),
         |fm AS (SELECT regr_slope(click, x) AS b_c, regr_intercept(click, x) AS a_c,
         |              regr_slope(view, x) AS b_v, regr_intercept(view, x) AS a_v,
-        |              max(click) - min(click) AS s_c,
-        |              max(view) - min(view) AS s_v
+        |              CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c,
+        |              CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v
         |       FROM tr),
         |te AS (SELECT i.rn, i.click, i.view,
         |              a_c + b_c * i.x AS p_c, a_v + b_v * i.x AS p_v, s_c, s_v,
@@ -1540,8 +1543,8 @@ object AnomalyQueries {
         |    ((n + 1e-8)*sxy_v - sx_c*sy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS b_v,
         |    (sy_v*(sxx_c + 1e-8) - sx_c*sxy_v) / ((n + 1e-8)*(sxx_c + 1e-8) - sx_c*sx_c) AS a_v
         |  FROM tragg),
-        |mm AS (SELECT min(click) AS mn_c, max(click) - min(click) AS s_c,
-        |              min(view) AS mn_v, max(view) - min(view) AS s_v
+        |mm AS (SELECT min(click) AS mn_c, CASE WHEN max(click) = min(click) THEN 1.0 ELSE max(click) - min(click) END AS s_c,
+        |              min(view) AS mn_v, CASE WHEN max(view) = min(view) THEN 1.0 ELSE max(view) - min(view) END AS s_v
         |       FROM idx),
         |te AS (SELECT f.fold,
         |    (i.click - mn_c)/s_c AS click, (i.view - mn_v)/s_v AS view,

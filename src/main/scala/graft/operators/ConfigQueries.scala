@@ -65,7 +65,12 @@ object ConfigQueries {
       .filter($"event_id" % 20 === 0)
       .select($"event_id",
         concat(date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-          element_at(lit(offsets), (pmod($"event_id", lit(4)) + 1).cast("int")))
+          // index by id/20, NOT id: every selected id is ≡ 0 (mod 4), so
+          // a bare pmod(id, 4) picked '+00:00' for all 500 rows and the
+          // half-hour/45-minute offsets — the query's whole point —
+          // were never exercised
+          element_at(lit(offsets),
+            (pmod(($"event_id" / 20).cast("long"), lit(4)) + 1).cast("int")))
           .as("iso"))
     iso.as[(Long, String)]
       .map { case (id, s) =>
@@ -335,7 +340,7 @@ object ConfigQueries {
       """WITH e AS (
         |  SELECT event_id,
         |    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') ||
-        |      (['+00:00', '+02:00', '-05:30', '+09:45'])[CAST(event_id % 4 AS INTEGER) + 1]
+        |      (['+00:00', '+02:00', '-05:30', '+09:45'])[CAST((event_id // 20) % 4 AS INTEGER) + 1]
         |      AS iso
         |  FROM events WHERE event_id % 20 = 0)
         |SELECT event_id, iso, epoch_us(CAST(iso AS TIMESTAMPTZ)) AS epoch_us

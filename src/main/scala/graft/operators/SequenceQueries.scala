@@ -146,8 +146,8 @@ object SequenceQueries {
         |fm AS (SELECT f.fold, f.test_start, f.test_end,
         |    regr_slope(i.click, i.x) AS b_c, regr_intercept(i.click, i.x) AS a_c,
         |    regr_slope(i.view, i.x) AS b_v, regr_intercept(i.view, i.x) AS a_v,
-        |    max(i.click) - min(i.click) AS s_c,
-        |    max(i.view) - min(i.view) AS s_v
+        |    CASE WHEN max(i.click) = min(i.click) THEN 1.0 ELSE max(i.click) - min(i.click) END AS s_c,
+        |    CASE WHEN max(i.view) = min(i.view) THEN 1.0 ELSE max(i.view) - min(i.view) END AS s_v
         |  FROM folds f JOIN idx i ON i.rn < f.test_start OR i.rn >= f.test_end
         |  GROUP BY f.fold, f.test_start, f.test_end),
         |scat AS (SELECT i.rn,

@@ -306,7 +306,8 @@ object TimeSeriesQueries {
         | min(value) AS value__min,
         | max(value) AS value__max,
         | CAST(count(value) AS DOUBLE) AS value__count,
-        | max_by(value, ts) AS value__last
+        | (max(CASE WHEN value IS NOT NULL
+        |    THEN struct_pack(ts := ts, value := value) END)).value AS value__last
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,

@@ -55,6 +55,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TimeSeries.parseResolutionSeconds("2W"))
   }
 
+  test("resample first/last break timestamp ties deterministically, skip nulls") {
+    // two events share the max ts: bare max_by picks an arbitrary one
+    // (partitioning-dependent flake); (ts, value) lexicographic order
+    // pins the winner, and a null value never wins
+    val df = Seq(("a", 100L, Some(5.0)), ("a", 100L, Some(9.0)),
+      ("a", 100L, Option.empty[Double]), ("a", 50L, Some(1.0)))
+      .toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val r = TimeSeries.resampleMulti(df, Seq("tag"), "ts", "value", 600L,
+      Seq("first", "last")).head()
+    assert(r.getAs[Double]("value__first") == 1.0)
+    assert(r.getAs[Double]("value__last") == 9.0)
+  }
+
   test("ffill fills only within the time limit") {
     // buckets 0, 600 (null), 1200 (null), 1800 (null), 2400 (value):
     // with limit 1200s the 600/1200 gaps fill from bucket 0, 1800 does not.
