@@ -226,11 +226,27 @@ object Reporters {
           try {
             val up2 = conn.prepareStatement(
               "UPDATE machine SET dataset = ?, model = ?, metadata = ? WHERE name = ?")
-            try {
-              up2.setString(1, dataset); up2.setString(2, model)
-              up2.setString(3, meta); up2.setString(4, name)
-              up2.executeUpdate()
-            } finally up2.close()
+            val updated =
+              try {
+                up2.setString(1, dataset); up2.setString(2, model)
+                up2.setString(3, meta); up2.setString(4, name)
+                up2.executeUpdate()
+              } finally up2.close()
+            // 0 rows means the racing inserter's row is GONE (its
+            // transaction rolled back after raising our violation, or a
+            // third party deleted it) — committing here would silently
+            // drop this report and a later read(name) would throw.
+            // Re-insert; a second violation (yet another racer) is a
+            // genuine repeated race and fails loudly below.
+            if (updated == 0) {
+              val ins2 = conn.prepareStatement(
+                "INSERT INTO machine (dataset, model, metadata, name) VALUES (?, ?, ?, ?)")
+              try {
+                ins2.setString(1, dataset); ins2.setString(2, model)
+                ins2.setString(3, meta); ins2.setString(4, name)
+                ins2.executeUpdate(): Unit
+              } finally ins2.close()
+            }
             conn.commit()
           } catch { case e2: Exception =>
             conn.rollback()

@@ -71,7 +71,12 @@ object Serving {
     // bumped by remove(); a holder born before the latest removal is
     // never RE-inserted by get's eviction-race repair — without the
     // guard, an in-flight get could resurrect an invalidated entry into
-    // the slot remove() just emptied
+    // the slot remove() just emptied. The epoch is deliberately GLOBAL:
+    // a remove() of key B also vetoes the repair of key A's in-flight
+    // load, costing one extra re-load in that (eviction-during-load ×
+    // concurrent-remove) corner — the conservative direction, since a
+    // per-key removal generation would have to be remembered for every
+    // key ever removed (unbounded) to stay safe against late repairs
     private var epoch = 0L
     private val map = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, Holder]): Boolean =

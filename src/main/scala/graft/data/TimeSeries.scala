@@ -291,26 +291,15 @@ object TimeSeries {
     } else {
       val c = math.max(4096, 2 * (buffer + 1))
       val idx = graft.ml.CrossValidate.withRowIndex(df, orderCols.map(col))
-      val ck = (col("__row") / c).cast("long")
-      // single-scan fan-out: the last `buffer` rows of chunk k also serve
-      // chunk k+1's left edge, the first `buffer` rows serve chunk k-1's
-      // right edge — as exploded copies, not a 3-branch self-union that
-      // re-executed the assembled-frame lineage once per branch
-      val emptyCp = array().cast("array<struct<ck: long, cy: boolean>>")
-      val copies = concat(
-        array(struct(ck.as("ck"), lit(false).as("cy"))),
-        when(col("__row") % c >= c - buffer,
-          array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
-          .otherwise(emptyCp),
-        when(col("__row") % c < buffer && ck >= 1,
-          array(struct((ck - 1).as("ck"), lit(true).as("cy"))))
-          .otherwise(emptyCp))
+      // single-scan fan-out (see Windows.chunkFanOut): the last `buffer`
+      // rows of chunk k also serve chunk k+1's left edge, the first
+      // `buffer` rows serve chunk k-1's right edge — as exploded copies,
+      // not a 3-branch self-union that re-executed the assembled-frame
+      // lineage once per branch
       val w = Window.partitionBy(col("__wck")).orderBy(col("__row"))
         .rowsBetween(-buffer, buffer)
-      idx.withColumn("__we", explode(copies))
-        .withColumn("__wck", col("__we.ck"))
-        .withColumn("__wcarry", col("__we.cy"))
-        .drop("__we")
+      graft.ml.Windows.chunkFanOut(idx, col("__row"), c,
+          carryPrev = buffer, carryNext = buffer)
         .withColumn("__bad", when(predicate, 0).otherwise(1))
         .withColumn("__drop", max($"__bad").over(w))
         .filter(!col("__wcarry") && col("__drop") === 0)
@@ -492,7 +481,18 @@ object TimeSeries {
     // registry-owned cache, so nothing downstream reads this one.
     val scopedCache = cfg.nSamplesThreshold > 0 ||
       (cfg.rowFilter.nonEmpty && cfg.rowFilterBufferSize > 0)
-    val resampled = if (scopedCache) resampled0.persist() else resampled0
+    // through the refcount registry, NOT a bare persist/unpersist pair:
+    // CacheManager dedups plan-identical persists into ONE cache entry,
+    // so two parallel builds of the same dataset (Project.buildAll's
+    // dataset-sharing shape) would otherwise share the entry and the
+    // first build's finally would yank it mid-assembly from under the
+    // second — which then silently recomputes the filter→resample lake
+    // scan for each remaining eager job, exactly the cost this cache
+    // exists to avoid. Each call takes its own reference; the last
+    // release unpersists.
+    val resampled = resampled0
+    val resampledRel =
+      if (scopedCache) acquireAssembly(resampled0) else None
     try {
     // Shared grid: global [min, max] bucket so every tag lands on the
     // same row set, PLUS the set of tags actually present — one tiny agg
@@ -535,7 +535,7 @@ object TimeSeries {
         predicate = expr(translateRowFilter(cfg.rowFilter)),
         buffer = cfg.rowFilterBufferSize)
     requireMinSamplesOwned(wide, cfg.nSamplesThreshold)
-    } finally { if (scopedCache) resampled.unpersist(): Unit }
+    } finally { resampledRel.foreach(_.apply()) }
   }
 
   private def spark_emptyWide(resampled: DataFrame, cfg: DatasetConfig): DataFrame = {

@@ -64,17 +64,25 @@ object Similarity {
     * bit-for-bit. Queries must be small (broadcast). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame = {
+    // non-finite elements must not train the quantizer: one NaN at
+    // dimension d makes hi (NaN sorts largest) and then step, recon,
+    // and EVERY corpus row's cosine NaN — cosOrFloor floors them all
+    // to -2 and each query "finds" the k smallest ids, silently. The
+    // mask lives INSIDE the aggregates (not a pre-groupBy filter): a
+    // row-level filter would delete an all-non-finite dimension's GROUP
+    // outright, and the positional loArr/stepArr below would then
+    // misalign every later dimension against transform's element index
+    // — with the masked agg the dimension keeps its row, lo comes back
+    // null, and the require fires loudly instead
+    val xd = col("x").cast("double")
+    val finite = !isnan(xd) &&
+      xd =!= lit(Double.PositiveInfinity) &&
+      xd =!= lit(Double.NegativeInfinity)
     val stats = corpus
       .select(posexplode(col(embCol)).as(Seq("d", "x")))
-      // non-finite elements must not train the quantizer: one NaN at
-      // dimension d makes hi (NaN sorts largest) and then step, recon,
-      // and EVERY corpus row's cosine NaN — cosOrFloor floors them all
-      // to -2 and each query "finds" the k smallest ids, silently
-      .filter(!isnan(col("x").cast("double")) &&
-        col("x").cast("double") =!= lit(Double.PositiveInfinity) &&
-        col("x").cast("double") =!= lit(Double.NegativeInfinity))
       .groupBy(col("d"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(min(when(finite, col("x"))).as("lo"),
+        max(when(finite, col("x"))).as("hi"))
       .orderBy(col("d"))
       .collect() // D rows (one per dimension) — bounded by the embedding width
     stats.foreach(r => require(!r.isNullAt(r.fieldIndex("lo")),

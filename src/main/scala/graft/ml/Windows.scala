@@ -116,6 +116,37 @@ object Windows {
     * `boundedRows`, when ≥ 0, caller-proves every group's span ≤ its
     * value — a group partition is then already bounded and the carry
     * machinery is skipped. */
+  /** Single-scan chunk fan-out shared by every chunk+carry kernel
+    * ([[chunkedTrailingMultiGrouped]], [[chunkedLag]],
+    * `TimeSeries.rowFilterWithBuffer`): each row EXPLODES into its own
+    * chunk (`__wck = rel / chunkSize`) plus carry copies — the last
+    * `carryNext` rows of a chunk also serve chunk k+1's left edge, the
+    * first `carryPrev` rows chunk k−1's right edge — instead of a
+    * self-union that re-executes the (often expensive) input lineage
+    * once per branch. Emits `__wck` (the window partition key) and
+    * `__wcarry` (true ⇒ duplicate: window over it, then
+    * `filter(!__wcarry)` and drop both). `rel` must be a dense 0-based
+    * row index (within whatever grouping the caller windows by). */
+  private[graft] def chunkFanOut(df: DataFrame, rel: Column, chunkSize: Int,
+                                 carryPrev: Int, carryNext: Int): DataFrame = {
+    val c = chunkSize
+    val ck = (rel / c).cast("long")
+    val emptyCp = array().cast("array<struct<ck: long, cy: boolean>>")
+    var copies = array(struct(ck.as("ck"), lit(false).as("cy")))
+    if (carryNext > 0) copies = concat(copies,
+      when(rel % c >= c - carryNext,
+        array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
+        .otherwise(emptyCp))
+    if (carryPrev > 0) copies = concat(copies,
+      when(rel % c < carryPrev && ck >= 1,
+        array(struct((ck - 1).as("ck"), lit(true).as("cy"))))
+        .otherwise(emptyCp))
+    df.withColumn("__we", explode(copies))
+      .withColumn("__wck", col("__we.ck"))
+      .withColumn("__wcarry", col("__we.cy"))
+      .drop("__we")
+  }
+
   def chunkedTrailingMultiGrouped(df: DataFrame, idxCol: String,
                                   groupCol: Column, relCol: Column,
                                   cols: Seq[(String, String, String, Int)],
@@ -149,20 +180,10 @@ object Windows {
         d.withColumn(out, when(full(in, width, fr), aggOf(kind, in, fr)))
       }.drop("__wrel")
     }
-    // single-scan fan-out: each row EXPLODES into its own chunk plus
-    // (for the last maxWidth−1 rows of a chunk) a carry copy in the next
-    // chunk — the union-of-two-filters formulation read the (often
-    // expensive, recomputed-per-branch) input lineage twice per action
-    val ck = (col("__wrel") / c).cast("long")
-    val copies = concat(
-      array(struct(ck.as("ck"), lit(false).as("cy"))),
-      when(col("__wrel") % c >= c - (maxWidth - 1),
-        array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
-        .otherwise(array().cast("array<struct<ck: long, cy: boolean>>")))
-    val fanned = withRel.withColumn("__we", explode(copies))
-      .withColumn("__wck", col("__we.ck"))
-      .withColumn("__wcarry", col("__we.cy"))
-      .drop("__we")
+    // single-scan fan-out (see [[chunkFanOut]]): the last maxWidth−1
+    // rows of each chunk carry into the next chunk's left edge
+    val fanned = chunkFanOut(withRel, col("__wrel"), c,
+      carryPrev = 0, carryNext = maxWidth - 1)
     val part = Window.partitionBy(groupCol, col("__wck"))
       .orderBy(col(idxCol))
     val withAggs = cols.foldLeft(fanned) {
@@ -197,18 +218,9 @@ object Windows {
         d.withColumn(out, lag(qc(in), k).over(part))
       }
     }
-    // single-scan fan-out (see chunkedTrailingMultiGrouped): explode
-    // each row into its chunk + an optional next-chunk carry copy
-    val ck = (rel / c).cast("long")
-    val copies = concat(
-      array(struct(ck.as("ck"), lit(false).as("cy"))),
-      when(rel % c >= c - maxLag,
-        array(struct((ck + 1).as("ck"), lit(true).as("cy"))))
-        .otherwise(array().cast("array<struct<ck: long, cy: boolean>>")))
-    val fanned = df.withColumn("__we", explode(copies))
-      .withColumn("__wck", col("__we.ck"))
-      .withColumn("__wcarry", col("__we.cy"))
-      .drop("__we")
+    // single-scan fan-out (see [[chunkFanOut]]): each chunk receives
+    // the previous chunk's last maxLag rows as carry
+    val fanned = chunkFanOut(df, rel, c, carryPrev = 0, carryNext = maxLag)
     val part = Window.partitionBy(col("__wck")).orderBy(col(idxCol))
     lags.foldLeft(fanned) { case (d, (in, out, k)) =>
       d.withColumn(out, lag(qc(in), k).over(part))

@@ -85,12 +85,20 @@ object Forwarder {
           s"could not move fence marker into place: $tmp -> $marker")
     }
 
-    val sinkBatchIds: Seq[Long] =
+    val batchDirNames: Seq[String] =
       if (!sinkFs.exists(outPath)) Nil
       else sinkFs.listStatus(outPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .flatMap(s => s.getPath.getName.stripPrefix("batch_id=").toLongOption)
-    val existingBatches = sinkBatchIds.nonEmpty
+        .map(_.getPath.getName)
+    val sinkBatchIds: Seq[Long] =
+      batchDirNames.flatMap(_.stripPrefix("batch_id=").toLongOption)
+    // ANY batch_id-prefixed dir is evidence of an existing sink — if
+    // unparseable names (a hand-renamed `batch_id=3.bak`, a copy
+    // suffix) were dropped from the evidence, a sink holding ONLY such
+    // dirs would read as empty, the stale marker would be deleted, and
+    // fresh batches would silently interleave with the stale data the
+    // fence exists to reject loudly
+    val existingBatches = batchDirNames.nonEmpty
     // the query id is stable across restarts of one checkpoint and
     // recorded in <checkpoint>/metadata as {"id":"<uuid>"} — ONE parse
     // shared by the start-time fence and the first-batch marker write,
@@ -125,7 +133,12 @@ object Forwarder {
       // max == mc is the whole two-way check: it fails when any dir
       // sits above the committed range AND when the newest committed
       // batch's dir is missing
+      // an unparseable batch_id dir is NOT accounted for by the commit
+      // log (and guards the .max against the all-unparseable case) —
+      // such a sink always takes the loud-reject branch below
       val adoptable = recorded.isEmpty && ckptId.isDefined &&
+        sinkBatchIds.size == batchDirNames.size &&
+        sinkBatchIds.nonEmpty &&
         maxCommitted.exists(sinkBatchIds.max == _)
       (recorded, ckptId) match {
         case (Some(r), Some(c)) if r == c => // clean same-checkpoint restart

@@ -187,4 +187,78 @@ class Round10FixesSpec extends AnyFunSuite {
     assert(full.map(_._1) == Seq(2L, 3L, 4L))
     assert(full == Seq((2L, inner.head._2), (3L, 0L), (4L, 0L)))
   }
+
+  test("sq8 rejects an all-non-finite dimension loudly (no silent quantizer misalignment)") {
+    // dimension 1 is NaN in EVERY corpus row: a pre-groupBy finite
+    // filter deleted its GROUP outright, so the null-lo require could
+    // never fire and the positional lo/step arrays misaligned every
+    // later dimension against transform's element index — wrong
+    // neighbors, silently. The in-aggregate mask keeps the dimension's
+    // row with a null lo and this require fires instead.
+    val corpus = Seq(
+      (1L, Array(1.0, Double.NaN, 2.0)),
+      (2L, Array(3.0, Double.NaN, 4.0)),
+      (3L, Array(0.5, Double.NaN, 1.5))).toDF("id", "emb")
+    val queries = Seq((100L, Array(1.0, 1.0, 1.0))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.sq8TopK(corpus, queries, "id", "emb", k = 2)
+    }
+    assert(e.getMessage.contains("no finite values"), e.getMessage)
+  }
+
+  test("parallel plan-identical getData calls don't yank each other's resample cache, and release it") {
+    // two builds of the SAME dataset config run concurrently
+    // (Project.buildAll's dataset-sharing shape): CacheManager dedups
+    // their plan-identical resample persists into ONE entry, so a bare
+    // persist/unpersist pair let the first finisher's finally drop the
+    // cache mid-assembly under the second — the scoped cache now takes
+    // refcounted references instead. Both calls must succeed, and after
+    // the wide-frame references are returned nothing may stay cached.
+    val long = Seq.tabulate(400)(i =>
+      ("t" + (i % 2), i.toLong * 60, i.toDouble)).toDF("tag", "epoch", "v")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"v")
+    val cfg = graft.data.TimeSeries.DatasetConfig(
+      tags = Seq("t0", "t1"), resolution = "10T",
+      nSamplesThreshold = 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = graft.data.TimeSeries.getData(
+            long, "tag", "ts", "v", cfg)
+        }))
+      val wides = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      wides.foreach(w => assert(w.count() > 0))
+      // plan-identical wide frames share ONE refcounted cache entry:
+      // while either reference is outstanding the frame stays cached
+      assert(wides.forall(_.storageLevel != StorageLevel.NONE))
+      // return the threshold path's wide-frame references (one per call)
+      graft.data.TimeSeries.releaseAssembled(wides.head)
+      assert(wides.last.storageLevel != StorageLevel.NONE,
+        "first release must not yank the sibling's shared cache")
+      graft.data.TimeSeries.releaseAssembled(wides.last)
+      assert(wides.forall(_.storageLevel == StorageLevel.NONE),
+        "last release unpersists the shared wide cache")
+    } finally pool.shutdownNow()
+  }
+
+  test("a sink holding only unparseable batch_id dirs still fences (no silent interleave)") {
+    // the fence's evidence must be the PRESENCE of batch_id-prefixed
+    // dirs, not just the parseable ids: a sink whose only batch dir is
+    // a hand-renamed `batch_id=3.bak` previously read as empty, the
+    // stale state was treated as a fresh sink, and new batches would
+    // silently interleave with the stale data
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fence4").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/out/batch_id=3.bak"))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Forwarder.toParquet(input.toDF().toDF("id", "v"),
+        s"$tmp/out", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("batch_id dirs"), e.getMessage)
+  }
 }
