@@ -452,6 +452,32 @@ object MlInvariantProps extends Properties("graft.ml") {
         }) :| s"w1=$w1 w2=$w2 got=$got truth=$truth"
     }
 
+  property("chunkFanOut emits exactly one home copy per row plus the edge carries") =
+    forAll(Gen.choose(0, 60), Gen.choose(2, 12),
+      Gen.choose(0, 5), Gen.choose(0, 5)) { (n, c, prev0, next0) =>
+      // carries wider than the chunk would make copies overlap their own
+      // chunk — every caller clamps chunkSize >= 2*carry, mirror that
+      val carryPrev = math.min(prev0, c - 1)
+      val carryNext = math.min(next0, c - 1)
+      val df = (0 until n).map(i => (i.toLong, i * 3.0)).toDF("rel", "v")
+      val got = graft.ml.Windows
+        .chunkFanOut(df, col("rel"), c, carryPrev, carryNext)
+        .select(col("rel"), col("__wck"), col("__wcarry"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val truth = (0 until n).flatMap { i =>
+        val rel = i.toLong
+        val ck = rel / c
+        Seq((rel, ck, false)) ++
+          (if (rel % c >= c - carryNext && carryNext > 0)
+            Seq((rel, ck + 1, true)) else Nil) ++
+          (if (rel % c < carryPrev && ck >= 1) Seq((rel, ck - 1, true)) else Nil)
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      Prop(got == truth) :|
+        s"n=$n c=$c prev=$carryPrev next=$carryNext got=$got truth=$truth"
+    }
+
   // ---- Metrics vs the sklearn formulas ----
 
   private val yPairGen: Gen[List[(Double, Double)]] = for {
