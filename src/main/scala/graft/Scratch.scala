@@ -46,10 +46,14 @@ object Scratch {
     p.toString
   }
 
-  /** A cache directory keyed by the witness file's identity (canonical
-    * path, length, mtime). Returns the path; contents persist across
-    * runs in one machine session and rebuild whenever the witness
-    * changes. Callers mark completeness themselves (e.g. `_SUCCESS`). */
+  /** A cache directory keyed by the witness's identity — for a file:
+    * canonical path, length, mtime; for a DIRECTORY witness (the
+    * directory-per-table lake layout `Tables` resolves): the sorted
+    * (relative path, length, mtime) list of every regular file under it,
+    * so adding/removing/rewriting any part file re-keys the cache.
+    * Returns the path; contents persist across runs in one machine
+    * session and rebuild whenever the witness changes. Callers mark
+    * completeness themselves (e.g. `_SUCCESS`). */
   def cachedDir(prefix: String, witnessFile: String): String = {
     val f = new File(witnessFile)
     // a MISSING witness has length 0 and mtime 0 — a constant identity
@@ -58,7 +62,22 @@ object Scratch {
     require(f.exists,
       s"cachedDir witness does not exist: $witnessFile — without it the " +
         "cache identity cannot track source changes")
-    val ident = s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+    val ident =
+      if (f.isDirectory) {
+        val root = f.toPath
+        val walk = Files.walk(root)
+        val parts =
+          try {
+            val b = Seq.newBuilder[String]
+            walk.forEach { p =>
+              if (Files.isRegularFile(p))
+                b += s"${root.relativize(p)}:${Files.size(p)}:" +
+                  s"${Files.getLastModifiedTime(p).toMillis}"
+            }
+            b.result().sorted
+          } finally walk.close()
+        (f.getCanonicalPath +: parts).mkString("|")
+      } else s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8"))
     val key = md.take(8).map(b => f"$b%02x").mkString

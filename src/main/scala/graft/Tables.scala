@@ -70,6 +70,19 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
+  /** The locally-resolved path of a table under either layout —
+    * `dir/<name>/` (lake) if it exists, else `dir/<name>.parquet` — for
+    * use as a [[graft.Scratch.cachedDir]] witness. Hard-coding the
+    * `.parquet` suffix at a cachedDir call site would make every
+    * derived-artifact query fail its witness check on the directory
+    * layout [[apply]] resolves fine. Local-FS only by design:
+    * cachedDir's derived artifacts (a written lake, a Derby seed, a
+    * stream input) are local-machine caches. */
+  def witness(dir: String, name: String): String = {
+    val d = new java.io.File(s"$dir/$name")
+    if (d.isDirectory) d.toString else s"$dir/$name.parquet"
+  }
+
   /** Materialize `events` in the lake layout: directory-per-table,
     * Hive-partitioned on `event_date` (UTC day of `ts`), multiple files
     * per partition at scale. This is the write side of the 100 TB

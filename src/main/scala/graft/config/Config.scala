@@ -325,7 +325,25 @@ object Config {
       tags = tags,
       targetTags = targetTags,
       resolution = str("resolution").getOrElse("10T"),
-      aggregationMethod = str("aggregation_methods").getOrElse("mean"),
+      // the reference accepts pandas' `agg` arg here — a string OR a
+      // list. A list would previously stringify ("List(mean, max)") and
+      // surface as `unsupported aggregation` deep inside getData; the
+      // build pipeline's wide frame holds ONE value column per tag, so
+      // the multi form cannot thread through it — name the limitation
+      // (and the resampleMulti escape hatch) at parse time instead. A
+      // one-element list is the scalar in pandas spelling; accept it.
+      aggregationMethod = ds.get("aggregation_methods") match {
+        case None | Some(null) => "mean"
+        case Some(s: String) => s
+        case Some(l: List[_]) if l.size == 1 => l.head.toString
+        case Some(l: List[_]) => throw new ConfigException(
+          s"aggregation_methods list form [${l.mkString(", ")}] is not " +
+            "supported in the build pipeline (the wide frame assembles " +
+            "one value column per tag) — use TimeSeries.resampleMulti " +
+            "for multi-aggregate resampling, or pick one method")
+        case Some(other) => throw new ConfigException(
+          s"bad aggregation_methods: $other")
+      },
       trainStart = isoStr("train_start_date"),
       trainEnd = isoStr("train_end_date"),
       rowFilter = str("row_filter").getOrElse(""),

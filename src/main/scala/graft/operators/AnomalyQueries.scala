@@ -16,8 +16,7 @@ import graft.ml.DiffAnomaly
   */
 object AnomalyQueries {
 
-  private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  import Parity.r4
 
   private val epoch0 = 1704067200L // 2024-01-01, the events table start
 
@@ -97,7 +96,7 @@ object AnomalyQueries {
     // the stream input (full filtered events + sentinel) is expensive to
     // rewrite per bench rep — cache it keyed by the source's identity;
     // checkpoint/sink dirs stay per-run (deleted at JVM exit)
-    val in = graft.Scratch.cachedDir("graft-stream-in", s"$dir/events.parquet")
+    val in = graft.Scratch.cachedDir("graft-stream-in", graft.Tables.witness(dir, "events"))
     if (!new java.io.File(s"$in/_SUCCESS").exists()) {
       val long = Tables(spark, dir, "events")
         .filter($"event_type".isin(tags: _*))

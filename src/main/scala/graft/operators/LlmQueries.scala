@@ -18,8 +18,7 @@ import graft.llm.{AnnIndex, Components, Multimodal, Similarity, TextAnalysis, Te
   */
 object LlmQueries {
 
-  private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  import Parity.r4
 
   /** Text statistics per (lang, source) partition of the corpus. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -371,7 +370,7 @@ object LlmQueries {
     * length(text). */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val in = graft.Scratch.cachedDir("graft-q76-in", s"$dir/documents.parquet")
+    val in = graft.Scratch.cachedDir("graft-q76-in", graft.Tables.witness(dir, "documents"))
     if (!new java.io.File(s"$in/_SUCCESS").exists())
       Tables(spark, dir, "documents")
         .select($"doc_id", $"text",

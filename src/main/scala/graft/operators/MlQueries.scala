@@ -13,9 +13,7 @@ import graft.ml.{CrossValidate, Ewma, InfImputer, Metrics, Scalers}
   */
 object MlQueries {
 
-  /** Bit-identical 4dp rounding; see TimeSeriesQueries.r4. */
-  private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  import Parity.r4
 
   private val tags = Seq("click", "error", "purchase", "signup", "view")
 

@@ -12,8 +12,7 @@ import graft.ml.{DiffAnomaly, Windows}
   */
 object SequenceQueries {
 
-  private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  import Parity.r4
 
   private def clickHourly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -22,15 +22,10 @@ object TimeSeriesQueries {
 
   private val H = 3600L
 
-  /** Bit-identical 4-decimal rounding for oracle parity: `floor(x*1e4 +
-    * 0.5)/1e4` computed in IEEE doubles gives the same bits in Spark and
-    * DuckDB, unlike `round(x, 4)` — Spark rounds the shortest decimal
-    * repr (HALF_UP on "22.04875") while DuckDB rounds the binary value
-    * (22.048749999…) and the two disagree on exact-half boundaries, which
-    * linear interpolation produces systematically (frac=¼ over
-    * terminating-decimal anchors). SQL twin: `floor(x*10000 + 0.5)/10000`. */
-  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  // bit-identical 4-decimal rounding for oracle parity — the full
+  // Spark-vs-DuckDB half-rounding rationale lives on the ONE shared
+  // definition in [[Parity.r4]]
+  import Parity.r4
 
   /** A1: resample to 1h buckets, mean per (tag, bucket) — pandas
     * `resample("1H").mean()` left-closed/left-labeled semantics
@@ -206,7 +201,7 @@ object TimeSeriesQueries {
     // regenerated events table rebuilds the lake instead of silently
     // serving the stale layout
     val lake = graft.Scratch.cachedDir("graft-lake",
-      s"$dir/events.parquet") + "/events"
+      graft.Tables.witness(dir, "events")) + "/events"
     if (!new java.io.File(s"$lake/_SUCCESS").exists())
       Tables.writePartitionedEvents(spark, dir, lake)
     val (start, end) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
@@ -239,7 +234,7 @@ object TimeSeriesQueries {
     // keyed by the source file's identity (q68's cachedDir discipline):
     // regenerated events re-seed the database instead of serving stale rows
     val dbHome = graft.Scratch.cachedDir("graft-q73-derby",
-      s"$dir/events.parquet")
+      graft.Tables.witness(dir, "events"))
     val url = s"jdbc:derby:$dbHome/db"
     if (!new java.io.File(s"$dbHome/seeded").exists()) {
       Tables(spark, dir, "events")

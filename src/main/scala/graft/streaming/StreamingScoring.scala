@@ -274,8 +274,21 @@ object StreamingScoring {
       s"anomalyJob scores unwindowed detectors against raw stream tags; " +
         s"got lag-feature tags ${lagLike.take(3).mkString(", ")} — apply " +
         "the window surgery upstream and use scoreStream directly")
-    val wide0 = resampleWideStream(stream, keyCol, tsCol, valueCol,
-      (fd.tags ++ fd.targets).distinct, resolutionSec, watermarkDelay)
+    val allTags = (fd.tags ++ fd.targets).distinct
+    val wide1 = resampleWideStream(stream, keyCol, tsCol, valueCol,
+      allTags, resolutionSec, watermarkDelay)
+    // batch parity for INCOMPLETE buckets: the windowed agg emits a
+    // bucket whenever ANY tag has events in it, with the absent tags
+    // null — but the batch assembly (getData's pivot + any-null drop)
+    // emits nothing for such a bucket. Without this filter the job
+    // would sink rows with null scores for buckets batch never scores,
+    // AND feed the nulls into every trailing smooth window (nulling the
+    // next `width` smooth values and shifting every later one onto
+    // different row positions than batch). Same predicate as the batch
+    // drop: null AND NaN both disqualify.
+    val wide0 = wide1.filter(allTags.map(t =>
+      graft.Cols.q(t).isNotNull && !isnan(graft.Cols.q(t).cast("double")))
+      .reduce(_ && _))
     // the detector reads its FITTED orderCol, which is "bucket_ts" only
     // by convention — rename instead of failing plan analysis for
     // detectors legitimately fitted on another time-column name

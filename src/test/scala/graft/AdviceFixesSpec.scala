@@ -372,6 +372,44 @@ class AdviceFixesSpec extends AnyFunSuite {
     } finally witness.delete()
   }
 
+  test("cachedDir keys a DIRECTORY witness by its file contents (lake layout)") {
+    // the directory-per-table lake layout resolves through Tables, so a
+    // cachedDir witness can be a partitioned directory — its identity
+    // must re-key when any part file changes, and stay stable otherwise
+    val w = Files.createTempDirectory("advice-dirw").toFile
+    try {
+      val part = new java.io.File(w, "event_date=2024-01-01")
+      assert(part.mkdir())
+      val f = new java.io.File(part, "part-0.parquet")
+      Files.write(f.toPath, Array[Byte](1, 2, 3))
+      val d1 = Scratch.cachedDir("advice-dirw", w.getPath)
+      assert(d1 == Scratch.cachedDir("advice-dirw", w.getPath),
+        "unchanged directory witness must keep its key")
+      Files.write(f.toPath, Array[Byte](1, 2, 3, 4)) // length change
+      val d2 = Scratch.cachedDir("advice-dirw", w.getPath)
+      assert(d1 != d2, "a rewritten part file must re-key the cache")
+      new java.io.File(d1).delete(); new java.io.File(d2).delete()
+    } finally {
+      val walk = Files.walk(w.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
+  }
+
+  test("Tables.witness resolves the lake directory when present, else the single file") {
+    val root = Files.createTempDirectory("advice-witness").toFile
+    try {
+      assert(Tables.witness(root.getPath, "events")
+        == s"${root.getPath}/events.parquet")
+      assert(new java.io.File(root, "events").mkdir())
+      assert(Tables.witness(root.getPath, "events")
+        == new java.io.File(root, "events").toString)
+    } finally {
+      new java.io.File(root, "events").delete(); root.delete()
+    }
+  }
+
   test("ridgeBuildFrameSql rejects identifier-unsafe and colliding tags") {
     import graft.operators.AnomalyQueries.ridgeBuildFrameSql
     // the safe call sites still work

@@ -127,6 +127,27 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation_methods accepts string and one-element list, rejects the multi list loudly") {
+    def dc(agg: String) = Config.datasetConfig(Config.machineFromConfig(
+      Config.parseYaml(
+        s"""name: m
+           |dataset:
+           |  tag_list: [a, b]
+           |  aggregation_methods: $agg
+           |model:
+           |  sklearn.preprocessing.MinMaxScaler: {}
+           |""".stripMargin), Some("p")))
+    assert(dc("max").aggregationMethod == "max")
+    // one-element list = the scalar in pandas spelling
+    assert(dc("[max]").aggregationMethod == "max")
+    // the multi list previously stringified to "List(mean, max)" and
+    // surfaced as `unsupported aggregation: List(mean, max)` deep inside
+    // getData — the bridge must name the limitation (and the
+    // resampleMulti escape hatch) at parse time
+    val e = intercept[Config.ConfigException] { dc("[mean, max]") }
+    assert(e.getMessage.contains("resampleMulti"), e.getMessage)
+  }
+
   test("empty or comments-only YAML parses to an empty config, not null") {
     assert(Config.parseYaml("") == Map.empty)
     assert(Config.parseYaml("# just a comment\n") == Map.empty)

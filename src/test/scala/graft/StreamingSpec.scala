@@ -359,6 +359,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyJob drops incomplete buckets like the batch assembly (review fix)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val res = 600L
+    def sample(tag: String, i: Int): (String, Long, Double) =
+      (tag, i * res + 30L,
+        if (tag == "tx") 10.0 + i * 2.0 + (i % 3) else 25.0 + i * 1.5)
+    // bucket 5 has NO ty events: the streaming windowed agg still emits
+    // it (ty=null) but the batch assembly's pivot + any-null drop does
+    // not — without the job's parity filter the sink would hold a
+    // null-score row for bucket 5 AND its null would roll through the
+    // next `width` smooth windows, shifting every later smooth value
+    // onto different row positions than batch
+    val base = (0 until 12).flatMap(i =>
+      if (i == 5) Seq(sample("tx", i))
+      else Seq(sample("tx", i), sample("ty", i)))
+    val allEvents = base.toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val r = graft.data.TimeSeries.resample(allEvents, Seq("tag"), "ts", "value", res)
+    val wideAll = graft.data.TimeSeries.pivotWide(r, "tag", Seq("tx", "ty"))
+    val wide = wideAll.filter(
+      $"tx".isNotNull && !isnan($"tx") && $"ty".isNotNull && !isnan($"ty"))
+    val fitted = DiffAnomaly.fit(wide, Seq("tx", "ty"), "bucket_ts",
+      new DiffAnomaly.TrendReconstructor("bucket_ts", 0L), nSplits = 3,
+      window = Some(3), smoothingMethod = "smm")
+    val batch = DiffAnomaly.anomaly(fitted, wide, res)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e-inc").toString
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF().toDF("tag", "epoch", "value")
+      .select($"tag", timestamp_seconds($"epoch").as("ts"), $"value")
+    val q = StreamingScoring.anomalyJob(fitted, "m1", stream,
+      "tag", "ts", "value", res, s"$tmp/out", s"$tmp/ckpt",
+      watermarkDelay = "600 seconds")
+    try {
+      input.addData(base.filter(_._2 < 7 * res): _*)
+      q.processAllAvailable()
+      input.addData(base.filter(_._2 >= 7 * res) :+ (("tx", 20000L, 0.0)): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out")
+      // the incomplete bucket must not reach the sink
+      assert(!got.select($"start").as[Long].collect().contains(5 * res),
+        "incomplete bucket 5 must be dropped like the batch assembly drops it")
+      val cols = batch.columns.toSeq
+      val exp = batch.orderBy($"start")
+        .select(cols.map(c => col(s"`$c`")): _*).collect()
+      val act = got.orderBy($"start")
+        .select(cols.map(c => col(s"`$c`")): _*).collect()
+      assert(act.length == exp.length,
+        s"rows: got ${act.length}, want ${exp.length}")
+      act.zip(exp).foreach { case (a, e) => assert(a == e) }
+    } finally q.stop()
+  }
+
   test("smoothStream rejects a checkpointed restart under a different method (advice: low)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
