@@ -51,8 +51,10 @@ class PlanGuardSpec extends AnyFunSuite {
     * regression even while results stay correct. Budgets are the
     * reviewed plan's count — raising one must come with a reason, like
     * the allowlist above. Counted on the pre-execution adaptive plan
-    * (deterministic given the fixed sf0.001 inputs). */
-  test("headline queries stay within their reviewed shuffle budgets") {
+    * (deterministic given the fixed sf0.001 inputs). The first map is
+    * the headline set with per-plan review notes; round 10 extended the
+    * pin to EVERY registered query. */
+  test("every registered query stays within its reviewed shuffle budget") {
     val budgets = Map(
       "q01_pricing_summary" -> 2, // partial+final agg, output sort
       "q02_select_where" -> 1, // output sort only (scan-side filter)
@@ -68,7 +70,77 @@ class PlanGuardSpec extends AnyFunSuite {
       "q45_simhash_neardup" -> 2, // band bucket join (bcast), dedup, sort
       "q50_winnowing" -> 1, // pure map + output sort
       "q57_asof_join" -> 8, // union window + chunk-carry frame (ids/finals/prefix scan)
-      "q68_partitioned_source" -> 4) // pruned scan then the q21 pipeline
+      "q68_partitioned_source" -> 4) ++ // pruned scan then the q21 pipeline
+      // The rest of the registry, pinned from the round-10 full-plan
+      // sweep (Test/runMain graft.ShuffleCount): each value is the
+      // REVIEWED static count on the pre-execution plan, INCLUDING the
+      // subtrees printed under InMemoryTableScan nodes — a cached
+      // assembly's child exchanges count once per appearance, so these
+      // are plan FINGERPRINTS (an upper bound on runtime shuffles), and
+      // any growth is a plan change someone must explain here.
+      Map(
+        // relational/set tail: agg + sort shapes, anti/semi broadcast
+        "q03_revenue_filter" -> 0, "q06_active_customers_semi" -> 2,
+        "q10_percentiles_by_type" -> 2, "q11_except_users" -> 3,
+        "q12_intersect_users" -> 3,
+        // time-series kernels: bucket agg, grid join windows, pivot
+        "q08_rolling_stats" -> 2, "q09_rolling_min_max_threshold" -> 2,
+        "q14_grid_ffill" -> 3, "q15_grid_interpolate" -> 3,
+        "q16_rowfilter_buffer" -> 2, "q17_known_periods" -> 2,
+        "q18_filter_iqr" -> 3, "q19_filter_median" -> 3,
+        "q20_pivot_daily" -> 3, "q22_smooth_threshold_144" -> 3,
+        "q28_ewma" -> 3, "q44_resample_multi" -> 2,
+        // ml transforms/metrics over the assembled frame
+        "q23_metrics_linear" -> 3, "q25_minmax_scale" -> 3,
+        "q26_robust_scale" -> 3, "q27_inf_imputer" -> 3,
+        "q38_sliding_windows" -> 3, "q39_trailing_align" -> 4,
+        "q43_pca_anomaly" -> 3, "q74_ewm_anomaly_frame" -> 2,
+        // driver-side fits returning small frames
+        "q24_cv_folds" -> 1, "q40_kfcv_thresholds" -> 0,
+        "q54_cv_score_agg" -> 1,
+        // llm text/dedup: map-side expressions + banded/bucketed joins
+        "q30_text_stats" -> 2, "q31_quality_scores" -> 1,
+        "q32_langid_confusion" -> 2, "q36_ann_lsh_buckets" -> 2,
+        "q37_multimodal_features" -> 1, "q42_embedding_neardup" -> 2,
+        "q46_ngram_jaccard" -> 2, "q48_fingerprint_dup_groups" -> 2,
+        "q52_ngram_jaccard_ppjoin" -> 5, "q88_repetition_stats" -> 1,
+        "q89_contamination" -> 4,
+        // ANN rank paths (probed-list equi-joins; queries broadcast)
+        "q47_ann_ivf_topk" -> 6, "q83_ann_sq8_topk" -> 2,
+        "q85_ann_pq_topk" -> 2, "q86_ann_ivfpq_topk" -> 6,
+        // iterative closure: checkpoint-backed scan + keep logic + sort
+        "q87_dup_clusters" -> 2,
+        // full build round-trips; the window (M6/M10) builds carry the
+        // lag-window + interpolation-grid stages, with the cached
+        // bounds-agg subtree printed under each consumer
+        "q41_config_build" -> 4, "q49_target_tags_build" -> 4,
+        "q51_lstm_forecast" -> 7, "q72_lookahead_forecast" -> 13,
+        "q77_raw_spec_build" -> 4,
+        // serve/persist/report paths returning compact frames
+        "q53_nested_json" -> 1, "q55_verify_columns" -> 1,
+        "q59_multiply_transform" -> 1, "q64_response_columns" -> 1,
+        "q70_metric_batch" -> 1, "q75_project_build" -> 1,
+        "q79_lru_cache" -> 1, "q80_model_dump_layout" -> 1,
+        "q81_serializer_roundtrip" -> 1,
+        // config/scalar function queries over local or tiny frames
+        "q56_normalize_tags" -> 1, "q58_sql_kernels" -> 1,
+        "q60_hourglass_dims" -> 1, "q61_iso_parse" -> 1,
+        "q62_template_expand" -> 1, "q63_json_body" -> 1,
+        "q65_fixup_resources" -> 1, "q66_into_definition" -> 1,
+        "q78_factory_registry" -> 1, "q82_sha3_cache_key" -> 1,
+        // sources: seeded-artifact readbacks (the JDBC source resamples
+        // on top of its parallel range scan) and streaming output scans
+        "q67_jdbc_readback" -> 1, "q71_random_provider" -> 1,
+        "q73_jdbc_source" -> 6, "q84_influx_source" -> 1,
+        "q69_streaming_anomaly" -> 1, "q76_streaming_dedup" -> 1)
+    // the pin is total on purpose: a NEW query ships with a reviewed
+    // budget or this fails — plan review can't be skipped by omission
+    val unpinned = SparkEntry.queries.keySet -- budgets.keySet
+    assert(unpinned.isEmpty,
+      s"queries with no reviewed shuffle budget: ${unpinned.toSeq.sorted.mkString(", ")}")
+    val stale = budgets.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"budgets for unregistered queries: ${stale.toSeq.sorted.mkString(", ")}")
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
