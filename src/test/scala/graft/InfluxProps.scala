@@ -29,11 +29,18 @@ object InfluxProps extends Properties("graft.influx") {
     var i = 0
     var field = 0 // 0: measurement, 1: k=tag, 2: f=v, 3: ns
     while (i < line.length) {
+      // line-protocol escaping is POSITION-AWARE (the public parser
+      // scans with a per-section escape set): in measurement position
+      // only `\,` and `\ ` are escapes — `=` has no meaning there, so
+      // a measurement named `\=` is two literal characters; tag/field
+      // sections escape , = and space. A single uniform ",= " set here
+      // mis-decoded exactly that measurement (caught by this property).
+      val escapable = if (field == 0) ", " else ",= "
       line.charAt(i) match {
-        // line-protocol escaping: backslash is an escape ONLY before
-        // , = or space; anywhere else it is a literal character
+        // backslash is an escape ONLY before the section's escapable
+        // set; anywhere else it is a literal character
         case '\\' if i + 1 < line.length &&
-            ",= ".contains(line.charAt(i + 1)) =>
+            escapable.contains(line.charAt(i + 1)) =>
           cur.append(line.charAt(i + 1)); i += 2
         case c @ (',' | ' ') if field == 0 =>
           out += cur.toString; cur.clear(); field += (if (c == ' ') 2 else 1)
@@ -80,6 +87,22 @@ object InfluxProps extends Properties("graft.influx") {
           Prop(ns == us * 1000L) :| s"ns: $ns vs ${us * 1000L}"
       }
     }
+
+  property("measurement backslash-equals stays literal (position-aware escaping)") = {
+    // the counterexample a random draw once surfaced: measurement `\=`
+    // needs no escaping (= has no meaning in measurement position), and
+    // a parser that unescapes \= uniformly mis-decodes it to `=`; pin
+    // the exact case, plus an empty tag value, deterministically
+    val df = Seq(("", 0L, 0.0)).toDF("tag", "us", "value")
+      .select($"tag", timestamp_micros($"us").as("ts"), $"value")
+    val line = Influx.toLineProtocol(df, "\\=", "tag", "ts", "value")
+      .collect().head
+    val (m, t, _, dv, ns) = parseLine(line)
+    Prop(line == "\\=,tag= Value=0.0 0") :| s"wire form: '$line'" &&
+      Prop(m == "\\=") :| s"measurement: '$m'" &&
+      Prop(t == "") :| s"tag: '$t'" &&
+      Prop(dv == 0.0) && Prop(ns == 0L)
+  }
 
   // ---- /query parse: cells located by column NAME, not position ----
 

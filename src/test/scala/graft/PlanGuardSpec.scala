@@ -151,6 +151,28 @@ class PlanGuardSpec extends AnyFunSuite {
       s"shuffle budget exceeded:\n${over.mkString("\n")}")
   }
 
+  test("scan-heavy queries keep a whole-stage-codegen span in the hot path") {
+    // the r9 interpreted-HOF lesson (one sf0.1 task burning 875 s CPU)
+    // made this a named risk: an Expression without codegen support, or
+    // an RDD hop, silently drops the scan pipeline out of
+    // WholeStageCodegen and the hot loop goes interpreted/virtual. For
+    // the pure scan→project/agg queries the span must exist at all.
+    val scanHeavy = Seq("q01_pricing_summary", "q02_select_where",
+      "q13_resample_mean", "q30_text_stats", "q33_fingerprints",
+      "q88_repetition_stats")
+    val without = scanHeavy.filterNot { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      // AQE materializes codegen per stage at execution — the
+      // pre-execution plan carries no spans yet, so force the run and
+      // read the FINAL plan, where WholeStageCodegenExec prints as the
+      // `*(stageId)` node prefix
+      qe.toRdd.count()
+      qe.executedPlan.toString.contains("*(")
+    }
+    assert(without.isEmpty,
+      s"no WholeStageCodegen span planned in: ${without.mkString(", ")}")
+  }
+
   test("q04 keeps the explicit broadcast hint on the nation dim") {
     // at sf0.001 every join auto-broadcasts, so the executed plan can't
     // distinguish the hint from stats luck — assert the hint itself on
