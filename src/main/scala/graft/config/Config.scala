@@ -26,11 +26,35 @@ object Config {
 
   // ---- YAML parsing (snakeyaml, on Spark's classpath) ----
 
-  private def toScala(v: Any): Any = v match {
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
-    case l: java.util.List[_] => l.asScala.map(toScala).toList
-    case other => other
+  /** snakeyaml resolves `*alias` references by SHARING the anchored
+    * object, so a self-referencing anchor (`&a [*a]`, or a mapping whose
+    * value aliases an enclosing node) composes a CYCLIC object graph —
+    * a plain recursive conversion then dies with an anonymous
+    * StackOverflowError on user input (found by ConfigFuzzProps).
+    * Track the conversion path by object IDENTITY and reject cycles
+    * with the contract exception; non-cyclic alias REUSE (the same
+    * anchored block referenced from two places — a legitimate YAML
+    * idiom for shared config fragments) leaves the path before it is
+    * re-entered and still converts fine. */
+  private def toScala(v: Any): Any = {
+    val path = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def enter(ref: AnyRef): Unit =
+      if (!path.add(ref)) throw new ConfigException(
+        "recursive YAML alias cycle detected — a config node cannot " +
+          "contain itself (self-referencing anchor/alias)")
+    def go(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        enter(m)
+        try m.asScala.map { case (k, vv) => k.toString -> go(vv) }.toMap
+        finally path.remove(m)
+      case l: java.util.List[_] =>
+        enter(l)
+        try l.asScala.map(go).toList
+        finally path.remove(l)
+      case other => other
+    }
+    go(v)
   }
 
   /** snakeyaml's default 3 MB code-point limit is an anti-DoS guard for

@@ -153,6 +153,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.parseYaml("# just a comment\n") == Map.empty)
   }
 
+  test("recursive YAML aliases reject loudly; non-cyclic alias reuse still parses") {
+    // snakeyaml composes *alias as a SHARED object, so a self-reference
+    // is a cyclic graph — the raw conversion died with an anonymous
+    // StackOverflowError on user input (ConfigFuzzProps finding)
+    val e1 = intercept[Config.ConfigException] {
+      Config.parseYaml("a: &a [*a]")
+    }
+    assert(e1.getMessage.contains("recursive"), e1.getMessage)
+    intercept[Config.ConfigException] {
+      Config.parseYaml("a: &x\n  b: *x")
+    }
+    // the legitimate idiom — one anchored fragment referenced twice
+    // (a DAG, not a cycle) — must keep working
+    val ok = Config.parseYaml("base: &b\n  x: 1\nleft: *b\nright: *b")
+    assert(ok("left") == Map("x" -> 1) && ok("right") == Map("x" -> 1))
+  }
+
   test("datasetConfig applies the documented defaults") {
     val m = Config.machineFromConfig(Config.parseYaml(machineYaml), Some("p"))
     val dc = Config.datasetConfig(m)
