@@ -81,7 +81,19 @@ object Influx {
     // instead of the error the server actually sent. One row, so the
     // check is a trivial driver job.
     val errRow = parsed.select($"r.error",
-      filter($"r.results.error", _.isNotNull)).head()
+      filter($"r.results.error", _.isNotNull),
+      // a body from_json could not parse AT ALL (a proxy's HTML error
+      // page, a truncated response, an empty body) comes back with BOTH
+      // top-level fields null — from_json on a struct schema yields an
+      // all-null row for malformed input, not a null struct — and
+      // exploding past it would return the empty frame indistinguishable
+      // from "no data", the very trap the error check exists for; every
+      // real /query response carries `results` or `error`, and a valid
+      // empty one is {"results":[]}, never blank
+      isnull($"r") || (isnull($"r.error") && isnull($"r.results"))).head()
+    require(!errRow.getBoolean(2),
+      s"influx /query response is not parseable JSON " +
+        s"(first 80 chars: '${json.take(80)}')")
     val errs = Option(errRow.getString(0)).toSeq ++
       Option(errRow.getSeq[String](1)).getOrElse(Nil)
     require(errs.isEmpty,

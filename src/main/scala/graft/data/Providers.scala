@@ -105,9 +105,18 @@ object Providers {
     * by timestamp. */
   def fromJsonBody(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
-    Seq(json).toDF("body")
+    val parsed = Seq(json).toDF("body")
       .select(from_json($"body",
         MapType(StringType, MapType(StringType, DoubleType))).as("m"))
+    // an unparseable body (HTML error page, truncated JSON, a non-dict
+    // document) parses to a null map and would explode to the empty
+    // frame — silently indistinguishable from a valid `{}` no-data
+    // body; the contract is dict-of-dicts, so reject loudly instead
+    // (one trivial 1-row driver job; the body is request-sized)
+    require(!parsed.select(isnull($"m")).head().getBoolean(0),
+      s"JSON body is not a dict-of-dicts time-series document " +
+        s"(first 80 chars: '${String.valueOf(json).take(80)}')")
+    parsed
       .select(explode($"m").as(Seq("tag", "series")))
       .select($"tag", explode($"series").as(Seq("ts_str", "value")))
       .select($"tag", to_timestamp($"ts_str").as("ts"), $"value")

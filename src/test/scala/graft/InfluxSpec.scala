@@ -115,4 +115,17 @@ class InfluxSpec extends AnyFunSuite {
       Influx.fromQueryResponse(spark, topErr).collect())
     assert(e2.getMessage.contains("authorization failed"))
   }
+
+  test("fromQueryResponse rejects an unparseable body instead of returning empty") {
+    // a proxy's HTML error page / truncated body parses to a null
+    // struct — exploding past it would be the silent empty frame the
+    // error check exists to prevent
+    for (bad <- Seq("<html>502 Bad Gateway</html>", "", "{\"results\": [tru"))
+      assert(intercept[IllegalArgumentException](
+        Influx.fromQueryResponse(spark, bad).collect())
+        .getMessage.contains("not parseable"), s"body: '$bad'")
+    // the VALID empty response stays an empty frame, not an error
+    assert(Influx.fromQueryResponse(spark, """{"results":[]}""")
+      .collect().isEmpty)
+  }
 }

@@ -73,6 +73,13 @@ class SequenceSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.map(_.getString(0)).toSeq == Seq("tag a", "tag b", "tag a"))
     assert(got.map(_.getDouble(2)).toSeq == Seq(1.5, 9.0, 2.5))
+    // an unparseable / non-dict body must reject loudly, not explode to
+    // the empty frame a valid `{}` no-data body produces
+    for (bad <- Seq("<html>oops</html>", "[1, 2]", "null", "{\"a\": {"))
+      assert(intercept[IllegalArgumentException](
+        Providers.fromJsonBody(spark, bad).collect())
+        .getMessage.contains("dict-of-dicts"), s"body: '$bad'")
+    assert(Providers.fromJsonBody(spark, "{}").collect().isEmpty)
   }
 
   test("nested JSON response groups columns by namespace") {
