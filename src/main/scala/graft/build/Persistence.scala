@@ -160,9 +160,21 @@ object Persistence {
   def load(dir: String): FittedDetector = loadFull(dir)._1
 
   /** Single-parse load of the detector plus its recorded windowing —
-    * the serve path needs both; parsing model.json once per call. */
+    * the serve path needs both; parsing model.json once per call.
+    *
+    * The info.json checksum is VERIFIED here, not just written by save:
+    * the serve path is where a corrupted artifact does damage — a
+    * flipped byte in a threshold would otherwise parse fine and score
+    * silently wrong forever (the q80 gate recomputes the checksum, but
+    * a gate cannot protect a production load it isn't in front of).
+    * Same discipline as [[graft.llm.AnnIndex.load]]. */
   def loadFull(dir: String): (FittedDetector, Option[(Seq[String], Int, Int)]) = {
-    val m = Config.parseYaml(Files.readString(Paths.get(dir, "model.json")))
+    val modelJson = Files.readString(Paths.get(dir, "model.json"))
+    val expected = Config.parseYaml(
+      Files.readString(Paths.get(dir, "info.json")))("checksum").toString
+    require(sha256(modelJson) == expected,
+      s"model.json checksum mismatch in $dir — corrupt or tampered artifact")
+    val m = Config.parseYaml(modelJson)
     def dbl(v: Any): Double =
       if (v == null) Double.NaN else v.toString.toDouble
     val tags = m("tags").asInstanceOf[List[Any]].map(_.toString)

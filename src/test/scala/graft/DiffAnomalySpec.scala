@@ -52,6 +52,20 @@ class DiffAnomalySpec extends AnyFunSuite {
     val b = DiffAnomaly.anomaly(loaded, wide, 600L)
       .agg(sum($"`model-output.tx`")).head().getDouble(0)
     assert(a == b)
+    // the SERVE path verifies the artifact checksum: a flipped byte in a
+    // threshold would otherwise parse fine and score silently wrong —
+    // the q80 gate recomputes sha256 but cannot protect a production
+    // load it isn't in front of
+    val mp = java.nio.file.Paths.get(tmp, "model.json")
+    // trailing whitespace parses to the SAME model — only the checksum
+    // can notice, which is exactly what this pins (any real bit-flip is
+    // a strictly bigger change)
+    java.nio.file.Files.writeString(mp,
+      java.nio.file.Files.readString(mp) + " ")
+    val e = intercept[IllegalArgumentException] {
+      graft.build.Persistence.load(tmp)
+    }
+    assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
   }
 
   test("PCA with fewer components than needed leaves residuals") {
