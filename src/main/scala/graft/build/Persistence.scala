@@ -308,14 +308,23 @@ object Persistence {
     * materialization), so a stale entry can point at a dir that now
     * holds a DIFFERENT spec's model — metadata.json records the dir's
     * own cache_key, and anything but an exact match is a miss (rebuild),
-    * never a silently-wrong cached model. */
+    * never a silently-wrong cached model. The artifact checksum is part
+    * of the hit condition too: a CORRUPT cached model (bit rot, partial
+    * write, manual edit) must be a miss that self-heals by rebuilding,
+    * not a hit that fails every subsequent build of that spec loudly at
+    * load time until someone clears the registry by hand. */
   def checkCache(registryDir: String, key: String): Option[String] = {
     val f = Paths.get(registryDir, key)
     if (Files.exists(f)) {
       val dir = Files.readString(f).trim
       val valid = Files.exists(Paths.get(dir, "model.json")) &&
         scala.util.Try(loadMetadata(dir).get("cache_key"))
-          .toOption.flatten.contains(key)
+          .toOption.flatten.contains(key) &&
+        scala.util.Try {
+          sha256(Files.readString(Paths.get(dir, "model.json"))) ==
+            Config.parseYaml(Files.readString(
+              Paths.get(dir, "info.json")))("checksum").toString
+        }.getOrElse(false)
       if (valid) Some(dir) else None
     } else None
   }

@@ -21,6 +21,13 @@ class BuildReviewFixesSpec extends AnyFunSuite {
     Files.writeString(modelDir.resolve("model.json"), "{}")
     Files.writeString(modelDir.resolve("metadata.json"),
       Persistence.toJson(Map("cache_key" -> "keyB")))
+    // a hit now also requires the artifact checksum (round-10: corrupt
+    // cached models self-heal as misses) — give the fixture the
+    // complete layout `save` always writes
+    Files.writeString(modelDir.resolve("info.json"),
+      Persistence.toJson(Map("checksum" ->
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest("{}".getBytes("UTF-8")).map(b => f"$b%02x").mkString)))
     Persistence.registerModel(s"$tmp/registry", "keyA", modelDir.toString)
     Persistence.registerModel(s"$tmp/registry", "keyB", modelDir.toString)
     // the dir's own metadata says keyB — a keyA probe must MISS

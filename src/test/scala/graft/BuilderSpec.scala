@@ -129,6 +129,16 @@ class BuilderSpec extends AnyFunSuite {
       assert(Files.exists(b), f)
       assert(Files.readString(a) == Files.readString(b), f)
     }
+    // a CORRUPT registered artifact is a cache MISS that self-heals by
+    // rebuilding — not a hit that fails every later build of this spec
+    // at load time until someone clears the registry by hand
+    val regModel = java.nio.file.Paths.get(s"$tmp/runA/model/model.json")
+    Files.writeString(regModel, Files.readString(regModel) + " ")
+    val r3 = run(s"$tmp/runC/model")
+    assert(!r3.fromCache, "corrupt cached artifact must rebuild, not hit")
+    // the rebuild re-registered an intact artifact: the next run hits it
+    val r4 = run(s"$tmp/runD/model")
+    assert(r4.fromCache)
   }
 
   test("evaluation.cv compiles strictly instead of silently defaulting") {
