@@ -343,15 +343,32 @@ object ModelBuilder {
 
   /** Re-apply a persisted model's windowing to a raw serve-time frame
     * (M6): the saved lag feature columns are rebuilt from the base tags
-    * exactly as at fit time; row-local models pass through. */
+    * exactly as at fit time; row-local models pass through.
+    *
+    * Duplicate time values in a client frame are REJECTED here, the one
+    * entry every serve path crosses: the smoothing windows, the ewm
+    * recursion, and the lag-window surgery all order by the time column,
+    * and Spark gives tied rows NO defined order (unlike pandas, whose
+    * duplicate index rows keep their positional order) — the smooth-*
+    * and lag-feature outputs would silently differ run to run. Loud
+    * beats run-dependent; the check is one trivial agg on a
+    * request-sized frame. The fit path never reaches here and its
+    * assembly resamples to unique buckets by construction. */
   private def serveFrame(fd: graft.ml.DiffAnomaly.FittedDetector,
                          windowing: Option[(Seq[String], Int, Int)],
-                         wide: DataFrame): DataFrame =
+                         wide: DataFrame): DataFrame = {
+    val dup = wide.groupBy(col(fd.orderCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"serve frame has duplicate ${fd.orderCol} values (e.g. " +
+        s"${dup.headOption.map(_.get(0)).getOrElse("")}) — windows over " +
+        "tied rows have no defined order; deduplicate or resample first")
     windowing match {
       case Some((baseTags, lb, la)) =>
         graft.ml.Windows.withLookback(wide, baseTags, fd.orderCol, lb, la)._1
       case None => wide
     }
+  }
 
   /** §3.3 `/prediction` equivalent: model-input/output only, no targets
     * or residuals (`gordo/server/blueprints/base.py:30-113`). */

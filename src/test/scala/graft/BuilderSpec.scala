@@ -106,6 +106,16 @@ class BuilderSpec extends AnyFunSuite {
     val b = scored.orderBy($"start").select($"`model-output.tag-a`")
       .as[Double].collect()
     a.zip(b).foreach { case (x, y) => assert(x == y) }
+
+    // duplicate timestamps in a client frame reject loudly: Spark gives
+    // tied rows no defined order, so the smooth/lag outputs would be
+    // silently run-dependent (pandas' duplicate index rows keep their
+    // positional order — that notion does not exist here)
+    val dup = wide.limit(1).union(wide)
+    val e = intercept[IllegalArgumentException] {
+      ModelBuilder.score(s"$tmp/model", dup, 600L)
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 
   test("a registry cache hit materializes the model in the REQUESTED dir") {
