@@ -46,7 +46,14 @@ object Config {
     def go(v: Any): Any = v match {
       case m: java.util.Map[_, _] =>
         enter(m)
-        try m.asScala.map { case (k, vv) => k.toString -> go(vv) }.toMap
+        // a bare `?` (or `? : v`) is YAML's null-key mapping form —
+        // legal YAML, never a usable config key, and `k.toString` on it
+        // was an anonymous NPE (ConfigFuzzProps finding)
+        try m.asScala.map { case (k, vv) =>
+          if (k == null) throw new ConfigException(
+            "config mapping has a null key (YAML '?' complex-key form)")
+          k.toString -> go(vv)
+        }.toMap
         finally path.remove(m)
       case l: java.util.List[_] =>
         enter(l)

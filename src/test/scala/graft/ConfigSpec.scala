@@ -170,6 +170,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(ok("left") == Map("x" -> 1) && ok("right") == Map("x" -> 1))
   }
 
+  test("a YAML null key rejects loudly instead of NPE") {
+    // bare `?` is YAML's null-key complex-mapping form — legal YAML,
+    // never a usable config key (ConfigFuzzProps found the NPE); other
+    // spellings may die earlier inside snakeyaml's parser, which is an
+    // equally loud contract reject
+    val e = intercept[Config.ConfigException](Config.parseYaml("?"))
+    assert(e.getMessage.contains("null key"), e.getMessage)
+    assert(intercept[Config.ConfigException](Config.parseYaml("~: v"))
+      .getMessage.contains("null key"))
+    for (bad <- Seq("? : v", "a:\n  ? : 1"))
+      assert(intercept[RuntimeException](Config.parseYaml(bad)) match {
+        case _: Config.ConfigException => true
+        case _: org.yaml.snakeyaml.error.YAMLException => true
+        case other => fail(s"non-contract escape for '$bad': $other")
+      })
+  }
+
   test("datasetConfig applies the documented defaults") {
     val m = Config.machineFromConfig(Config.parseYaml(machineYaml), Some("p"))
     val dc = Config.datasetConfig(m)
