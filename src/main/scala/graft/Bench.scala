@@ -43,6 +43,16 @@ object Bench {
     // rounds of phantom 4–11× "regressions" (r4 q36/q37/q48, r6, r7
     // q31/q32/q42/q56) all judge-re-benched to box noise
     val subSecExtra = sys.env.getOrElse("SPARK_GRAFT_SUBSEC_EXTRA", "2").toInt
+    // machine-load context (r10 verdict item 5): the driver box is
+    // shared, and identical-code totals have swung 59.8→81.1 s between
+    // runs — the 1-min loadavg sampled at run start/end plus after each
+    // query's reps lets a noisy record carry its own explanation
+    // (NaN on platforms without /proc/loadavg)
+    def loadavg1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Exception => Double.NaN }
+    val loadStart = loadavg1()
     var errors = List.empty[(String, String)]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL reps contribute to the min — a fast-failing rep
@@ -107,7 +117,7 @@ object Bench {
             else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
           (s.head, mid, s.last - s.head)
         }
-      name -> (mn, md, sp)
+      name -> (mn, md, sp, loadavg1())
     }
     // ALL control chars (< 0x20), not just newline/tab: an ESC from
     // ANSI-colored JDBC/native error text would otherwise emit invalid
@@ -117,17 +127,20 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     def jnum(v: Double): String = if (v.isNaN) "\"NaN\"" else v.toString
-    def jmap(f: ((Double, Double, Double)) => Double): String =
+    def jmap(f: ((Double, Double, Double, Double)) => Double): String =
       results.map { case (k, t) => jq(k) + ":" + jnum(f(t)) }
         .mkString("{", ",", "}")
     val qs = jmap(_._1)
     val medians = jmap(_._2)
     val spreads = jmap(_._3)
+    val loads = jmap(_._4)
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filterNot(_.isNaN).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""subsec_extra_reps":$subSecExtra,"queries":$qs,"medians":$medians,""" +
-      s""""spreads":$spreads,"errors":$errs,"sf":${jq(sfDir)}}"""
+      s""""spreads":$spreads,"load_start":${jnum(loadStart)},""" +
+      s""""load_end":${jnum(loadavg1())},"load_after_query":$loads,""" +
+      s""""errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
     // the stdout line is what the driver tails, and tailing has clipped
     // the head of the query map two rounds running — persist the full

@@ -168,10 +168,17 @@ object Reporters {
       * skip creation, and every later statement — which resolves in the
       * CURRENT schema — would fail "table does not exist" forever. A
       * driver that cannot report its schema falls back to the
-      * all-schemas scan. */
+      * all-schemas scan. The catch is NARROW — SQLException (driver
+      * reports it can't) and AbstractMethodError (pre-JDBC-4.1 driver
+      * without getSchema) are the realistic failures; fatal JVM errors
+      * (OOM, linkage) must propagate, not degrade into a scan. */
     private def tableExists(table: String): Boolean = {
       val schema =
-        try conn.getSchema catch { case _: Throwable => null }
+        try conn.getSchema
+        catch {
+          case _: java.sql.SQLException => null
+          case _: AbstractMethodError => null
+        }
       val tables = conn.getMetaData.getTables(null, schema, "%", null)
       try {
         var exists = false

@@ -400,12 +400,12 @@ object Multimodal {
           // (an Int quotient wraps negative and silently emits zero
           // frames) and a fan-out cap (one row must not explode into
           // millions, OOMing the task) bound the damage
-          val n = boundedFrames(durMs, intervalMs)
+          val (n, capped) = boundedFrames(durMs, intervalMs)
           (0 until n).iterator.map { f =>
             val tsMs = f * intervalMs
             val idx = math.min((tsMs * 1000L / avi.usPerFrame).toInt,
               avi.frames.size - 1)
-            Row(id, f, tsMs, avi.frames(idx))
+            Row(id, f, tsMs, avi.frames(idx), capped)
           }
         }
       }
@@ -419,10 +419,18 @@ object Multimodal {
     * shuffle — is identical. */
   /** Frame count for a clip of `durMs` at one frame per `intervalMs`,
     * computed in Long (an Int quotient wraps) and capped at
-    * [[MaxFramesPerClip]] — duration metadata is untrusted input. */
-  private def boundedFrames(durMs: Long, intervalMs: Long): Int =
-    if (durMs <= 0) 0
-    else math.min((durMs - 1) / intervalMs + 1, MaxFramesPerClip.toLong).toInt
+    * [[MaxFramesPerClip]] — duration metadata is untrusted input.
+    * Returns (count, capped): a capped clip's frame rows carry
+    * `truncated = true`, so a legitimately long recording losing its
+    * tail is distinguishable from a fully sampled one (no silent caps —
+    * the repo-wide discipline). */
+  private def boundedFrames(durMs: Long, intervalMs: Long): (Int, Boolean) =
+    if (durMs <= 0) (0, false)
+    else {
+      val want = (durMs - 1) / intervalMs + 1
+      (math.min(want, MaxFramesPerClip.toLong).toInt,
+        want > MaxFramesPerClip.toLong)
+    }
 
   /** Per-clip fan-out bound for the frame samplers: a hostile duration
     * claim caps here instead of exploding one input row into millions
@@ -469,7 +477,10 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame_ts_ms", LongType, nullable = false),
-    StructField("frame", BinaryType, nullable = true)))
+    StructField("frame", BinaryType, nullable = true),
+    // true on every frame row of a clip whose sampling hit
+    // [[MaxFramesPerClip]] — the tail frames are MISSING for such clips
+    StructField("truncated", BooleanType, nullable = false)))
 
   /** Deterministic frame-sample stand-in for video payloads: one frame
     * of `frameBytes` consecutive bytes every `intervalMs`, duration from
@@ -498,14 +509,14 @@ object Multimodal {
         // Long math + fan-out cap: duration_ms is caller metadata, and
         // garbage must not wrap an Int (zero frames) or fan one row out
         // into millions (see sampleFramesAvi)
-        val n = boundedFrames(durationMs, intervalMs)
+        val (n, capped) = boundedFrames(durationMs, intervalMs)
         (0 until n).iterator.map { f =>
           val tsMs = f * intervalMs
           val off =
             if (durationMs == 0) 0
             else ((tsMs.toDouble / durationMs) * bytes.length).toInt
           val frame = bytes.slice(off, math.min(off + frameBytes, bytes.length))
-          Row(id, f, tsMs, frame)
+          Row(id, f, tsMs, frame, capped)
         }
       }
     }(Encoders.row(frameSchema))

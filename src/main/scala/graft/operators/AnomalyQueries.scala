@@ -507,11 +507,19 @@ object AnomalyQueries {
     require(again.forall(_.fromCache),
       "second project build must hit the cache registry")
     val rows = results.flatMap { r =>
-      // the assembled-frame row count IS the last fold's testEnd (the
-      // TimeSeriesSplit test spans tile the tail of the frame) — a
-      // third full resample→grid→interpolate→pivot assembly per machine
-      // just to count rows would pay the dominant lake-scan cost again
-      val n = r.fitted.folds.last.testEnd
+      // the assembled-frame row count is the last fold's testEnd (the
+      // TimeSeriesSplit test spans tile the tail of the FIT frame) plus
+      // the build's recorded model_offset — windowed specs drop
+      // lookback+lookahead−1 assembled rows before folding, and the
+      // offset restores the raw count the oracle replays. A third full
+      // resample→grid→interpolate→pivot assembly per machine just to
+      // count rows would pay the dominant lake-scan cost again.
+      val offset = r.metadata("model").asInstanceOf[Map[String, Any]]("model_offset") match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => sys.error(s"unexpected model_offset: $other")
+      }
+      val n = r.fitted.folds.last.testEnd + offset
       r.fitted.targets.map { t =>
         val (ctr, span) = r.fitted.scaler.stats(t)
         (r.spec.name, t, n, ctr, span)

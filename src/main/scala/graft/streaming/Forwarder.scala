@@ -71,18 +71,33 @@ object Forwarder {
       // write-temp-then-rename: a crash mid-create+write would leave a
       // TRUNCATED marker over real batch dirs — recorded id "" matches
       // neither the owner nor the marker-absent adopt path, locking the
-      // rightful query out of its own sink until manual cleanup. Rename
-      // is atomic on HDFS and posix local FS; object stores degrade to
-      // copy, still closing the local/cluster crash window this guards.
+      // rightful query out of its own sink until manual cleanup. The
+      // rename OVERWRITES in one step where the FS supports it
+      // (FileContext Rename.OVERWRITE — HDFS and posix local FS): a
+      // delete-then-rename pair would leave the sink marker-LESS if the
+      // process dies between the two calls, downgrading ownership to
+      // the weaker max-committed-batch adopt heuristic. Only where no
+      // AbstractFileSystem binding exists for the scheme (most object
+      // stores) does it fall back to delete+rename — those stores
+      // rename by copy anyway, so no atomicity is lost that the FS
+      // ever offered.
       sinkFs.mkdirs(outPath)
       val tmp = new org.apache.hadoop.fs.Path(outPath,
         s"._graft_query_id.$id.tmp")
       val out = sinkFs.create(tmp, /*overwrite=*/ true)
       try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      sinkFs.delete(marker, false)
-      if (!sinkFs.rename(tmp, marker))
-        throw new IllegalStateException(
-          s"could not move fence marker into place: $tmp -> $marker")
+      val qTmp = sinkFs.makeQualified(tmp)
+      val qMarker = sinkFs.makeQualified(marker)
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(qMarker.toUri, hconf)
+          .rename(qTmp, qMarker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          sinkFs.delete(marker, false)
+          if (!sinkFs.rename(tmp, marker))
+            throw new IllegalStateException(
+              s"could not move fence marker into place: $tmp -> $marker")
+      }
     }
 
     val batchDirNames: Seq[String] =

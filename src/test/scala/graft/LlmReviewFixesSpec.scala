@@ -86,8 +86,14 @@ class LlmReviewFixesSpec extends AnyFunSuite {
       .withColumn("meta", struct(lit("video/mp4").as("mime"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         lit(1000L * 1000 * 1000 * 1000).as("duration_ms")))
-    val n = Multimodal.sampleFrames(huge, intervalMs = 1).count()
-    assert(n == Multimodal.MaxFramesPerClip.toLong)
+    val capped = Multimodal.sampleFrames(huge, intervalMs = 1)
+    assert(capped.count() == Multimodal.MaxFramesPerClip.toLong)
+    // ADVICE r10: the cap must not be silent — every frame row of a
+    // capped clip is flagged, a fully-sampled clip's rows are not
+    assert(capped.filter(!$"truncated").count() == 0L)
+    val full = Multimodal.sampleFrames(
+      Multimodal.asMedia(media, "id", "payload", "video/mp4"), intervalMs = 1)
+    assert(full.count() == 4L && full.filter($"truncated").count() == 0L)
     intercept[IllegalArgumentException](Multimodal.resizeStub(Array[Byte](1), 46341, 46341))
     intercept[IllegalArgumentException](Multimodal.resizeStub(Array[Byte](1), 0, 5))
   }
