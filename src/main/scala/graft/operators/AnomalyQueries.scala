@@ -406,9 +406,25 @@ object AnomalyQueries {
     * errors → thresholds (`gordo/machine/model/models.py:463-710`). */
   def lstmForecast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persist: the chunked-lag union (base + carry) and the row indexing
-    // would each re-derive the resample+pivot; the per-machine frame is
-    // bounded, so the cache is the cheap barrier (q34 precedent)
+    val (lagged, fitted) = lagClickFit(spark, dir)
+    val frame = DiffAnomaly.anomaly(fitted, lagged, resolutionSec = 3600L)
+    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
+    frame.select(
+      (col("start") +: col("end") +:
+        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+      .orderBy($"start")
+  }
+
+  /** q51's deterministic lag-feature frame + closed-form ridge fit,
+    * shared by the batch gate and the q91 streaming serve gate: row
+    * indexing + chunked lag materialize click_lag1/click_lag2, the
+    * first `lookback` rows drop, the detector fits the lag tags with
+    * the raw click as target. The wide frame is persisted — the
+    * chunked-lag union (base + carry) and the row indexing would each
+    * re-derive the resample+pivot otherwise (q34 precedent). */
+  private def lagClickFit(spark: SparkSession, dir: String)
+      : (DataFrame, DiffAnomaly.FittedDetector) = {
+    import spark.implicits._
     val wide = graft.Caching.ensureCached(
       wideClickView(spark, dir).select($"bucket_ts", $"click"))
     val indexed = graft.ml.CrossValidate.withRowIndex(wide, Seq($"bucket_ts"))
@@ -419,11 +435,43 @@ object AnomalyQueries {
     val fitted = DiffAnomaly.fit(lagged, Seq("click_lag1", "click_lag2"),
       "bucket_ts", new DiffAnomaly.RidgeReconstructor(), nSplits = 3,
       targetTags = Seq("click"))
-    val frame = DiffAnomaly.anomaly(fitted, lagged, resolutionSec = 3600L)
-    val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
-    frame.select(
+    (lagged, fitted)
+  }
+
+  /** M6 sequence-model SERVING, oracle-gated (r10 verdict item 3): the
+    * q51 lag-feature detector served through a real checkpointed
+    * streaming job — rows arrive already windowed (the reference's
+    * serving contract: clients supply `window` rows of ordered history,
+    * `docs/ml/model_output.rst:77-103`), `scoreStream` applies the
+    * detector statelessly, and the fenced exactly-once parquet
+    * forwarder (q69's sink) lands the frame. StreamingSpec proves the
+    * composition is row-identical to batch across micro-batch splits;
+    * this gate proves it against the independent DuckDB oracle — the
+    * SAME replay as q51, because streaming serve must change nothing. */
+  def streamingLagServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (lagged, fitted) = lagClickFit(spark, dir)
+    // the streamed serve input (the lag frame clients would send) is
+    // expensive to rewrite per bench rep — cache it keyed by the source
+    // table's identity; sink/checkpoint dirs stay per-run
+    val in = graft.Scratch.cachedDir("graft-q91-in",
+      graft.Tables.witness(dir, "events"))
+    if (!new java.io.File(s"$in/_SUCCESS").exists())
+      lagged.coalesce(2).write.mode("overwrite").parquet(in)
+    val tmp = graft.Scratch.dir("graft-q91")
+    val stream = spark.readStream
+      .schema("bucket_ts BIGINT, click DOUBLE, " +
+        "click_lag1 DOUBLE, click_lag2 DOUBLE")
+      .parquet(in)
+    val scored = graft.streaming.StreamingScoring
+      .scoreStream(fitted, stream, resolutionSec = 3600L)
+    val q = graft.streaming.Forwarder.toParquet(scored, s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out").drop("batch_id")
+    val doubles = got.columns.toSeq.filterNot(c => c == "start" || c == "end")
+    got.select(
       (col("start") +: col("end") +:
-        doubles.toSeq.map(c => r4(col(s"`$c`")).as(c))): _*)
+        doubles.map(c => r4(col(s"`$c`")).as(c))): _*)
       .orderBy($"start")
   }
 
@@ -680,6 +728,7 @@ object AnomalyQueries {
     "q64_response_columns" -> (responseColumns _),
     "q69_streaming_anomaly" -> (streamingAnomaly _),
     "q70_metric_batch" -> (metricBatch _),
+    "q91_streaming_lag_serve" -> (streamingLagServe _),
   )
 
   /** SQL replay of the 2×2 cyclic-Jacobi rotation + sign-fixed component
@@ -827,7 +876,7 @@ object AnomalyQueries {
         |ORDER BY start""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q75_project_build" ->
       (projectMachineSql("m-click-view", "click", "view") +
         "\nUNION ALL\n" +
@@ -1616,4 +1665,10 @@ object AnomalyQueries {
         |  FROM paramrows)
         |ORDER BY kind, item_key, step""".stripMargin,
   )
+
+  /** q91 serves the q51 detector through the checkpointed streaming
+    * path and must change NOTHING — its oracle is q51's replay, shared
+    * by reference so the two gates can never drift apart. */
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("q91_streaming_lag_serve" -> oracleSqlBase("q51_lstm_forecast"))
 }

@@ -127,6 +127,21 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** [[contaminationScan]]'s FULL variant, oracle-gated (r10 verdict
+    * item 2): one row for EVERY non-benchmark corpus doc — clean docs
+    * (no shared 8-grams, or shorter than 8 tokens) report n_shared = 0,
+    * so `n_shared == 0` really selects the clean set (the inner-join
+    * contract's documented foot-gun that [[TextDedup.contaminationFull]]
+    * removes). Same broadcast-gram plan as q89 plus one join against the
+    * corpus-id list. */
+  def contaminationFullScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextDedup.contaminationFull(Tables(spark, dir, "documents"),
+      "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
+      .select($"id".as("doc_id"), $"n_shared")
+      .orderBy($"doc_id")
+  }
+
   /** Exact cosine top-5 for the first 10 query vectors — the brute-force
     * ANN baseline (broadcast queries, no N² crossJoin). */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -419,6 +434,7 @@ object LlmQueries {
     "q87_dup_clusters" -> (minhashDupClusters _),
     "q88_repetition_stats" -> (repetitionStats _),
     "q89_contamination" -> (contaminationScan _),
+    "q90_contamination_full" -> (contaminationFullScan _),
   )
 
   // ---- oracle SQL (DuckDB), LSH arithmetic generated to match ----
@@ -679,6 +695,26 @@ object LlmQueries {
         |FROM sh JOIN bm USING (s)
         |WHERE source != 'src0'
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q89's CTEs plus the left join the inner-join contract tells
+    // callers to build: every corpus (non-benchmark) doc appears, clean
+    // ones with n_shared = 0
+    "q90_contamination_full" ->
+      """WITH toks AS (SELECT doc_id, source, str_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 0)),
+        |      i -> array_to_string(tk[i:i+7], ' ')))) AS s
+        |  FROM toks),
+        |bm AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |hits AS (SELECT doc_id, count(DISTINCT sh.s) AS n_shared
+        |  FROM sh JOIN bm USING (s)
+        |  WHERE source != 'src0'
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source != 'src0'
         |ORDER BY doc_id""".stripMargin,
     "q35_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

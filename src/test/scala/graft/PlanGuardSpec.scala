@@ -105,6 +105,9 @@ class PlanGuardSpec extends AnyFunSuite {
         "q46_ngram_jaccard" -> 2, "q48_fingerprint_dup_groups" -> 2,
         "q52_ngram_jaccard_ppjoin" -> 5, "q88_repetition_stats" -> 1,
         "q89_contamination" -> 4,
+        // q89's plan + the corpus-id left join (broadcast: the hits agg
+        // is benchmark-bounded) — same count, no new exchange
+        "q90_contamination_full" -> 4,
         // ANN rank paths (probed-list equi-joins; queries broadcast)
         "q47_ann_ivf_topk" -> 6, "q83_ann_sq8_topk" -> 2,
         "q85_ann_pq_topk" -> 2, "q86_ann_ivfpq_topk" -> 6,
@@ -132,7 +135,10 @@ class PlanGuardSpec extends AnyFunSuite {
         // on top of its parallel range scan) and streaming output scans
         "q67_jdbc_readback" -> 1, "q71_random_provider" -> 1,
         "q73_jdbc_source" -> 6, "q84_influx_source" -> 1,
-        "q69_streaming_anomaly" -> 1, "q76_streaming_dedup" -> 1)
+        "q69_streaming_anomaly" -> 1, "q76_streaming_dedup" -> 1,
+        // the q91 fit + streaming job run during construction; the
+        // returned frame is the fenced sink scan + output sort
+        "q91_streaming_lag_serve" -> 1)
     // the pin is total on purpose: a NEW query ships with a reviewed
     // budget or this fails — plan review can't be skipped by omission
     val unpinned = SparkEntry.queries.keySet -- budgets.keySet
