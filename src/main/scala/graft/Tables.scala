@@ -28,6 +28,17 @@ object Tables {
   /** Small dimensions that should be broadcast in joins at any scale. */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** DERIVED Hive-partition columns of the lake layout, per table —
+    * storage metadata (written by [[writeHybridLake]] /
+    * [[writePartitionedEvents]]), not table schema. Directory reads drop
+    * them so both layouts serve the IDENTICAL frame: partitionBy appends
+    * the derived column after the data columns, so the drop also
+    * restores the single-file column order. Partition-pruned scans
+    * ([[partitionedEvents]], `Providers.partitionedParquet`) read the
+    * lake directly and keep the column — the predicate needs it. */
+  private val lakePartitionCols: Map[String, String] =
+    Map("events" -> "event_date", "documents" -> "part_lang")
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
     * type for. Read it as raw nanos and truncate to microseconds —
     * exactly what DuckDB (µs-precision timestamps) does, so the oracle
@@ -47,8 +58,13 @@ object Tables {
       try asDir.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(asDir).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    val df = if (isDir) spark.read.parquet(asDir.toString)
-             else spark.read.parquet(s"$dir/$name.parquet")
+    val raw = if (isDir) spark.read.parquet(asDir.toString)
+              else spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (!isDir) raw
+      else lakePartitionCols.get(name)
+        .filter(raw.schema.fieldNames.contains).map(raw.drop)
+        .getOrElse(raw)
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -100,6 +116,38 @@ object Tables {
     apply(spark, srcDir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+  }
+
+  /** Materialize a HYBRID lake copy of an sf dir (the r10 layout-parity
+    * probe's shape, now a harness mode — `SPARK_GRAFT_LAYOUT=partitioned`
+    * in [[Verify]]): `events` and `documents` as Hive-partitioned
+    * directory-per-table trees (`event_date=` day partitions; `part_lang=`
+    * language partitions — a DERIVED copy of `lang`, so the drop on read
+    * restores the exact single-file schema and column order), the other
+    * eight tables byte-identical single-file copies. Every query then
+    * reads the 100 TB deployment's layout through the same [[apply]]
+    * resolution, and the driver's DuckDB compare (against the ORIGINAL
+    * single-file tables) becomes a full-suite layout-parity gate: a
+    * partition-column type coercion, a pruning bug, or an order/schema
+    * drift fails 91 oracle rows instead of waiting for a hand-run probe.
+    * The target is cleared first — a half-written lake from a crashed
+    * run must rebuild, not serve a partial table. */
+  def writeHybridLake(spark: SparkSession, srcDir: String,
+                      outRoot: String): Unit = {
+    Scratch.deleteTree(java.nio.file.Paths.get(outRoot), keepRoot = true)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
+    writePartitionedEvents(spark, srcDir, s"$outRoot/events")
+    apply(spark, srcDir, "documents")
+      .withColumn("part_lang", col("lang"))
+      .write.mode("overwrite").partitionBy("part_lang")
+      .parquet(s"$outRoot/documents")
+    all.filterNot(lakePartitionCols.contains).foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$srcDir/$n.parquet"),
+        java.nio.file.Paths.get(s"$outRoot/$n.parquet"))
+    }
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$outRoot/_SUCCESS")): Unit
   }
 
   /** Date-bounded scan of a partitioned events layout: the [start, end)

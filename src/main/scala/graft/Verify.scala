@@ -15,6 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // layout mode (r10 verdict item 1): SPARK_GRAFT_LAYOUT=partitioned
+    // re-runs the WHOLE suite against a hybrid Hive-partitioned lake
+    // copy of sfDir (events/documents directory-per-table, the rest
+    // single-file) — the oracle compare against the original tables
+    // then doubles as the 91-row layout-parity gate. The copy caches
+    // keyed on the source dir's file identities (a regenerated sf dir
+    // rebuilds it); unknown values fail loudly, never fall back.
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "single") match {
+      case "single" => sfDir
+      case "partitioned" =>
+        val lake = Scratch.cachedDir("graft-hybrid-lake", sfDir)
+        if (!new java.io.File(s"$lake/_SUCCESS").exists())
+          Tables.writeHybridLake(spark, sfDir, lake)
+        System.err.println(s"[verify] layout=partitioned lake=$lake")
+        lake
+      case other => sys.error(
+        s"unknown SPARK_GRAFT_LAYOUT '$other' (single|partitioned)")
+    }
     // dev-only subset filter (the driver sets no env): comma-separated
     // query names, e.g. SPARK_GRAFT_VERIFY_QUERIES=q29_anomaly_frame
     val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
@@ -25,7 +43,7 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
+        val df = fn(spark, dataDir)
         try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // the materialize-then-release contract for checkpoint-backed
         // results (q87's dup clusters): once written, free the

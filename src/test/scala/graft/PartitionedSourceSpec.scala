@@ -29,9 +29,32 @@ class PartitionedSourceSpec extends AnyFunSuite {
   test("Tables reads the directory layout with the canonical schema") {
     val lake = lakeDir
     val viaTables = Tables(spark, new java.io.File(lake).getParent, "events")
-    assert(viaTables.columns.toSet ==
-      Tables(spark, sf, "events").columns.toSet + "event_date")
-    assert(viaTables.count() == Tables(spark, sf, "events").count())
+    val single = Tables(spark, sf, "events")
+    // the derived event_date partition column is storage metadata, not
+    // table schema: Tables drops it on directory reads (r11), so both
+    // layouts serve the identical frame — names, types, AND order
+    assert(viaTables.dtypes.toSeq == single.dtypes.toSeq)
+    assert(viaTables.count() == single.count())
+  }
+
+  test("the hybrid lake serves every table bit-identical to single-file") {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-hybrid-spec")
+    if (!new java.io.File(root, "_SUCCESS").exists())
+      Tables.writeHybridLake(spark, sf, root.getPath)
+    // the partitioned tables really are partitioned directories
+    assert(new java.io.File(root, "events").listFiles()
+      .exists(_.getName.startsWith("event_date=")))
+    assert(new java.io.File(root, "documents").listFiles()
+      .exists(_.getName.startsWith("part_lang=")))
+    for (t <- Tables.all) {
+      val lake = Tables(spark, root.getPath, t)
+      val single = Tables(spark, sf, t)
+      assert(lake.dtypes.toSeq == single.dtypes.toSeq, s"schema drift: $t")
+      // row-level parity, order-insensitive (collect is bounded: sf0.001)
+      assert(lake.exceptAll(single).isEmpty &&
+        single.exceptAll(lake).isEmpty, s"row drift: $t")
+    }
   }
 
   test("date-bounded getData prunes partitions at the scan") {
