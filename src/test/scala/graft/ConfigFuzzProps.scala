@@ -14,6 +14,10 @@ import graft.config.{Config, ModelRegistry}
   * contract reject is an actionable error message. */
 object ConfigFuzzProps extends Properties("graft.configfuzz") {
 
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(PropDraws(100))
+
   private def accepted(t: Throwable): Boolean = t match {
     case _: Config.ConfigException => true
     case _: ModelRegistry.CompileException => true

@@ -19,7 +19,7 @@ import graft.functions.{ArrayOps, DotProduct}
 object FunctionsProps extends Properties("graft.functions") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(30)
+    p.withMinSuccessfulTests(PropDraws(30))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

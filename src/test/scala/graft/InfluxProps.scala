@@ -14,7 +14,7 @@ import graft.data.Influx
 object InfluxProps extends Properties("graft.influx") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(12)
+    p.withMinSuccessfulTests(PropDraws(12))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -14,7 +14,7 @@ import graft.ml.{CrossValidate, Ewma, Windows}
 object InvariantProps extends Properties("graft") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(15)
+    p.withMinSuccessfulTests(PropDraws(15))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

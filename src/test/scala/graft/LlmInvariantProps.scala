@@ -32,7 +32,7 @@ import graft.llm.{AnnIndex, Components, TextDedup}
 object LlmInvariantProps extends Properties("graft.llm") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(12)
+    p.withMinSuccessfulTests(PropDraws(12))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -34,7 +34,7 @@ import graft.ml.{Ewma, InfImputer, Metrics, Scalers}
 object MlInvariantProps extends Properties("graft.ml") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(12)
+    p.withMinSuccessfulTests(PropDraws(12))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._

@@ -21,7 +21,7 @@ import graft.llm.Multimodal
 object MultimodalFuzzProps extends Properties("graft.multimodal") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    p.withMinSuccessfulTests(PropDraws(200))
 
   private val bytesGen: Gen[Array[Byte]] = for {
     n <- Gen.choose(0, 192)

@@ -17,7 +17,7 @@ import graft.ml.DiffAnomaly.Thresholds
 object PersistenceProps extends Properties("graft.persistence") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(25)
+    p.withMinSuccessfulTests(PropDraws(25))
 
   private val nastyDouble: Gen[Double] = Gen.oneOf(
     Gen.choose(-1e3, 1e3),

@@ -17,7 +17,7 @@ import graft.llm.TextAnalysis
 object TextAnalysisProps extends Properties("graft.textanalysis") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(20)
+    p.withMinSuccessfulTests(PropDraws(20))
 
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
