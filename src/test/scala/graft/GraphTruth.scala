@@ -29,6 +29,15 @@ object GraphTruth {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    parent.keys.map(n => n -> find(n)).toMap
+    // SNAPSHOT the keys before the final resolve: `parent.keys` is a
+    // LIVE view, and find()'s path-compression `update` can trigger
+    // mutable.HashMap's grow-before-lookup resize (put0 grows at
+    // contentSize+1 >= threshold even for existing keys) — rehashing
+    // the table mid-iteration skips entries, silently dropping nodes
+    // from the "truth". Caught by the r11 hammer: an 11-entry parent
+    // (default threshold 12) with a self-loop-only node drew
+    // `Falsified after 60 passed tests` against a CORRECT library
+    // answer (seed cE0NyhwQCN3whbQXR9BBQlyJGFBMPo9tEZ2oBCNfTwJ=).
+    parent.keys.toList.map(n => n -> find(n)).toMap
   }
 }

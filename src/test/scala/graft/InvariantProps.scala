@@ -216,6 +216,18 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("minLabels keeps every edge-touched node at the hash-resize boundary (r11 counterexample)") = {
+    // pinned hammer find: 11 parent entries (mutable.HashMap default
+    // threshold 12) + a self-loop-only node — the live keys view lost
+    // node 18 mid-iteration when path compression resized the table,
+    // falsifying the truth against a CORRECT library answer
+    val edges = List((0L, -1L), (-2L, 3L), (1L, 5L), (2L, -4L), (-3L, 4L), (18L, 18L))
+    val truth = GraphTruth.minLabels(edges)
+    Prop(truth.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet) :|
+      s"truth=$truth" &&
+      Prop(truth(18L) == 18L) :| "self-loop node labels itself"
+  }
+
   property("connectedComponents agrees with a union-find ground truth") =
     forAll(GraphTruth.edgesGen) { edges =>
       // plain-Scala union-find, independent of every Spark path (shared
