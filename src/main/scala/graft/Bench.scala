@@ -142,15 +142,26 @@ object Bench {
       s""""load_end":${jnum(loadavg1())},"load_after_query":$loads,""" +
       s""""errors":$errs,"sf":${jq(sfDir)}}"""
     println(line)
-    // the stdout line is what the driver tails, and tailing has clipped
-    // the head of the query map two rounds running — persist the full
-    // record as a file artifact too (BENCH_LOCAL.json beside the repo
-    // root, or SPARK_GRAFT_BENCH_OUT)
+    // persist the full record as a file artifact too (BENCH_LOCAL.json
+    // beside the repo root, or SPARK_GRAFT_BENCH_OUT) — the stdout line
+    // is what the driver tails, and tailing has clipped it before
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // a ~2000-char stdout tail has clipped the full line three rounds
+    // running — r11's tail held only the load_after_query map, which
+    // reads as absurd query times. Print a SHORT summary line LAST
+    // (r11 verdict item 1): whatever suffix of stdout the driver keeps,
+    // it now ends with the totals, and a last-JSON-line parser picks up
+    // a complete object. The errors map rides along unless it alone
+    // would blow the tail budget, in which case its count does.
+    val errsShort = if (errs.length <= 600) errs else s"""{"count":${errors.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""n_queries":${results.size},"errors":$errsShort,""" +
+      s""""sf":${jq(sfDir)},"detail":"full per-query map on the first """ +
+      s"""stdout JSON line and in $outPath"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,41 @@ object Scratch {
     p.toString
   }
 
+  /** Atomically publish a fully-written staging directory into a
+    * [[cachedDir]] slot (r11 ADVICE: two JVMs that both observe the
+    * completeness marker missing must not race interleaved part files
+    * into one shared dir). Each publisher stages privately ([[dir]])
+    * and the FIRST rename wins; a loser adopts the winner's dir (its
+    * own stage is reaped by the exit hook). A pre-existing slot
+    * WITHOUT the marker — a crashed partial write — is cleared and the
+    * rename retried once; losing that retry to yet another publisher
+    * is fine as long as someone's complete dir holds the slot. */
+  def publishDir(stage: String, target: String,
+                 marker: String = "_SUCCESS"): Unit = {
+    val src = java.nio.file.Paths.get(stage)
+    val dst = java.nio.file.Paths.get(target)
+    require(Files.exists(src.resolve(marker)),
+      s"refusing to publish a stage without its $marker marker: $stage")
+    def tryMove(): Boolean =
+      try {
+        Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        // dst appeared (or was there): a concurrent winner or a stale
+        // partial — resolved by the marker check below. Any rename
+        // failure WITHOUT a dst present is a real error and propagates.
+        case _: java.nio.file.FileSystemException if Files.exists(dst) =>
+          false
+      }
+    if (!tryMove() && !Files.exists(dst.resolve(marker))) {
+      deleteTree(dst)
+      if (!tryMove() && !Files.exists(dst.resolve(marker)))
+        throw new IllegalStateException(
+          s"could not publish $stage into $target and no complete " +
+            "directory holds the slot")
+    }
+  }
+
   /** A cache directory keyed by the witness's identity — for a file:
     * canonical path, length, mtime; for a DIRECTORY witness (the
     * directory-per-table lake layout `Tables` resolves): the sorted

@@ -421,8 +421,10 @@ object AnomalyQueries {
     * first `lookback` rows drop, the detector fits the lag tags with
     * the raw click as target. The wide frame is persisted — the
     * chunked-lag union (base + carry) and the row indexing would each
-    * re-derive the resample+pivot otherwise (q34 precedent). */
-  private def lagClickFit(spark: SparkSession, dir: String)
+    * re-derive the resample+pivot otherwise (q34 precedent).
+    * `private[graft]`: the q91 scale probe (test scope) replays this
+    * exact fit over synthesized 100× inputs. */
+  private[graft] def lagClickFit(spark: SparkSession, dir: String)
       : (DataFrame, DiffAnomaly.FittedDetector) = {
     import spark.implicits._
     val wide = graft.Caching.ensureCached(
@@ -453,11 +455,22 @@ object AnomalyQueries {
     val (lagged, fitted) = lagClickFit(spark, dir)
     // the streamed serve input (the lag frame clients would send) is
     // expensive to rewrite per bench rep — cache it keyed by the source
-    // table's identity; sink/checkpoint dirs stay per-run
-    val in = graft.Scratch.cachedDir("graft-q91-in",
+    // table's identity; sink/checkpoint dirs stay per-run. The prefix
+    // carries a DERIVATION VERSION (v1 = lagClickFit's lookback-2 lag
+    // frame): the witness only tracks the source table, so a future
+    // change to the lag spec must bump the tag or it would keep serving
+    // the stale frame and fail the oracle as a phantom streaming bug
+    // (r11 ADVICE). Publication is staged: write to a fresh temp dir,
+    // then atomically rename into the cache slot — two JVMs that both
+    // see _SUCCESS missing each stage privately and exactly one rename
+    // wins, instead of racing interleaved part files into a shared dir.
+    val in = graft.Scratch.cachedDir("graft-q91-in-v1",
       graft.Tables.witness(dir, "events"))
-    if (!new java.io.File(s"$in/_SUCCESS").exists())
-      lagged.coalesce(2).write.mode("overwrite").parquet(in)
+    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+      val stage = graft.Scratch.dir("graft-q91-stage")
+      lagged.coalesce(2).write.mode("overwrite").parquet(stage)
+      graft.Scratch.publishDir(stage, in)
+    }
     val tmp = graft.Scratch.dir("graft-q91")
     val stream = spark.readStream
       .schema("bucket_ts BIGINT, click DOUBLE, " +

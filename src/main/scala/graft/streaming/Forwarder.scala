@@ -72,15 +72,17 @@ object Forwarder {
       // TRUNCATED marker over real batch dirs — recorded id "" matches
       // neither the owner nor the marker-absent adopt path, locking the
       // rightful query out of its own sink until manual cleanup. The
-      // rename OVERWRITES in one step where the FS supports it
-      // (FileContext Rename.OVERWRITE — HDFS and posix local FS): a
-      // delete-then-rename pair would leave the sink marker-LESS if the
-      // process dies between the two calls, downgrading ownership to
-      // the weaker max-committed-batch adopt heuristic. Only where no
-      // AbstractFileSystem binding exists for the scheme (most object
-      // stores) does it fall back to delete+rename — those stores
-      // rename by copy anyway, so no atomicity is lost that the FS
-      // ever offered.
+      // rename goes through FileContext Rename.OVERWRITE, which is
+      // atomic only where the AbstractFileSystem implements
+      // overwrite-rename natively (HDFS rename2); on the local FS the
+      // default renameInternal still deletes dst then renames, so the
+      // marker-less crash window is NARROWED there, not closed — a
+      // crash inside it downgrades ownership to the weaker
+      // max-committed-batch adopt heuristic, never to silent
+      // corruption. Only where no AbstractFileSystem binding exists
+      // for the scheme (most object stores) does it fall back to
+      // explicit delete+rename — those stores rename by copy anyway,
+      // so no atomicity is lost that the FS ever offered.
       sinkFs.mkdirs(outPath)
       val tmp = new org.apache.hadoop.fs.Path(outPath,
         s"._graft_query_id.$id.tmp")

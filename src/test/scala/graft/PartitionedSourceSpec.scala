@@ -18,9 +18,15 @@ class PartitionedSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  // both spec lakes cache under witness-keyed Scratch.cachedDir — the
+  // same discipline as Verify's lake (r11 ADVICE): a fixed unkeyed dir
+  // guarded only by _SUCCESS would keep comparing against a stale lake
+  // after the sf dataset regenerates, and the failure would read as
+  // layout drift instead of a stale cache
   private def lakeDir: String = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-lake-spec/events")
+    val root = Scratch.cachedDir("graft-lake-spec",
+      Tables.witness(sf, "events"))
+    val d = new java.io.File(root, "events")
     if (!new java.io.File(d, "_SUCCESS").exists())
       Tables.writePartitionedEvents(spark, sf, d.getPath)
     d.getPath
@@ -38,8 +44,7 @@ class PartitionedSourceSpec extends AnyFunSuite {
   }
 
   test("the hybrid lake serves every table bit-identical to single-file") {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-hybrid-spec")
+    val root = new java.io.File(Scratch.cachedDir("graft-hybrid-spec", sf))
     if (!new java.io.File(root, "_SUCCESS").exists())
       Tables.writeHybridLake(spark, sf, root.getPath)
     // the partitioned tables really are partitioned directories

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression coverage for the round-12 advice fixes: the staged
+  * atomic publish behind q91's stream-input cache (`Scratch.publishDir`
+  * — two JVMs must not race interleaved part files into one shared
+  * cachedDir slot, and a crashed partial slot must rebuild, not wedge).
+  */
+class Round12FixesSpec extends AnyFunSuite {
+
+  private def mkStage(content: String, marker: Boolean = true): String = {
+    val d = Files.createTempDirectory("graft-r12-stage")
+    Files.writeString(d.resolve("part-0"), content)
+    if (marker) Files.createFile(d.resolve("_SUCCESS"))
+    d.toString
+  }
+
+  test("publishDir moves a complete stage into an empty slot atomically") {
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.delete(target) // cachedDir returns a path; the dir may not exist
+    val stage = mkStage("winner")
+    Scratch.publishDir(stage, target.toString)
+    assert(Files.readString(target.resolve("part-0")) == "winner")
+    assert(Files.exists(target.resolve("_SUCCESS")))
+    assert(!Files.exists(Paths.get(stage)), "stage must be renamed away")
+    Scratch.deleteTree(target)
+  }
+
+  test("a losing publisher adopts the winner's slot, never overwrites it") {
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.delete(target)
+    Scratch.publishDir(mkStage("winner"), target.toString)
+    // second JVM raced past the _SUCCESS check and staged its own copy:
+    // its publish must be a quiet no-op against the complete slot
+    Scratch.publishDir(mkStage("loser"), target.toString)
+    assert(Files.readString(target.resolve("part-0")) == "winner")
+    Scratch.deleteTree(target)
+  }
+
+  test("a partial slot without the marker is cleared and rebuilt") {
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.writeString(target.resolve("part-0"), "crashed-partial")
+    // no _SUCCESS: a pre-staging-era writer died mid-write
+    Scratch.publishDir(mkStage("rebuilt"), target.toString)
+    assert(Files.readString(target.resolve("part-0")) == "rebuilt")
+    assert(Files.exists(target.resolve("_SUCCESS")))
+    Scratch.deleteTree(target)
+  }
+
+  test("publishDir refuses a stage missing its own completeness marker") {
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.delete(target)
+    val stage = mkStage("incomplete", marker = false)
+    intercept[IllegalArgumentException] {
+      Scratch.publishDir(stage, target.toString)
+    }
+    assert(!Files.exists(target), "a refused publish must not create the slot")
+    Scratch.deleteTree(Paths.get(stage))
+  }
+}
