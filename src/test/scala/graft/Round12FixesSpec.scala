@@ -50,6 +50,39 @@ class Round12FixesSpec extends AnyFunSuite {
     Scratch.deleteTree(target)
   }
 
+  test("concurrent publishers race one slot: exactly one complete copy wins") {
+    // the ADVICE scenario measured, not just argued: N threads all see
+    // the slot missing, stage privately, and publish at once — the slot
+    // must end up holding exactly ONE publisher's complete copy (never
+    // interleaved files), and every loser must return without error
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.delete(target)
+    val n = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val stages = (0 until n).map(i => mkStage(s"writer-$i"))
+    val threads = stages.map { stage => // staged BEFORE the gun fires
+      val t = new Thread(() => {
+        try { start.await(); Scratch.publishDir(stage, target.toString) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"racing publisher threw: ${errs.peek()}")
+    assert(Files.exists(target.resolve("_SUCCESS")))
+    val content = Files.readString(target.resolve("part-0"))
+    assert(content.startsWith("writer-"), content)
+    // exactly the winner's two files — no interleaving from losers
+    val files = Files.list(target).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toSet
+    assert(names == Set("part-0", "_SUCCESS"), names.toString)
+    Scratch.deleteTree(target)
+    stages.foreach(s => Scratch.deleteTree(Paths.get(s))) // losers' stages
+  }
+
   test("publishDir refuses a stage missing its own completeness marker") {
     val target = Files.createTempDirectory("graft-r12-slot")
     Files.delete(target)
