@@ -158,10 +158,13 @@ object Bench {
     // a complete object. The errors map rides along unless it alone
     // would blow the tail budget, in which case its count does.
     val errsShort = if (errs.length <= 600) errs else s"""{"count":${errors.size}}"""
+    // the detail string goes through jq too: an exotic
+    // SPARK_GRAFT_BENCH_OUT (quote, backslash) must not invalidate the
+    // one line whose whole point is surviving as parseable JSON
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"errors":$errsShort,""" +
-      s""""sf":${jq(sfDir)},"detail":"full per-query map on the first """ +
-      s"""stdout JSON line and in $outPath"}""")
+      s""""sf":${jq(sfDir)},"detail":${jq(
+        s"full per-query map on the first stdout JSON line and in $outPath")}}""")
     spark.stop()
   }
 }
