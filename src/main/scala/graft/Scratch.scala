@@ -26,9 +26,21 @@ object Scratch {
   /** Recursive delete with the walk stream closed; `keepRoot` leaves
     * the directory itself in place (cleared). Throws on failure — the
     * shared strict form behind every tree delete in the library (a
-    * silent partial clear would corrupt checksummed layouts). */
+    * silent partial clear would corrupt checksummed layouts).
+    *
+    * Completeness markers (`_SUCCESS`, at any depth) are deleted in a
+    * FIRST pass: the reverse-lexicographic walk would otherwise remove
+    * part files before the marker (`p` sorts after `_`), so a crash
+    * mid-clear could leave a marker over partial contents — which
+    * every marker-guarded cache would then serve as complete. */
   def deleteTree(p: Path, keepRoot: Boolean = false): Unit =
     if (Files.exists(p)) {
+      val markers = Files.walk(p)
+      try markers
+        .filter(f => f.getFileName != null &&
+          f.getFileName.toString == "_SUCCESS")
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally markers.close()
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => if (!(keepRoot && f == p)) { Files.deleteIfExists(f); () })
@@ -51,10 +63,18 @@ object Scratch {
     * completeness marker missing must not race interleaved part files
     * into one shared dir). Each publisher stages privately ([[dir]])
     * and the FIRST rename wins; a loser adopts the winner's dir (its
-    * own stage is reaped by the exit hook). A pre-existing slot
-    * WITHOUT the marker — a crashed partial write — is cleared and the
-    * rename retried once; losing that retry to yet another publisher
-    * is fine as long as someone's complete dir holds the slot. */
+    * own stage is reaped by the exit hook).
+    *
+    * A pre-existing slot WITHOUT the marker — a crashed partial write —
+    * is moved ASIDE atomically into a fresh quarantine [[dir]] and the
+    * rename retried, never deleted in place: an in-place clear would
+    * race a concurrent winner's rename (deleting the winner's
+    * just-published files, or dying on its non-empty slot), and a
+    * crash mid-clear could otherwise leave a marker over partial
+    * contents. The quarantine is deleted immediately; if that is
+    * interrupted, the exit hook reaps it. Losing the aside-rename or
+    * the retry to another publisher is fine as long as someone's
+    * complete dir holds the slot. */
   def publishDir(stage: String, target: String,
                  marker: String = "_SUCCESS"): Unit = {
     val src = java.nio.file.Paths.get(stage)
@@ -73,12 +93,39 @@ object Scratch {
           false
       }
     if (!tryMove() && !Files.exists(dst.resolve(marker))) {
-      deleteTree(dst)
+      val quarantine = java.nio.file.Paths.get(dir("graft-stale")).resolve("q")
+      try {
+        Files.move(dst, quarantine,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(quarantine)
+      } catch {
+        // another recoverer took the partial aside first — just retry
+        case _: java.nio.file.FileSystemException => ()
+      }
       if (!tryMove() && !Files.exists(dst.resolve(marker)))
         throw new IllegalStateException(
           s"could not publish $stage into $target and no complete " +
             "directory holds the slot")
     }
+  }
+
+  /** Serve-or-build for a [[cachedDir]] slot: if `marker` is present
+    * the slot is served as-is; otherwise `write` builds the contents
+    * into a PRIVATE stage directory and [[publishDir]] renames the
+    * stage into the slot atomically. The r11-ADVICE discipline as one
+    * helper so no call site can reintroduce the
+    * check-then-write-into-the-shared-slot race (two JVMs that both
+    * see the marker missing must each build privately, with exactly
+    * one rename winning). `marker` may be nested (`events/_SUCCESS`)
+    * for slots whose contents are a directory tree. */
+  def ensureBuilt(target: String, marker: String = "_SUCCESS")
+                 (write: String => Unit): String = {
+    if (!Files.exists(java.nio.file.Paths.get(target).resolve(marker))) {
+      val stage = dir(new File(target).getName + "-stage")
+      write(stage)
+      publishDir(stage, target, marker)
+    }
+    target
   }
 
   /** A cache directory keyed by the witness's identity — for a file:
@@ -88,8 +135,18 @@ object Scratch {
     * so adding/removing/rewriting any part file re-keys the cache.
     * Returns the path; contents persist across runs in one machine
     * session and rebuild whenever the witness changes. Callers mark
-    * completeness themselves (e.g. `_SUCCESS`). */
-  def cachedDir(prefix: String, witnessFile: String): String = {
+    * completeness themselves (e.g. `_SUCCESS`), or build through
+    * [[ensureBuilt]].
+    *
+    * `version` tags the DERIVATION the cache holds (r11 ADVICE: the
+    * witness tracks only the SOURCE, so a changed derivation — a new
+    * lag spec, a different projection — must bump its version or the
+    * cache keeps serving the stale frame). It folds into the key, not
+    * the prefix: old-version dirs stay same-prefix siblings, so the
+    * age-gated sweep below reclaims them instead of orphaning them
+    * under a prefix nothing requests anymore. */
+  def cachedDir(prefix: String, witnessFile: String,
+                version: String = ""): String = {
     val f = new File(witnessFile)
     // a MISSING witness has length 0 and mtime 0 — a constant identity
     // that would never re-key, so a regenerated source would keep
@@ -113,8 +170,10 @@ object Scratch {
           } finally walk.close()
         (f.getCanonicalPath +: parts).mkString("|")
       } else s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+    // unversioned callers keep their pre-version key (no cache churn)
+    val keyed = if (version.isEmpty) ident else s"$version|$ident"
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(ident.getBytes("UTF-8"))
+      .digest(keyed.getBytes("UTF-8"))
     val key = md.take(8).map(b => f"$b%02x").mkString
     val tmp = new File(System.getProperty("java.io.tmpdir"))
     val target = new File(tmp, s"$prefix-$key")

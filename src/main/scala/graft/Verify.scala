@@ -25,9 +25,13 @@ object Verify {
     val dataDir = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "single") match {
       case "single" => sfDir
       case "partitioned" =>
-        val lake = Scratch.cachedDir("graft-hybrid-lake", sfDir)
-        if (!new java.io.File(s"$lake/_SUCCESS").exists())
-          Tables.writeHybridLake(spark, sfDir, lake)
+        // stage + atomic rename (ensureBuilt): a second Verify JVM
+        // racing the lake build adopts the winner's copy instead of
+        // interleaving table writes into the shared slot
+        val lake = Scratch.ensureBuilt(
+          Scratch.cachedDir("graft-hybrid-lake", sfDir)) { stage =>
+          Tables.writeHybridLake(spark, sfDir, stage)
+        }
         System.err.println(s"[verify] layout=partitioned lake=$lake")
         lake
       case other => sys.error(

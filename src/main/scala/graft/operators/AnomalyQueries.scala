@@ -95,9 +95,11 @@ object AnomalyQueries {
     val complete = wide.select($"bucket_ts").as[Long].collect().toSet
     // the stream input (full filtered events + sentinel) is expensive to
     // rewrite per bench rep — cache it keyed by the source's identity;
-    // checkpoint/sink dirs stay per-run (deleted at JVM exit)
-    val in = graft.Scratch.cachedDir("graft-stream-in", graft.Tables.witness(dir, "events"))
-    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+    // checkpoint/sink dirs stay per-run (deleted at JVM exit). Built
+    // through ensureBuilt (stage + atomic rename) so two JVMs racing
+    // the build cannot interleave part files in the shared slot.
+    val in = graft.Scratch.ensureBuilt(graft.Scratch.cachedDir(
+      "graft-stream-in", graft.Tables.witness(dir, "events"))) { stage =>
       val long = Tables(spark, dir, "events")
         .filter($"event_type".isin(tags: _*))
         .filter((floor(unix_timestamp($"ts") / 3600L) * 3600L)
@@ -108,7 +110,7 @@ object AnomalyQueries {
         new java.sql.Timestamp((maxBucket + 366L * 86400L) * 1000L), 0.0))
         .toDF("tag", "ts", "value")
         .select($"tag", $"ts", $"value")
-      long.union(sentinel).write.mode("overwrite").parquet(in)
+      long.union(sentinel).write.mode("overwrite").parquet(stage)
     }
     val tmp = graft.Scratch.dir("graft-stream")
     val stream = spark.readStream
@@ -455,21 +457,17 @@ object AnomalyQueries {
     val (lagged, fitted) = lagClickFit(spark, dir)
     // the streamed serve input (the lag frame clients would send) is
     // expensive to rewrite per bench rep — cache it keyed by the source
-    // table's identity; sink/checkpoint dirs stay per-run. The prefix
+    // table's identity; sink/checkpoint dirs stay per-run. The key
     // carries a DERIVATION VERSION (v1 = lagClickFit's lookback-2 lag
     // frame): the witness only tracks the source table, so a future
-    // change to the lag spec must bump the tag or it would keep serving
-    // the stale frame and fail the oracle as a phantom streaming bug
-    // (r11 ADVICE). Publication is staged: write to a fresh temp dir,
-    // then atomically rename into the cache slot — two JVMs that both
-    // see _SUCCESS missing each stage privately and exactly one rename
-    // wins, instead of racing interleaved part files into a shared dir.
-    val in = graft.Scratch.cachedDir("graft-q91-in-v1",
-      graft.Tables.witness(dir, "events"))
-    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
-      val stage = graft.Scratch.dir("graft-q91-stage")
-      lagged.coalesce(2).write.mode("overwrite").parquet(stage)
-      graft.Scratch.publishDir(stage, in)
+    // change to the lag spec must bump the version or the cache keeps
+    // serving the stale frame and fails the oracle as a phantom
+    // streaming bug (r11 ADVICE). ensureBuilt stages privately and
+    // atomically renames into the slot — two JVMs that both see the
+    // marker missing cannot race interleaved part files into one dir.
+    val in = graft.Scratch.ensureBuilt(graft.Scratch.cachedDir(
+      "graft-q91-in", graft.Tables.witness(dir, "events"), version = "v1")) {
+      stage => lagged.coalesce(2).write.mode("overwrite").parquet(stage)
     }
     val tmp = graft.Scratch.dir("graft-q91")
     val stream = spark.readStream

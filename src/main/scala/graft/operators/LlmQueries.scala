@@ -385,12 +385,15 @@ object LlmQueries {
     * length(text). */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val in = graft.Scratch.cachedDir("graft-q76-in", graft.Tables.witness(dir, "documents"))
-    if (!new java.io.File(s"$in/_SUCCESS").exists())
+    // stage + atomic rename (ensureBuilt): two JVMs racing the build
+    // cannot interleave part files in the shared cache slot
+    val in = graft.Scratch.ensureBuilt(graft.Scratch.cachedDir(
+      "graft-q76-in", graft.Tables.witness(dir, "documents"))) { stage =>
       Tables(spark, dir, "documents")
         .select($"doc_id", $"text",
           lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
-        .repartition(8).write.mode("overwrite").parquet(in)
+        .repartition(8).write.mode("overwrite").parquet(stage)
+    }
     val tmp = graft.Scratch.dir("graft-q76")
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")

@@ -199,11 +199,14 @@ object TimeSeriesQueries {
     import spark.implicits._
     // keyed by the source file's identity (path + length + mtime): a
     // regenerated events table rebuilds the lake instead of silently
-    // serving the stale layout
-    val lake = graft.Scratch.cachedDir("graft-lake",
-      graft.Tables.witness(dir, "events")) + "/events"
-    if (!new java.io.File(s"$lake/_SUCCESS").exists())
-      Tables.writePartitionedEvents(spark, dir, lake)
+    // serving the stale layout. Built through ensureBuilt (stage +
+    // atomic rename; nested marker — the slot's contents are the
+    // events/ tree) so racing JVMs cannot interleave partition dirs.
+    val lake = graft.Scratch.ensureBuilt(
+      graft.Scratch.cachedDir("graft-lake", graft.Tables.witness(dir, "events")),
+      marker = "events/_SUCCESS") { stage =>
+      Tables.writePartitionedEvents(spark, dir, s"$stage/events")
+    } + "/events"
     val (start, end) = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
     val long = graft.data.Providers.partitionedParquet(
       spark, lake, "event_type", "ts", "value", start, end)

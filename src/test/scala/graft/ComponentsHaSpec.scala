@@ -63,7 +63,9 @@ class ComponentsHaSpec extends AnyFunSuite {
     drain.start()
     if (!p.waitFor(8, TimeUnit.MINUTES)) {
       p.destroyForcibly()
-      fail(s"HA probe did not finish within 8 minutes; stdout so far:\n$out")
+      // synchronized read: the reader thread may still be appending
+      fail("HA probe did not finish within 8 minutes; stdout so far:\n" +
+        out.synchronized(out.toString))
     }
     reader.join(10000)
     (p.exitValue(), out.synchronized(out.toString))

@@ -40,6 +40,9 @@ object DedupStreamProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress is capped (default 100); the probe's batch and
+      // state readings must cover EVERY micro-batch at any scale knob
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -23,14 +23,12 @@ class PartitionedSourceSpec extends AnyFunSuite {
   // guarded only by _SUCCESS would keep comparing against a stale lake
   // after the sf dataset regenerates, and the failure would read as
   // layout drift instead of a stale cache
-  private def lakeDir: String = {
-    val root = Scratch.cachedDir("graft-lake-spec",
-      Tables.witness(sf, "events"))
-    val d = new java.io.File(root, "events")
-    if (!new java.io.File(d, "_SUCCESS").exists())
-      Tables.writePartitionedEvents(spark, sf, d.getPath)
-    d.getPath
-  }
+  private def lakeDir: String =
+    Scratch.ensureBuilt(
+      Scratch.cachedDir("graft-lake-spec", Tables.witness(sf, "events")),
+      marker = "events/_SUCCESS") { stage =>
+      Tables.writePartitionedEvents(spark, sf, s"$stage/events")
+    } + "/events"
 
   test("Tables reads the directory layout with the canonical schema") {
     val lake = lakeDir
@@ -44,9 +42,10 @@ class PartitionedSourceSpec extends AnyFunSuite {
   }
 
   test("the hybrid lake serves every table bit-identical to single-file") {
-    val root = new java.io.File(Scratch.cachedDir("graft-hybrid-spec", sf))
-    if (!new java.io.File(root, "_SUCCESS").exists())
-      Tables.writeHybridLake(spark, sf, root.getPath)
+    val root = new java.io.File(Scratch.ensureBuilt(
+      Scratch.cachedDir("graft-hybrid-spec", sf)) { stage =>
+      Tables.writeHybridLake(spark, sf, stage)
+    })
     // the partitioned tables really are partitioned directories
     assert(new java.io.File(root, "events").listFiles()
       .exists(_.getName.startsWith("event_date=")))

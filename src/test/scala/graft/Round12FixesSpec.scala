@@ -70,17 +70,54 @@ class Round12FixesSpec extends AnyFunSuite {
     }
     start.countDown()
     threads.foreach(_.join(30000))
+    // a wedged publisher must fail the test as a hang, not let the
+    // asserts below race its still-in-flight rename
+    threads.foreach(t => assert(!t.isAlive, "a publisher thread wedged"))
     assert(errs.isEmpty, s"racing publisher threw: ${errs.peek()}")
     assert(Files.exists(target.resolve("_SUCCESS")))
     val content = Files.readString(target.resolve("part-0"))
     assert(content.startsWith("writer-"), content)
     // exactly the winner's two files — no interleaving from losers
-    val files = Files.list(target).iterator()
-    val names = Iterator.continually(files).takeWhile(_.hasNext)
-      .map(_.next().getFileName.toString).toSet
+    val listing = Files.list(target)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally listing.close()
     assert(names == Set("part-0", "_SUCCESS"), names.toString)
     Scratch.deleteTree(target)
     stages.foreach(s => Scratch.deleteTree(Paths.get(s))) // losers' stages
+  }
+
+  test("ensureBuilt builds exactly once, then serves the completed slot") {
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.delete(target)
+    var builds = 0
+    def build() = Scratch.ensureBuilt(target.toString) { st =>
+      builds += 1
+      Files.writeString(Paths.get(st).resolve("part-0"), "built")
+      Files.createFile(Paths.get(st).resolve("_SUCCESS")); ()
+    }
+    assert(build() == target.toString)
+    assert(build() == target.toString) // marker present: no rebuild
+    assert(builds == 1)
+    assert(Files.readString(target.resolve("part-0")) == "built")
+    Scratch.deleteTree(target)
+  }
+
+  test("cachedDir: a bumped derivation version re-keys, same sweepable prefix") {
+    val witness = Files.createTempFile("graft-r12-witness", ".parquet")
+    val unv = Scratch.cachedDir("graft-r12-ver", witness.toString)
+    val v1 = Scratch.cachedDir("graft-r12-ver", witness.toString, "v1")
+    val v2 = Scratch.cachedDir("graft-r12-ver", witness.toString, "v2")
+    assert(Set(unv, v1, v2).size == 3, "each version must key its own slot")
+    // same prefix: superseded-version dirs stay age-sweepable siblings
+    // instead of orphans under a prefix nothing requests anymore
+    assert(Seq(unv, v1, v2).forall(p =>
+      new java.io.File(p).getName.startsWith("graft-r12-ver-")))
+    assert(v1 == Scratch.cachedDir("graft-r12-ver", witness.toString, "v1"),
+      "same witness + same version must be a stable key")
+    Files.delete(witness)
   }
 
   test("publishDir refuses a stage missing its own completeness marker") {

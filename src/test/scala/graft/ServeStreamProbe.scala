@@ -31,6 +31,9 @@ object ServeStreamProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress is capped (default 100); the probe's batch and
+      // state readings must cover EVERY micro-batch at any scale knob
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -44,13 +47,10 @@ object ServeStreamProbe {
     // (same witness-keyed discipline, probe-own prefix) but spread over
     // 16 range files so maxFilesPerTrigger yields MANY micro-batches —
     // the serve loop crosses batch boundaries instead of one replay
-    val in = Scratch.cachedDir("graft-q91-probe-in",
-      Tables.witness(dir, "events"))
-    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
-      val stage = Scratch.dir("graft-q91-probe-stage")
+    val in = Scratch.ensureBuilt(Scratch.cachedDir("graft-q91-probe-in",
+      Tables.witness(dir, "events"), version = "v1")) { stage =>
       lagged.repartitionByRange(16, $"bucket_ts")
         .write.mode("overwrite").parquet(stage)
-      Scratch.publishDir(stage, in)
     }
     val nIn = spark.read.parquet(in).count()
 

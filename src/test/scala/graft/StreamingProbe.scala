@@ -26,6 +26,9 @@ object StreamingProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress is capped (default 100); the probe's batch and
+      // state readings must cover EVERY micro-batch at any scale knob
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -41,8 +44,9 @@ object StreamingProbe {
       window = Some(6), smoothingMethod = "smm")
     val complete = wide.select($"bucket_ts").as[Long].collect().toSet
 
-    val in = Scratch.cachedDir("graft-stream-probe", s"$dir/events.parquet")
-    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+    val in = Scratch.ensureBuilt(
+      Scratch.cachedDir("graft-stream-probe", s"$dir/events.parquet")) {
+      stage =>
       val long = ev
         .filter((floor(unix_timestamp($"ts") / 3600L) * 3600L)
           .isInCollection(complete))
@@ -53,18 +57,18 @@ object StreamingProbe {
       // claim under test. The sentinel lands in its own LAST file
       // (later mtime → FileStreamSource schedules it last).
       long.repartitionByRange(40, $"ts").sortWithinPartitions($"ts")
-        .write.mode("overwrite").parquet(in)
-      def partFiles() = new java.io.File(in).listFiles()
+        .write.mode("overwrite").parquet(stage)
+      def partFiles() = new java.io.File(stage).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val mainParts = partFiles()
       Seq(("click",
         new java.sql.Timestamp((complete.max + 366L * 86400L) * 1000L), 0.0))
         .toDF("tag", "ts", "value")
-        .coalesce(1).write.mode("append").parquet(in)
+        .coalesce(1).write.mode("append").parquet(stage)
       // parallel writes leave near-identical mtimes and FileStreamSource
       // schedules by mtime — pin strictly increasing mtimes in path
       // order so replay order matches the ts ranges, with the sentinel
-      // file stamped last
+      // file stamped last (the stage→slot rename preserves mtimes)
       mainParts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 1000L) }
       (partFiles().toSet -- mainParts.toSet).foreach(
