@@ -144,8 +144,13 @@ object Bench {
     println(line)
     // persist the full record as a file artifact too (BENCH_LOCAL.json
     // beside the repo root, or SPARK_GRAFT_BENCH_OUT) — the stdout line
-    // is what the driver tails, and tailing has clipped it before
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // is what the driver tails, and tailing has clipped it before.
+    // SUBSET runs default to a /tmp artifact: a dev smoke over a few
+    // queries must not clobber the committed full-suite record (which
+    // happened once — a 4-query sf0.001 smoke overwrote the 91-query
+    // sf0.1 record in the repo root and got committed)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

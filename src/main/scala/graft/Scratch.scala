@@ -58,54 +58,80 @@ object Scratch {
     p.toString
   }
 
+  // serializes same-JVM recoverers per slot (threads); the advisory
+  // file lock below serializes across JVMs — FileChannel.lock throws
+  // OverlappingFileLockException on a second same-JVM attempt, so both
+  // layers are needed
+  private val recoveryMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomically publish a fully-written staging directory into a
     * [[cachedDir]] slot (r11 ADVICE: two JVMs that both observe the
     * completeness marker missing must not race interleaved part files
     * into one shared dir). Each publisher stages privately ([[dir]])
     * and the FIRST rename wins; a loser adopts the winner's dir (its
-    * own stage is reaped by the exit hook).
+    * own stage is reaped by the exit hook). The happy paths — empty
+    * slot, or a complete slot to adopt — are lock-free.
     *
-    * A pre-existing slot WITHOUT the marker — a crashed partial write —
-    * is moved ASIDE atomically into a fresh quarantine [[dir]] and the
-    * rename retried, never deleted in place: an in-place clear would
-    * race a concurrent winner's rename (deleting the winner's
-    * just-published files, or dying on its non-empty slot), and a
-    * crash mid-clear could otherwise leave a marker over partial
-    * contents. The quarantine is deleted immediately; if that is
-    * interrupted, the exit hook reaps it. Losing the aside-rename or
-    * the retry to another publisher is fine as long as someone's
-    * complete dir holds the slot. */
+    * RECOVERY (a pre-existing slot WITHOUT the marker — a crashed
+    * partial write) is serialized on a per-slot monitor (threads) plus
+    * an advisory `.lock` file (JVMs), because un-serialized recoverers
+    * could quarantine each other's freshly published COMPLETE dir: the
+    * marker re-check under the lock is authoritative. The partial is
+    * moved ASIDE by atomic rename — never cleared in place, where a
+    * crash mid-clear leaves junk (or, pre-markers-first deleteTree, a
+    * marker over partial contents) in the live slot — into a sibling
+    * named like a [[cachedDir]] key, so even a SIGKILL between the
+    * move and its delete leaves only an age-sweepable sibling the next
+    * same-prefix cachedDir call reclaims, not a permanent orphan. */
   def publishDir(stage: String, target: String,
                  marker: String = "_SUCCESS"): Unit = {
     val src = java.nio.file.Paths.get(stage)
     val dst = java.nio.file.Paths.get(target)
     require(Files.exists(src.resolve(marker)),
       s"refusing to publish a stage without its $marker marker: $stage")
-    def tryMove(): Boolean =
+    def moveErr(): Option[Throwable] =
       try {
         Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
+        None
       } catch {
-        // dst appeared (or was there): a concurrent winner or a stale
-        // partial — resolved by the marker check below. Any rename
-        // failure WITHOUT a dst present is a real error and propagates.
-        case _: java.nio.file.FileSystemException if Files.exists(dst) =>
-          false
+        case e: java.nio.file.FileSystemException => Some(e)
       }
-    if (!tryMove() && !Files.exists(dst.resolve(marker))) {
-      val quarantine = java.nio.file.Paths.get(dir("graft-stale")).resolve("q")
+    def complete(): Boolean = Files.exists(dst.resolve(marker))
+    if (moveErr().isEmpty || complete()) return
+    val monitor = recoveryMonitors
+      .computeIfAbsent(dst.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath =
+        dst.resolveSibling(dst.getFileName.toString + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        Files.move(dst, quarantine,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        deleteTree(quarantine)
-      } catch {
-        // another recoverer took the partial aside first — just retry
-        case _: java.nio.file.FileSystemException => ()
-      }
-      if (!tryMove() && !Files.exists(dst.resolve(marker)))
-        throw new IllegalStateException(
-          s"could not publish $stage into $target and no complete " +
-            "directory holds the slot")
+        val lock = ch.lock()
+        try {
+          if (!complete()) { // authoritative re-check under the lock
+            if (Files.exists(dst)) {
+              val name = dst.getFileName.toString
+              val base =
+                if (name.matches(".*-[0-9a-f]{16}")) name.dropRight(17)
+                else name
+              val fresh = f"${ProcessHandle.current().pid() & 0xffffffffL}%08x" +
+                f"${System.nanoTime() & 0xffffffffL}%08x"
+              val quarantine = dst.resolveSibling(s"$base-$fresh")
+              Files.move(dst, quarantine,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              deleteTree(quarantine)
+            }
+            moveErr().foreach { e =>
+              if (!complete())
+                throw new IllegalStateException(
+                  s"could not publish $stage into $target and no " +
+                    "complete directory holds the slot", e)
+            }
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
   }
 

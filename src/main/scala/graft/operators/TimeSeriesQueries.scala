@@ -235,11 +235,18 @@ object TimeSeriesQueries {
     val (start, end) = ("2024-01-05 00:00:00", "2024-01-12 00:00:00")
     val (startUs, endUs) = (1704412800000000L, 1705017600000000L)
     // keyed by the source file's identity (q68's cachedDir discipline):
-    // regenerated events re-seed the database instead of serving stale rows
-    val dbHome = graft.Scratch.cachedDir("graft-q73-derby",
-      graft.Tables.witness(dir, "events"))
-    val url = s"jdbc:derby:$dbHome/db"
-    if (!new java.io.File(s"$dbHome/seeded").exists()) {
+    // regenerated events re-seed the database instead of serving stale
+    // rows. Seeded through ensureBuilt (private stage + atomic rename,
+    // marker `seeded`): two JVMs racing the seed would otherwise both
+    // boot embedded Derby on the SAME shared slot — the second dies
+    // with Derby's single-booter XSDB6, and a crash between save() and
+    // the marker would leave a half-seeded db in the live slot. The
+    // staged engine is shut down before the rename so no open page
+    // cache or lock file moves with the directory.
+    val dbHome = graft.Scratch.ensureBuilt(
+      graft.Scratch.cachedDir("graft-q73-derby",
+        graft.Tables.witness(dir, "events")),
+      marker = "seeded") { stage =>
       Tables(spark, dir, "events")
         .filter($"event_type".isin("click", "view") &&
           $"ts" >= lit(start).cast("timestamp") &&
@@ -247,15 +254,23 @@ object TimeSeriesQueries {
         .select($"event_type".as("tag"), unix_micros($"ts").as("ts_us"),
           $"value")
         .write.mode("overwrite")
-        .format("jdbc").option("url", s"$url;create=true")
+        .format("jdbc").option("url", s"jdbc:derby:$stage/db;create=true")
         // Derby's default StringType mapping is CLOB, which rejects the
         // pushed-down tag predicate (CLOB vs CHAR comparisons); pin a
         // comparable VARCHAR
         .option("createTableColumnTypes",
           "tag VARCHAR(63), ts_us BIGINT, value DOUBLE")
         .option("dbtable", "events_src").save()
-      new java.io.File(s"$dbHome/seeded").createNewFile()
+      // clean shutdown BEFORE the stage moves: success is signaled by
+      // SQLState 08006 (the Derby idiom), anything else propagates
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$stage/db;shutdown=true")
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+      }
+      new java.io.File(s"$stage/seeded").createNewFile(): Unit
     }
+    val url = s"jdbc:derby:$dbHome/db"
     val long = graft.data.Providers.jdbc(spark, url, "events_src",
       "tag", "ts_us", "value", startUs, endUs, numPartitions = 8)
     TimeSeries.getData(long, "tag", "ts", "value", DatasetConfig(

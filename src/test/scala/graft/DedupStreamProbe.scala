@@ -53,8 +53,13 @@ object DedupStreamProbe {
       .select(graft.llm.TextDedup.exactKey($"text").as("k"))
       .distinct().count()
 
-    val in = Scratch.cachedDir("graft-dedup-probe", s"$dir/documents.parquet")
-    if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+    // ensureBuilt (stage + atomic rename): racing probe JVMs cannot
+    // interleave part files, and the mtime pinning happens INSIDE the
+    // stage — the pre-staged form wrote _SUCCESS before pinning, so a
+    // kill in between published a "complete" cache whose unpinned
+    // mtimes silently broke the time-ordered-replay premise
+    val in = Scratch.ensureBuilt(Scratch.cachedDir(
+      "graft-dedup-probe", s"$dir/documents.parquet")) { stage =>
       // arrival timeline: ~200 docs/hour of first occurrences, plus a
       // 20% duplicate echo 30 min after each original — inside the 1 h
       // watermark window, so the dedup state must still hold the
@@ -67,11 +72,12 @@ object DedupStreamProbe {
         .withColumn("ts", $"ts" + expr("INTERVAL 30 MINUTES"))
       val long = firsts.unionAll(echoes)
       long.repartitionByRange(40, $"ts").sortWithinPartitions($"ts")
-        .write.mode("overwrite").parquet(in)
+        .write.mode("overwrite").parquet(stage)
       // FileStreamSource schedules by mtime: pin strictly increasing
       // mtimes in path (= ts-range) order so replay is time-ordered and
       // the watermark advances batch by batch, evicting expired keys
-      new java.io.File(in).listFiles()
+      // (the stage→slot rename preserves mtimes)
+      new java.io.File(stage).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         .zipWithIndex.foreach { case (f, i) =>
           f.setLastModified(1700000000000L + i * 1000L) }

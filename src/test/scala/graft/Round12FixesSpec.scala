@@ -89,6 +89,37 @@ class Round12FixesSpec extends AnyFunSuite {
     stages.foreach(s => Scratch.deleteTree(Paths.get(s))) // losers' stages
   }
 
+  test("concurrent recoverers of a partial slot leave one complete copy") {
+    // the TOCTOU the lock closes: recoverers could quarantine each
+    // other's freshly published complete dir; under the per-slot
+    // monitor + advisory file lock, the end state must be exactly one
+    // complete copy and no thread may error
+    val target = Files.createTempDirectory("graft-r12-slot")
+    Files.writeString(target.resolve("part-0"), "crashed-partial") // no marker
+    val n = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val stages = (0 until n).map(i => mkStage(s"recoverer-$i"))
+    val threads = stages.map { stage =>
+      val t = new Thread(() => {
+        try { start.await(); Scratch.publishDir(stage, target.toString) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    threads.foreach(t => assert(!t.isAlive, "a recoverer thread wedged"))
+    assert(errs.isEmpty, s"racing recoverer threw: ${errs.peek()}")
+    assert(Files.exists(target.resolve("_SUCCESS")))
+    assert(Files.readString(target.resolve("part-0"))
+      .startsWith("recoverer-"))
+    Scratch.deleteTree(target)
+    Files.deleteIfExists(
+      target.resolveSibling(target.getFileName.toString + ".lock"))
+    stages.foreach(s => Scratch.deleteTree(Paths.get(s)))
+  }
+
   test("ensureBuilt builds exactly once, then serves the completed slot") {
     val target = Files.createTempDirectory("graft-r12-slot")
     Files.delete(target)
