@@ -88,6 +88,13 @@ object Scratch {
                  marker: String = "_SUCCESS"): Unit = {
     val src = java.nio.file.Paths.get(stage)
     val dst = java.nio.file.Paths.get(target)
+    // the marker may be nested (events/_SUCCESS) but its BASENAME must
+    // be _SUCCESS: deleteTree's crash-ordering first pass deletes
+    // markers by that name, and a custom basename would re-open the
+    // marker-over-partial-contents hole it closes
+    require(marker == "_SUCCESS" || marker.endsWith("/_SUCCESS"),
+      s"marker basename must be _SUCCESS (got $marker) — " +
+        "deleteTree's markers-first crash ordering keys on it")
     require(Files.exists(src.resolve(marker)),
       s"refusing to publish a stage without its $marker marker: $stage")
     def moveErr(): Option[Throwable] =
@@ -99,8 +106,12 @@ object Scratch {
       }
     def complete(): Boolean = Files.exists(dst.resolve(marker))
     if (moveErr().isEmpty || complete()) return
+    // normalized key: two spellings of one slot path must share the
+    // monitor, or the second thread's ch.lock() below throws
+    // OverlappingFileLockException instead of waiting
     val monitor = recoveryMonitors
-      .computeIfAbsent(dst.toAbsolutePath.toString, _ => new Object)
+      .computeIfAbsent(dst.toAbsolutePath.normalize().toString,
+        _ => new Object)
     monitor.synchronized {
       val lockPath =
         dst.resolveSibling(dst.getFileName.toString + ".lock")
@@ -110,6 +121,14 @@ object Scratch {
       try {
         val lock = ch.lock()
         try {
+          // renew the lock file's mtime: the age sweep reclaims stale
+          // .lock files, and unlinking one that is HELD would let a
+          // second recoverer lock a fresh inode alongside this one —
+          // a touched lock is never 6h-stale while in use
+          try Files.setLastModifiedTime(lockPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          catch { case _: Exception => () }
           if (!complete()) { // authoritative re-check under the lock
             if (Files.exists(dst)) {
               val name = dst.getFileName.toString
@@ -119,9 +138,17 @@ object Scratch {
               val fresh = f"${ProcessHandle.current().pid() & 0xffffffffL}%08x" +
                 f"${System.nanoTime() & 0xffffffffL}%08x"
               val quarantine = dst.resolveSibling(s"$base-$fresh")
-              Files.move(dst, quarantine,
+              // BOTH steps tolerate the unserialized cachedDir age
+              // sweep (it never takes this lock): a >=6h-stale partial
+              // can vanish under the move (a vanished dst IS the goal),
+              // and the quarantine inherits the stale mtime + a
+              // sweepable name, so the sweep may race its deletion —
+              // best-effort delete, the sweep reclaims leftovers
+              try Files.move(dst, quarantine,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              deleteTree(quarantine)
+              catch { case _: java.nio.file.FileSystemException => () }
+              try deleteTree(quarantine)
+              catch { case _: Exception => () }
             }
             moveErr().foreach { e =>
               if (!complete())
@@ -226,12 +253,39 @@ object Scratch {
       System.err.println(
         s"[graft.Scratch] WARN: lease renewal (setLastModified) failed " +
         s"for $target — cache is eligible for a sibling session's sweep")
-    val sibling = s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
-    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
-    Option(tmp.listFiles()).getOrElse(Array.empty[File])
-      .filter(d => d.isDirectory && d.getName != target.getName &&
-        sibling.matches(d.getName) && d.lastModified < staleBefore)
-      .foreach(d => deleteRecursively(d.toPath))
+    // THROTTLED (once per prefix per hour per JVM): the sweep lists and
+    // stats every /tmp entry, and paying that per cachedDir call — a
+    // Verify run makes dozens, a bench loop one per rep — is an
+    // O(|/tmp|) stat storm a 6-hour staleness threshold never needs
+    val now = System.currentTimeMillis()
+    val last = sweepTimes.getOrDefault(prefix, 0L)
+    if (now - last > 3600L * 1000 &&
+        sweepTimes.replace(prefix, last, now) ||
+        sweepTimes.putIfAbsent(prefix, now) == null) {
+      val sibling =
+        s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
+      val lockFile =
+        s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}\\.lock$$".r
+      val staleBefore = now - 6L * 3600 * 1000
+      Option(tmp.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName != target.getName &&
+          f.lastModified < staleBefore)
+        .foreach { f =>
+          // publishDir's advisory .lock files are plain files the
+          // dir-only sweep used to leak permanently — reclaim both
+          if (f.isDirectory && sibling.matches(f.getName))
+            deleteRecursively(f.toPath)
+          else if (f.isFile && lockFile.matches(f.getName)) {
+            f.delete(): Unit
+          }
+        }
+    }
     target.getPath
   }
+
+  // per-prefix last-sweep stamps (JVM-local; see the throttle above).
+  // private[graft]: sweep-behavior tests clear a prefix's stamp to
+  // re-arm the throttle between phases
+  private[graft] val sweepTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 }

@@ -237,7 +237,8 @@ object TimeSeriesQueries {
     // keyed by the source file's identity (q68's cachedDir discipline):
     // regenerated events re-seed the database instead of serving stale
     // rows. Seeded through ensureBuilt (private stage + atomic rename,
-    // marker `seeded`): two JVMs racing the seed would otherwise both
+    // standard _SUCCESS marker — deleteTree's crash-ordering pass keys
+    // on that name): two JVMs racing the seed would otherwise both
     // boot embedded Derby on the SAME shared slot — the second dies
     // with Derby's single-booter XSDB6, and a crash between save() and
     // the marker would leave a half-seeded db in the live slot. The
@@ -245,8 +246,7 @@ object TimeSeriesQueries {
     // cache or lock file moves with the directory.
     val dbHome = graft.Scratch.ensureBuilt(
       graft.Scratch.cachedDir("graft-q73-derby",
-        graft.Tables.witness(dir, "events")),
-      marker = "seeded") { stage =>
+        graft.Tables.witness(dir, "events"))) { stage =>
       Tables(spark, dir, "events")
         .filter($"event_type".isin("click", "view") &&
           $"ts" >= lit(start).cast("timestamp") &&
@@ -268,7 +268,7 @@ object TimeSeriesQueries {
       catch {
         case e: java.sql.SQLException if e.getSQLState == "08006" => ()
       }
-      new java.io.File(s"$stage/seeded").createNewFile(): Unit
+      new java.io.File(s"$stage/_SUCCESS").createNewFile(): Unit
     }
     val url = s"jdbc:derby:$dbHome/db"
     val long = graft.data.Providers.jdbc(spark, url, "events_src",

@@ -339,12 +339,14 @@ class AdviceFixesSpec extends AnyFunSuite {
       assert(new java.io.File(d1).mkdir())
       Files.write(witness.toPath, Array[Byte](1, 2, 3, 4))
       witness.setLastModified(witness.lastModified() + 5000)
+      Scratch.sweepTimes.remove("advice-sweep") // re-arm the r12 throttle
       val d2 = Scratch.cachedDir("advice-sweep", witness.getPath)
       assert(d2 != d1)
       assert(new java.io.File(d1).exists(),
         "recent old-key cache dir must survive the sweep")
       // ...and sweeps it once it ages out
       assert(new java.io.File(d1).setLastModified(sixHoursAgo))
+      Scratch.sweepTimes.remove("advice-sweep") // re-arm the r12 throttle
       Scratch.cachedDir("advice-sweep", witness.getPath)
       assert(!new java.io.File(d1).exists(),
         "aged-out old-key cache dir must be swept")

@@ -151,6 +151,24 @@ class Round12FixesSpec extends AnyFunSuite {
     Files.delete(witness)
   }
 
+  test("the age sweep reclaims stale sibling dirs AND their .lock files") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val prefix = "graft-r12-sweep"
+    val stale = new java.io.File(tmp, s"$prefix-" + "0" * 16)
+    assert(stale.mkdirs())
+    val lock = new java.io.File(tmp, stale.getName + ".lock")
+    assert(lock.createNewFile() || lock.exists())
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000
+    stale.setLastModified(old); lock.setLastModified(old)
+    val witness = Files.createTempFile("graft-r12-sweep-w", ".parquet")
+    Scratch.cachedDir(prefix, witness.toString) // first call: sweeps
+    assert(!stale.exists, "stale sibling dir must be swept")
+    assert(!lock.exists,
+      "a stale recovery .lock file must be swept with its dir " +
+        "(the dir-only sweep used to leak them permanently)")
+    Files.delete(witness)
+  }
+
   test("publishDir refuses a stage missing its own completeness marker") {
     val target = Files.createTempDirectory("graft-r12-slot")
     Files.delete(target)
