@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tails `sbt "runMain graft.Bench"` stdout and parses
+// the LAST line as JSON (BENCH_r12.json recorded `"parsed": null`): ship
+// forked run output raw — no "[info] " line prefix — and drop sbt's
+// "[success] Total time ..." footer so Bench's short totals line IS the
+// final stdout line. Bench also persists the same line to
+// BENCH_SUMMARY.json as a file-artifact fallback.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -166,10 +166,24 @@ object Bench {
     // the detail string goes through jq too: an exotic
     // SPARK_GRAFT_BENCH_OUT (quote, backslash) must not invalidate the
     // one line whose whole point is surviving as parseable JSON
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""n_queries":${results.size},"errors":$errsShort,""" +
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""reps":$reps,"n_queries":${results.size},"errors":$errsShort,""" +
       s""""sf":${jq(sfDir)},"detail":${jq(
-        s"full per-query map on the first stdout JSON line and in $outPath")}}""")
+        s"full per-query map on the first stdout JSON line and in $outPath")}}"""
+    println(shortLine)
+    // file-artifact fallback for the driver's last-line parser (r12
+    // verdict item 4: BENCH_r12.json still recorded "parsed": null even
+    // with the short line in the tail — build.sbt now strips the
+    // "[info] " prefix and the "[success]" footer, and this file is the
+    // recipe-independent copy). Subset smokes keep the committed
+    // full-suite summary intact, same discipline as outPath above.
+    val summaryPath =
+      if (subset.isDefined) "/tmp/BENCH_SUBSET_SUMMARY.json"
+      else "BENCH_SUMMARY.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+      (shortLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $summaryPath: ${e.getMessage}") }
     spark.stop()
   }
 }

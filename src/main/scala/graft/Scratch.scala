@@ -119,16 +119,22 @@ object Scratch {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val lock = ch.lock()
-        try {
-          // renew the lock file's mtime: the age sweep reclaims stale
-          // .lock files, and unlinking one that is HELD would let a
-          // second recoverer lock a fresh inode alongside this one —
-          // a touched lock is never 6h-stale while in use
+        // touch BEFORE acquisition (r12 ADVICE): a pre-existing .lock
+        // with a >=6h-stale mtime could otherwise be unlinked by a
+        // sibling's sweep inside the open→lock→touch window, letting a
+        // later recoverer lock a fresh inode alongside this one. The
+        // sweep also tryLocks before unlinking (skipping HELD files),
+        // so the residual race needs a recovery still in flight 6h
+        // after this touch — at which point something else is wrong.
+        def touch(): Unit =
           try Files.setLastModifiedTime(lockPath,
             java.nio.file.attribute.FileTime.fromMillis(
               System.currentTimeMillis()))
           catch { case _: Exception => () }
+        touch()
+        val lock = ch.lock()
+        try {
+          touch() // renew: the wait for a prior holder may have been long
           if (!complete()) { // authoritative re-check under the lock
             if (Files.exists(dst)) {
               val name = dst.getFileName.toString
@@ -266,6 +272,13 @@ object Scratch {
         s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}$$".r
       val lockFile =
         s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}\\.lock$$".r
+      // ensureBuilt's private stages are createTempDirectory siblings
+      // named '<prefix>-<16 hex>-stage<rand>'; a SIGKILL/OOM between
+      // staging and publish skips the exit hook, and without this
+      // pattern the abandoned stage (multi-GB parquet at sf0.1) would
+      // leak in /tmp permanently (r12 ADVICE)
+      val stageDir =
+        s"^${java.util.regex.Pattern.quote(prefix)}-[0-9a-f]{16}-stage.*$$".r
       val staleBefore = now - 6L * 3600 * 1000
       Option(tmp.listFiles()).getOrElse(Array.empty[File])
         .filter(f => f.getName != target.getName &&
@@ -273,10 +286,24 @@ object Scratch {
         .foreach { f =>
           // publishDir's advisory .lock files are plain files the
           // dir-only sweep used to leak permanently — reclaim both
-          if (f.isDirectory && sibling.matches(f.getName))
+          if (f.isDirectory &&
+              (sibling.matches(f.getName) || stageDir.matches(f.getName)))
             deleteRecursively(f.toPath)
           else if (f.isFile && lockFile.matches(f.getName)) {
-            f.delete(): Unit
+            // only unlink a .lock nobody HOLDS (r12 ADVICE): unlinking a
+            // held file would let a later recoverer lock a fresh inode
+            // alongside the ghost holder — two concurrent recoverers.
+            // tryLock fails (null) for a cross-JVM holder and throws
+            // OverlappingFileLockException for a same-JVM one; both skip.
+            try {
+              val ch = java.nio.channels.FileChannel.open(f.toPath,
+                java.nio.file.StandardOpenOption.WRITE)
+              try {
+                val l = ch.tryLock()
+                if (l != null)
+                  try { f.delete(): Unit } finally l.release()
+              } finally ch.close()
+            } catch { case _: Exception => () } // held or vanished: skip
           }
         }
     }

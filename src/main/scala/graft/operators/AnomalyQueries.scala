@@ -97,9 +97,14 @@ object AnomalyQueries {
     // rewrite per bench rep — cache it keyed by the source's identity;
     // checkpoint/sink dirs stay per-run (deleted at JVM exit). Built
     // through ensureBuilt (stage + atomic rename) so two JVMs racing
-    // the build cannot interleave part files in the shared slot.
+    // the build cannot interleave part files in the shared slot. The key
+    // carries a DERIVATION VERSION (v1 = click/view tags, complete-bucket
+    // filter, +366d sentinel): the witness only tracks the source table,
+    // so a changed derivation must bump the version or the cache serves
+    // the stale frame and fails the oracle as a phantom bug (r12 verdict).
     val in = graft.Scratch.ensureBuilt(graft.Scratch.cachedDir(
-      "graft-stream-in", graft.Tables.witness(dir, "events"))) { stage =>
+      "graft-stream-in", graft.Tables.witness(dir, "events"),
+      version = "v1")) { stage =>
       val long = Tables(spark, dir, "events")
         .filter($"event_type".isin(tags: _*))
         .filter((floor(unix_timestamp($"ts") / 3600L) * 3600L)

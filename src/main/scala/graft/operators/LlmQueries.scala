@@ -386,9 +386,14 @@ object LlmQueries {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // stage + atomic rename (ensureBuilt): two JVMs racing the build
-    // cannot interleave part files in the shared cache slot
+    // cannot interleave part files in the shared cache slot. The key
+    // carries a DERIVATION VERSION (v1 = doc_id/text projection + the
+    // constant 2024-01-01 event time, 8 partitions): the witness only
+    // tracks the source table, so a changed projection must bump the
+    // version or the cache serves the stale frame (r12 verdict).
     val in = graft.Scratch.ensureBuilt(graft.Scratch.cachedDir(
-      "graft-q76-in", graft.Tables.witness(dir, "documents"))) { stage =>
+      "graft-q76-in", graft.Tables.witness(dir, "documents"),
+      version = "v1")) { stage =>
       Tables(spark, dir, "documents")
         .select($"doc_id", $"text",
           lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))

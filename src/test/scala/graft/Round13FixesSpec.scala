@@ -1,0 +1,113 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression coverage for the round-13 maintenance items (r12 verdict
+  * item 1 + both actionable ADVICE findings): the q69/q76 derived-input
+  * caches are version-keyed like q91's, abandoned ensureBuilt stage
+  * directories are age-sweepable instead of leaking permanently after
+  * SIGKILL, and the age sweep never unlinks a recovery .lock file that
+  * some JVM currently HOLDS.
+  */
+class Round13FixesSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val tmp = new File(System.getProperty("java.io.tmpdir"))
+  private val staleMs = System.currentTimeMillis() - 7L * 3600 * 1000
+
+  test("q69's stream-input cache is derivation-version-keyed (v1)") {
+    // run the real query, then assert the slot it built is the
+    // VERSIONED one — pins the call site, not just cachedDir's ability
+    // to take a version (r12 verdict: an unversioned witness would
+    // serve a stale frame after a derivation change)
+    SparkEntry.queries("q69_streaming_anomaly")(SparkTestSession.spark, sf)
+      .count()
+    val versioned = Scratch.cachedDir(
+      "graft-stream-in", Tables.witness(sf, "events"), version = "v1")
+    assert(Files.exists(Paths.get(versioned).resolve("_SUCCESS")),
+      s"q69 must build its stream input under the v1 key: $versioned")
+  }
+
+  test("q76's stream-input cache is derivation-version-keyed (v1)") {
+    SparkEntry.queries("q76_streaming_dedup")(SparkTestSession.spark, sf)
+      .count()
+    val versioned = Scratch.cachedDir(
+      "graft-q76-in", Tables.witness(sf, "documents"), version = "v1")
+    assert(Files.exists(Paths.get(versioned).resolve("_SUCCESS")),
+      s"q76 must build its stream input under the v1 key: $versioned")
+  }
+
+  test("the age sweep reclaims abandoned ensureBuilt stage dirs") {
+    // a SIGKILL between staging and publish skips the exit hook; the
+    // abandoned '<prefix>-<key>-stage<rand>' dir must be reclaimed by
+    // the next same-prefix sweep once stale (r12 ADVICE: it used to
+    // leak permanently — the name never matched the sibling regex)
+    val prefix = "graft-r13-stagesweep"
+    val stale = new File(tmp, s"$prefix-0123456789abcdef-stage777")
+    assert(stale.mkdir())
+    Files.writeString(stale.toPath.resolve("part-0"), "abandoned")
+    assert(stale.setLastModified(staleMs))
+    // a FRESH stage (a build in flight right now) must survive the sweep
+    val fresh = new File(tmp, s"$prefix-fedcba9876543210-stage888")
+    assert(fresh.mkdir())
+    val witness = Files.createTempFile("graft-r13-w", ".parquet")
+    Scratch.sweepTimes.remove(prefix)
+    Scratch.cachedDir(prefix, witness.toString)
+    assert(!stale.exists, "stale abandoned stage must be swept")
+    assert(fresh.exists, "an in-flight (fresh) stage must NOT be swept")
+    Scratch.deleteTree(fresh.toPath)
+    Files.deleteIfExists(witness)
+    // the target dir cachedDir named was never created; nothing to clean
+  }
+
+  test("the sweep skips a stale .lock file that is currently HELD") {
+    val prefix = "graft-r13-locksweep"
+    val lockFile = new File(tmp, s"$prefix-00112233aabbccdd.lock")
+    assert(lockFile.createNewFile() || lockFile.exists())
+    assert(lockFile.setLastModified(staleMs))
+    val witness = Files.createTempFile("graft-r13-w2", ".parquet")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      Scratch.sweepTimes.remove(prefix)
+      Scratch.cachedDir(prefix, witness.toString)
+      assert(lockFile.exists,
+        "a HELD .lock must survive the sweep even when mtime-stale — " +
+          "unlinking it would let a second recoverer lock a fresh inode " +
+          "alongside the holder (r12 ADVICE)")
+    } finally { held.release(); ch.close() }
+    // released + still stale: now the sweep may reclaim it
+    assert(lockFile.setLastModified(staleMs))
+    Scratch.sweepTimes.remove(prefix)
+    Scratch.cachedDir(prefix, witness.toString)
+    assert(!lockFile.exists, "an UNHELD stale .lock must be swept")
+    Files.deleteIfExists(witness)
+  }
+
+  test("publishDir renews a pre-existing stale .lock's mtime on recovery") {
+    // the r12 ADVICE window: a .lock left >=6h stale could be unlinked
+    // by a sibling sweep between open and the old post-acquisition
+    // touch; the touch now lands before acquisition, so after any
+    // recovery the lock file must carry a fresh mtime
+    val target = Files.createTempDirectory("graft-r13-slot")
+    Files.writeString(target.resolve("part-0"), "crashed-partial")
+    val lockPath =
+      target.resolveSibling(target.getFileName.toString + ".lock")
+    Files.createFile(lockPath)
+    assert(lockPath.toFile.setLastModified(staleMs))
+    val t0 = System.currentTimeMillis()
+    val stage = Files.createTempDirectory("graft-r13-stage")
+    Files.writeString(stage.resolve("part-0"), "rebuilt")
+    Files.createFile(stage.resolve("_SUCCESS"))
+    Scratch.publishDir(stage.toString, target.toString)
+    assert(Files.readString(target.resolve("part-0")) == "rebuilt")
+    assert(lockPath.toFile.lastModified >= t0 - 5000,
+      "recovery must renew the lock file's mtime (it was 7h stale)")
+    Scratch.deleteTree(target)
+    Files.deleteIfExists(lockPath)
+  }
+}
