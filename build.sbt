@@ -19,6 +19,9 @@ run / fork := true
 // BENCH_SUMMARY.json as a file-artifact fallback.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// lintUnused can't see that (its own note says so); keep the log clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
