@@ -88,6 +88,49 @@ class Round13FixesSpec extends AnyFunSuite {
     Files.deleteIfExists(witness)
   }
 
+  test("directory-witness identity walk memoizes ONLY under opt-in TTL") {
+    // r12 verdict carried item: the per-call full-lake stat walk is
+    // exact but measurable on a million-file lake; the TTL memo trades
+    // a BOUNDED staleness window for re-key detection. Default (TTL=0)
+    // must keep the exact per-call walk — that is what every gate
+    // verified — so re-keying on a witness change must be immediate.
+    val lake = Files.createTempDirectory("graft-r13-lake")
+    val part = lake.resolve("part-0.parquet")
+    Files.writeString(part, "v1")
+    assert(part.toFile.setLastModified(1700000000000L))
+    val prefix = "graft-r13-wmemo"
+    try {
+      val key1 = Scratch.cachedDir(prefix, lake.toString)
+      // default off: a rewritten part file re-keys on the NEXT call
+      Files.writeString(part, "v2-longer")
+      assert(part.toFile.setLastModified(1700000001000L))
+      val key2 = Scratch.cachedDir(prefix, lake.toString)
+      assert(key2 != key1, "TTL off: witness change must re-key immediately")
+      // opt in: within the TTL the memoized identity is served, so a
+      // further rewrite does NOT re-key until the TTL lapses
+      System.setProperty("graft.witness.ttlMs", "600000")
+      Scratch.witnessMemo.clear()
+      val key3 = Scratch.cachedDir(prefix, lake.toString)
+      assert(key3 == key2, "first TTL call computes the same identity")
+      Files.writeString(part, "v3-even-longer")
+      assert(part.toFile.setLastModified(1700000002000L))
+      val key4 = Scratch.cachedDir(prefix, lake.toString)
+      assert(key4 == key3,
+        "within the TTL the memoized identity must be served (the " +
+          "documented bounded-staleness trade)")
+      // expiry: back-date the memo entry past the TTL → recompute
+      val stale = Scratch.witnessMemo.get(lake.toFile.getCanonicalPath)
+      Scratch.witnessMemo.put(lake.toFile.getCanonicalPath,
+        (stale._1 - 700000L, stale._2))
+      val key5 = Scratch.cachedDir(prefix, lake.toString)
+      assert(key5 != key3, "past the TTL the walk recomputes and re-keys")
+    } finally {
+      System.clearProperty("graft.witness.ttlMs")
+      Scratch.witnessMemo.clear()
+      Scratch.deleteTree(lake)
+    }
+  }
+
   test("publishDir renews a pre-existing stale .lock's mtime on recovery") {
     // the r12 ADVICE window: a .lock left >=6h stale could be unlinked
     // by a sibling sweep between open and the old post-acquisition
