@@ -151,10 +151,14 @@ object Bench {
     // sf0.1 record in the repo root and got committed)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (subset.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // shared best-effort artifact write: a failure must not void the
+    // stdout record, but must be visible on stderr
+    def writeArtifact(path: String, content: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (content + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+    writeArtifact(outPath, line)
     // a ~2000-char stdout tail has clipped the full line three rounds
     // running — r11's tail held only the load_after_query map, which
     // reads as absurd query times. Print a SHORT summary line LAST
@@ -180,10 +184,7 @@ object Bench {
     val summaryPath =
       if (subset.isDefined) "/tmp/BENCH_SUBSET_SUMMARY.json"
       else "BENCH_SUMMARY.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
-      (shortLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $summaryPath: ${e.getMessage}") }
+    writeArtifact(summaryPath, shortLine)
     spark.stop()
   }
 }

@@ -61,8 +61,14 @@ object Scratch {
   // serializes same-JVM recoverers per slot (threads); the advisory
   // file lock below serializes across JVMs — FileChannel.lock throws
   // OverlappingFileLockException on a second same-JVM attempt, so both
-  // layers are needed
-  private val recoveryMonitors =
+  // layers are needed. The cachedDir sweep's held-lock probe takes the
+  // SAME monitor (keyed on the slot path, .lock suffix stripped): on
+  // POSIX, closing ANY channel to a file drops every fcntl lock this
+  // process holds on it, so the probe must never open a .lock while a
+  // same-JVM recovery is in flight — the monitor guarantees it.
+  // private[graft]: the sweep-serialization test holds a slot monitor
+  // to simulate an in-flight recovery
+  private[graft] val recoveryMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically publish a fully-written staging directory into a
@@ -319,17 +325,42 @@ object Scratch {
             // only unlink a .lock nobody HOLDS (r12 ADVICE): unlinking a
             // held file would let a later recoverer lock a fresh inode
             // alongside the ghost holder — two concurrent recoverers.
-            // tryLock fails (null) for a cross-JVM holder and throws
-            // OverlappingFileLockException for a same-JVM one; both skip.
-            try {
-              val ch = java.nio.channels.FileChannel.open(f.toPath,
-                java.nio.file.StandardOpenOption.WRITE)
+            // A cross-JVM holder makes tryLock return null → skip. A
+            // same-JVM holder must be excluded WITHOUT opening the file
+            // at all: on POSIX, closing any channel to a file drops
+            // every fcntl lock this process holds on it, so an
+            // open→tryLock(throws Overlapping…)→close probe would
+            // silently RELEASE the recoverer's lock (r13 review,
+            // empirically confirmed). publishDir runs its whole
+            // recovery under the per-slot monitor, so holding that
+            // monitor here guarantees no same-JVM channel to this
+            // .lock exists while we probe.
+            val p = f.toPath.toAbsolutePath.normalize()
+            val slotKey = p.resolveSibling(
+              p.getFileName.toString.stripSuffix(".lock")).toString
+            val monitor =
+              recoveryMonitors.computeIfAbsent(slotKey, _ => new Object)
+            monitor.synchronized {
               try {
-                val l = ch.tryLock()
-                if (l != null)
-                  try { f.delete(): Unit } finally l.release()
-              } finally ch.close()
-            } catch { case _: Exception => () } // held or vanished: skip
+                val ch = java.nio.channels.FileChannel.open(p,
+                  java.nio.file.StandardOpenOption.WRITE)
+                try {
+                  val l = ch.tryLock()
+                  if (l != null) try {
+                    // re-stat UNDER the lock: a cross-JVM recoverer
+                    // touches mtime BEFORE its lock attempt, so a
+                    // fresh mtime here flags a recovery in its
+                    // open→touch→lock window even though the
+                    // listFiles-time stat said stale — skip it. The
+                    // residual window is a cross-JVM recoverer
+                    // between open and touch (microseconds), and its
+                    // worst case stays a wasted rebuild, not
+                    // corruption (all stages derive from one witness).
+                    if (f.lastModified < staleBefore) { f.delete(): Unit }
+                  } finally l.release()
+                } finally ch.close()
+              } catch { case _: Exception => () } // held or vanished: skip
+            }
           }
         }
     }

@@ -88,6 +88,44 @@ class Round13FixesSpec extends AnyFunSuite {
     Files.deleteIfExists(witness)
   }
 
+  test("the sweep's lock probe serializes on the slot monitor") {
+    // r13 review (empirically confirmed): on POSIX, closing ANY channel
+    // to a file drops every fcntl lock this process holds on it — so a
+    // sweep that opened a .lock while a same-JVM publishDir recovery
+    // held it would silently RELEASE the recoverer's cross-JVM lock,
+    // re-admitting the two-concurrent-recoverers race. The fix: the
+    // probe takes the SAME per-slot monitor publishDir holds for the
+    // whole recovery, so it can never open the file concurrently.
+    val prefix = "graft-r13-monitorsweep"
+    val slot = new File(tmp, s"$prefix-0011223344556677")
+    val lockFile = new File(tmp, slot.getName + ".lock")
+    assert(lockFile.createNewFile() || lockFile.exists())
+    assert(lockFile.setLastModified(staleMs))
+    val witness = Files.createTempFile("graft-r13-w3", ".parquet")
+    val slotKey = slot.toPath.toAbsolutePath.normalize().toString
+    val monitor =
+      Scratch.recoveryMonitors.computeIfAbsent(slotKey, _ => new Object)
+    @volatile var sweepDone = false
+    val t = new Thread(() => {
+      Scratch.sweepTimes.remove(prefix)
+      Scratch.cachedDir(prefix, witness.toString)
+      sweepDone = true
+    })
+    monitor.synchronized {
+      t.start()
+      t.join(1500)
+      assert(!sweepDone,
+        "the sweep must block on the slot monitor while a same-JVM " +
+          "recovery holds it (probing the held .lock would drop the " +
+          "recoverer's fcntl lock on channel close)")
+    }
+    t.join(30000)
+    assert(sweepDone, "sweep must proceed once the monitor is released")
+    assert(!lockFile.exists,
+      "after the recovery ends, a still-stale unheld .lock is reclaimed")
+    Files.deleteIfExists(witness)
+  }
+
   test("directory-witness identity walk memoizes ONLY under opt-in TTL") {
     // r12 verdict carried item: the per-call full-lake stat walk is
     // exact but measurable on a million-file lake; the TTL memo trades

@@ -25,7 +25,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     a, b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    names = sorted(json.load(open(f"{a}/oracle_sql.json")))
+    # union of BOTH dumps' query sets: iterating only A's would silently
+    # skip queries present only in B and overstate parity (r13 review) —
+    # a name missing on either side surfaces as DIFF via the glob check
+    names = sorted(set(json.load(open(f"{a}/oracle_sql.json"))) |
+                   set(json.load(open(f"{b}/oracle_sql.json"))))
     n_same = n_diff = 0
     for name in names:
         fa = glob.glob(f"{a}/{name}/*.parquet")
