@@ -230,7 +230,14 @@ object Scratch {
     require(f.exists,
       s"cachedDir witness does not exist: $witnessFile — without it the " +
         "cache identity cannot track source changes")
-    val ident =
+    // unversioned callers keep their pre-version key (no cache churn)
+    def hashKey(ident: String): String = {
+      val keyed = if (version.isEmpty) ident else s"$version|$ident"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(keyed.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+    }
+    val key =
       if (f.isDirectory) {
         val canon = f.getCanonicalPath
         def computeIdent(): String = {
@@ -253,19 +260,24 @@ object Scratch {
         val ttl = sys.props.get("graft.witness.ttlMs")
           .orElse(sys.env.get("SPARK_GRAFT_WITNESS_TTL_MS"))
           .flatMap(_.toLongOption).getOrElse(0L)
-        if (ttl <= 0L) computeIdent()
+        if (ttl <= 0L) hashKey(computeIdent())
         else {
+          // memoize the DERIVED key, not the raw identity: the identity
+          // string is O(files) (a 100k-file lake's is ~4 MB), and
+          // re-hashing it per hit costs ~10 ms — linear in lake size,
+          // the exact cost class the knob exists to cut. Keyed per
+          // (root, version) so distinct derivations never share a slot;
+          // key derivation itself is IDENTICAL with the memo on or off.
+          val memoKey = canon + "\u0000" + version
           val now = System.currentTimeMillis()
-          val hit = witnessMemo.get(canon)
+          val hit = witnessMemo.get(memoKey)
           if (hit != null && now - hit._1 <= ttl) hit._2
-          else { val id = computeIdent(); witnessMemo.put(canon, (now, id)); id }
+          else {
+            val k = hashKey(computeIdent())
+            witnessMemo.put(memoKey, (now, k)); k
+          }
         }
-      } else s"${f.getCanonicalPath}:${f.length}:${f.lastModified}"
-    // unversioned callers keep their pre-version key (no cache churn)
-    val keyed = if (version.isEmpty) ident else s"$version|$ident"
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(keyed.getBytes("UTF-8"))
-    val key = md.take(8).map(b => f"$b%02x").mkString
+      } else hashKey(s"${f.getCanonicalPath}:${f.length}:${f.lastModified}")
     val tmp = new File(System.getProperty("java.io.tmpdir"))
     val target = new File(tmp, s"$prefix-$key")
     // best-effort sweep of STALE siblings — same prefix, different key:

@@ -157,9 +157,10 @@ class Round13FixesSpec extends AnyFunSuite {
         "within the TTL the memoized identity must be served (the " +
           "documented bounded-staleness trade)")
       // expiry: back-date the memo entry past the TTL → recompute
-      val stale = Scratch.witnessMemo.get(lake.toFile.getCanonicalPath)
-      Scratch.witnessMemo.put(lake.toFile.getCanonicalPath,
-        (stale._1 - 700000L, stale._2))
+      // (memo key = canonical root + NUL + version; version is "")
+      val memoKey = lake.toFile.getCanonicalPath + "\u0000"
+      val stale = Scratch.witnessMemo.get(memoKey)
+      Scratch.witnessMemo.put(memoKey, (stale._1 - 700000L, stale._2))
       val key5 = Scratch.cachedDir(prefix, lake.toString)
       assert(key5 != key3, "past the TTL the walk recomputes and re-keys")
     } finally {
