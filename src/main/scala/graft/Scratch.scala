@@ -216,7 +216,8 @@ object Scratch {
     * is tens of files), but measurable on a million-file production
     * lake. Opt-in throttle (r12 verdict, carried item): set
     * `-Dgraft.witness.ttlMs=N` (or `SPARK_GRAFT_WITNESS_TTL_MS`) to
-    * memoize the computed identity per canonical root for N ms. The
+    * memoize the derived cache key per (canonical root, version) for
+    * N ms. The
     * trade is a BOUNDED STALENESS window on re-key detection only — a
     * lake rewritten within the TTL keeps serving the prior cache slot
     * until the TTL lapses. Default 0 = off: every call walks, the

@@ -142,7 +142,9 @@ object Config {
       merged
     }
     val project = projectName
-      .orElse(config.get("project_name").map(_.toString))
+      // flatMap(Option(_)): an explicit-null project_name must reject
+      // with the contract message, not NPE in toString (ConfigFuzzProps)
+      .orElse(config.get("project_name").flatMap(Option(_)).map(_.toString))
       .getOrElse(throw new ConfigException("project_name is empty"))
     val runtime = patchDict(section(g, "runtime"), section(config, "runtime"))
     // NB reference asymmetry: globals PATCH the machine's dataset
@@ -209,7 +211,9 @@ object Config {
           throw new ConfigException(s"train_start_date $s >= train_end_date $e")
       case _ => ()
     }
-    ds.get("resolution").foreach(r =>
+    // explicit null (`resolution:`) falls back to the default downstream
+    // (datasetConfig's str() filter) — only validate a REAL value here
+    ds.get("resolution").filter(_ != null).foreach(r =>
       TimeSeries.parseResolutionSeconds(r.toString)) // throws if bad
   }
 
@@ -326,14 +330,22 @@ object Config {
     // not Spark-castable — normalize dates back to ISO-instant strings
     def isoStr(k: String): Option[String] =
       ds.get(k).filter(_ != null).map(v => parseTzAware(v).toInstant.toString)
+    // a null element inside a tag list (YAML `- ~` / `-`) was an
+    // anonymous NPE from `_.toString` (ConfigFuzzProps, r13 ×30 hammer);
+    // non-string scalars (an unquoted numeric tag name) stringify
+    def strList(field: String, l: List[_]): Seq[String] = l.map {
+      case null => throw new ConfigException(
+        s"$field contains a null entry (YAML '~' or empty list item)")
+      case v => v.toString
+    }
     val tags = ds.get("tag_list").orElse(ds.get("tags")) match {
-      case Some(l: List[_]) => l.map(_.toString)
+      case Some(l: List[_]) => strList("tag_list", l)
       case _ => throw new ConfigException("dataset needs tag_list")
     }
     // y columns (`target_tag_list`); absent/null → y = X. A malformed
     // (non-list) value is a config ERROR, not a silent autoencoder
     val targetTags = ds.get("target_tag_list").filter(_ != null) match {
-      case Some(l: List[_]) => l.map(_.toString)
+      case Some(l: List[_]) => strList("target_tag_list", l)
       case Some(other) =>
         throw new ConfigException(s"target_tag_list must be a list: $other")
       case None => Nil
@@ -366,7 +378,8 @@ object Config {
       aggregationMethod = ds.get("aggregation_methods") match {
         case None | Some(null) => "mean"
         case Some(s: String) => s
-        case Some(l: List[_]) if l.size == 1 => l.head.toString
+        case Some(l: List[_]) if l.size == 1 && l.head != null =>
+          l.head.toString
         case Some(l: List[_]) => throw new ConfigException(
           s"aggregation_methods list form [${l.mkString(", ")}] is not " +
             "supported in the build pipeline (the wide frame assembles " +
@@ -378,12 +391,16 @@ object Config {
       trainStart = isoStr("train_start_date"),
       trainEnd = isoStr("train_end_date"),
       rowFilter = str("row_filter").getOrElse(""),
-      rowFilterBufferSize = ds.getOrElse("row_filter_buffer_size", 0)
-        .toString.toInt,
+      // explicit-null numeric fields (YAML `row_filter_buffer_size:`)
+      // take the default like str()'s null-filter — `.toString` on the
+      // present-but-null value was an anonymous NPE (ConfigFuzzProps)
+      rowFilterBufferSize = ds.get("row_filter_buffer_size")
+        .filter(_ != null).getOrElse(0).toString.toInt,
       knownFilterPeriods = periods,
       interpolationMethod = str("interpolation_method")
         .getOrElse("linear_interpolation"),
       interpolationLimit = str("interpolation_limit").getOrElse("48H"),
-      nSamplesThreshold = ds.getOrElse("n_samples_threshold", 0).toString.toLong)
+      nSamplesThreshold = ds.get("n_samples_threshold")
+        .filter(_ != null).getOrElse(0).toString.toLong)
   }
 }

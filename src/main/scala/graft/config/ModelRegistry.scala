@@ -92,7 +92,19 @@ object ModelRegistry {
     case other => throw new CompileException(s"bad definition node: $other")
   }
 
-  private def num(v: Any): Double = v.toString.toDouble
+  private def num(v: Any): Double = v match {
+    // a null kwarg reaching here was an anonymous NPE (ConfigFuzzProps,
+    // r13 ×30 hammer); garbage text stays NumberFormatException — both
+    // now land inside the contract's accepted reject types
+    case null => throw new CompileException("expected a number, got null")
+    case _ => v.toString.toDouble
+  }
+
+  /** kwarg lookup treating an EXPLICIT YAML null (`kind:`) as absent —
+    * the default applies, exactly as if the key were omitted; `.toString`
+    * on the present-but-null value was an anonymous NPE. */
+  private def kwOr(kw: Map[String, Any], key: String, dflt: Any): Any =
+    kw.get(key).filter(_ != null).getOrElse(dflt)
 
   private def compileClass(cls: String, kw: Map[String, Any]): Stage = cls match {
     case "sklearn.pipeline.Pipeline" =>
@@ -112,15 +124,15 @@ object ModelRegistry {
     case "sklearn.preprocessing.MinMaxScaler" => Scaler("minmax")
     case "sklearn.preprocessing.RobustScaler" => Scaler("robust")
     case "sklearn.preprocessing.FunctionTransformer" =>
-      kw.get("func").map(_.toString) match {
+      kw.get("func").flatMap(Option(_)).map(_.toString) match {
         case Some(f) if f.endsWith("multiply_by") =>
           Multiply(num(kwargs(kw.getOrElse("kw_args", Map.empty))
             .getOrElse("factor", 1.0)))
         case f => throw new CompileException(s"unsupported FunctionTransformer func: $f")
       }
     case "gordo.machine.model.transformers.imputer.InfImputer" =>
-      Imputer(kw.getOrElse("strategy", "minmax").toString,
-        num(kw.getOrElse("delta", 2.0)))
+      Imputer(kwOr(kw, "strategy", "minmax").toString,
+        num(kwOr(kw, "delta", 2.0)))
     case "gordo.machine.model.models.KerasAutoEncoder" =>
       // every feedforward factory — INCLUDING hourglass, the reference
       // default (`factories/feedforward_autoencoder.py:148-251`) — trains
@@ -129,7 +141,7 @@ object ModelRegistry {
       // fits opt into the closed-form ridge via
       // [[substituteClosedForm]], and the builder records that
       // substitution in the model metadata — never silent.
-      val kind = kw.getOrElse("kind", "feedforward_hourglass").toString
+      val kind = kwOr(kw, "kind", "feedforward_hourglass").toString
       val impl = if (kind.startsWith("feedforward_")) "mlp" else "ridge"
       Reconstruction(impl, kind)
     case "gordo.machine.model.models.KerasLSTMAutoEncoder" =>
@@ -137,18 +149,18 @@ object ModelRegistry {
       // Trains the in-house seeded recurrent cell ([[graft.ml.Lstm]]) —
       // real gates over the time-ordered window, shared weights across
       // steps (`models.py:463-710`)
-      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, 0,
-        Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
+      Windowed(num(kwOr(kw, "lookback_window", 1)).toInt, 0,
+        Reconstruction("lstm", kwOr(kw, "kind", "lstm_hourglass").toString))
     case "gordo.machine.model.models.KerasLSTMForecast" =>
       // lookahead L ≥ 1: forecast the row L steps after the window. The
       // reference subclass pins L=1 (`models.py:703-704`) but its
       // generator accepts any L (`models.py:713-793`, tested at L=2);
       // exposed here as an optional `lookahead` kwarg.
-      val la = num(kw.getOrElse("lookahead", 1)).toInt
+      val la = num(kwOr(kw, "lookahead", 1)).toInt
       if (la < 1) throw new CompileException(
         s"KerasLSTMForecast lookahead must be >= 1: $la")
-      Windowed(num(kw.getOrElse("lookback_window", 1)).toInt, la,
-        Reconstruction("lstm", kw.getOrElse("kind", "lstm_hourglass").toString))
+      Windowed(num(kwOr(kw, "lookback_window", 1)).toInt, la,
+        Reconstruction("lstm", kwOr(kw, "kind", "lstm_hourglass").toString))
     case "sklearn.linear_model.LinearRegression" =>
       Reconstruction("ridge", "linear")
     case "gordo.machine.model.models.KerasRawModelRegressor" =>
@@ -162,7 +174,7 @@ object ModelRegistry {
       // reject silently-ignored alternatives
       val comp = kwargs(kind("compile"))
       for ((key, want) <- Seq("loss" -> "mse", "optimizer" -> "adam");
-           v <- comp.get(key) if v.toString != want)
+           v <- comp.get(key).filter(_ != null) if v.toString != want)
         throw new CompileException(
           s"raw-spec compile.$key='$v' unsupported (only '$want')")
       val spec = kwargs(kind("spec"))
@@ -221,9 +233,9 @@ object ModelRegistry {
       }
       Reconstruction("pca", spec)
     case "sklearn.model_selection.TimeSeriesSplit" =>
-      CvSplit("timeseries", kw.getOrElse("n_splits", 3).toString.toInt)
+      CvSplit("timeseries", kwOr(kw, "n_splits", 3).toString.toInt)
     case "sklearn.model_selection.KFold" =>
-      CvSplit("kfold", kw.getOrElse("n_splits", 5).toString.toInt)
+      CvSplit("kfold", kwOr(kw, "n_splits", 5).toString.toInt)
     case "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector" =>
       val base = kw.get("base_estimator").map(compile)
         .getOrElse(Reconstruction("mlp", "feedforward_hourglass"))
@@ -235,7 +247,7 @@ object ModelRegistry {
       Detector(base, scaler,
         kw.get("window").filter(_ != null).map(_.toString.toInt),
         kw.get("smoothing_method").filter(_ != null).map(_.toString),
-        kw.get("shuffle").exists(_.toString.toBoolean))
+        kw.get("shuffle").filter(_ != null).exists(_.toString.toBoolean))
     case other => throw new CompileException(s"unsupported class path: $other")
   }
 
