@@ -212,7 +212,12 @@ object ModelBuilder {
     // refitting the base models
     import graft.ml.{CrossValidate, Metrics, Scalers}
     val metricNames = spec.evaluation.get("metrics") match {
-      case Some(l: List[_]) => l.map(_.toString)
+      case Some(l: List[_]) => l.map {
+        // `metrics: [r2_score, ~]` was an anonymous NPE from _.toString
+        case null => throw new ModelRegistry.CompileException(
+          "evaluation.metrics contains a null entry")
+        case v => v.toString
+      }
       case None | Some(null) => List("explained_variance_score", "r2_score",
         "mean_squared_error", "mean_absolute_error")
       case Some(other) =>

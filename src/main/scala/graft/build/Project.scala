@@ -24,12 +24,23 @@ object Project {
 
   def parse(yaml: String, projectName: String): ProjectSpec = {
     val root = Config.parseYaml(yaml)
-    val globals = root.getOrElse("globals", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]]
+    // explicit null (`globals:`) means none; a scalar globals block or a
+    // non-mapping machine entry is a config ERROR — the raw asInstanceOf
+    // was an anonymous NPE/ClassCastException on user YAML
+    val globals = root.get("globals") match {
+      case None | Some(null) => Map.empty[String, Any]
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case Some(other) => throw new Config.ConfigException(
+        s"globals must be a mapping, got: $other")
+    }
     val machines = root.getOrElse("machines",
       throw new Config.ConfigException("project has no machines")) match {
-      case l: List[_] => l.map(m => Config.machineFromConfig(
-        m.asInstanceOf[Map[String, Any]], Some(projectName), globals))
+      case l: List[_] => l.map {
+        case m: Map[_, _] => Config.machineFromConfig(
+          m.asInstanceOf[Map[String, Any]], Some(projectName), globals)
+        case other => throw new Config.ConfigException(
+          s"each machine must be a mapping, got: $other")
+      }
       case other => throw new Config.ConfigException(s"machines must be a list: $other")
     }
     val dup = machines.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }

@@ -276,10 +276,17 @@ object Config {
       case s: String => parseQuantity(s)
       case _ => None
     }
-    val requests = resources.getOrElse("requests", Map.empty)
-      .asInstanceOf[Map[String, Any]]
-    val limits = resources.getOrElse("limits", Map.empty)
-      .asInstanceOf[Map[String, Any]]
+    // explicit null (`requests:`) means no block; a non-map scalar is a
+    // config ERROR — the raw asInstanceOf was an anonymous NPE/CCE on
+    // user YAML (same hole class as the r13 tag-list fix)
+    def block(key: String): Map[String, Any] = resources.get(key) match {
+      case None | Some(null) => Map.empty
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case Some(other) => throw new ConfigException(
+        s"resources.$key must be a mapping, got: $other")
+    }
+    val requests = block("requests")
+    val limits = block("limits")
     val fixed = limits.map { case (k, lv) =>
       (num(lv), requests.get(k).flatMap(num)) match {
         case (Some(l), Some(r)) if l < r => k -> requests(k)

@@ -45,6 +45,19 @@ class BuilderSpec extends AnyFunSuite {
       |      n_splits: 3
       |""".stripMargin
 
+  test("a null entry in evaluation.metrics rejects on contract (r13)") {
+    // `metrics: [r2_score, ~]` was an anonymous NPE from _.toString in
+    // the fold-metric parse — same hole class as the tag-list fix
+    val tmp = Files.createTempDirectory("graft-build-nullmetric").toString
+    val yaml = machineYaml + "  metrics: [r2_score, ~]\n"
+    val e = intercept[graft.config.ModelRegistry.CompileException](
+      ModelBuilder.build(
+        Config.parseYaml(yaml), globals = Config.defaultGlobals,
+        long = longFrame, keyCol = "tag", tsCol = "ts", valueCol = "value",
+        outputDir = s"$tmp/model", projectName = Some("test-project")))
+    assert(e.getMessage.contains("null"))
+  }
+
   test("build -> save -> load -> score round-trips exactly") {
     val tmp = Files.createTempDirectory("graft-build").toString
     val res = ModelBuilder.build(

@@ -34,6 +34,7 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
       "row_filter", "train_start_date", "train_end_date",
       "aggregation_methods", "cv", "metrics", "scoring_scaler",
       "n_samples_threshold", "row_filter_buffer_size", "type",
+      "requests", "limits", "memory", "cpu",
       "sklearn.pipeline.Pipeline",
       "sklearn.preprocessing.MinMaxScaler",
       "gordo.machine.model.models.KerasAutoEncoder"),
@@ -43,7 +44,7 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
     Gen.const(null),
     Gen.oneOf[Any]("10T", "1H", "mean", "not a date",
       "2020-01-01T00:00:00Z", "", "machine-1", "tag with space",
-      "List(mean, max)", "steps: [1, 2", "~"),
+      "List(mean, max)", "steps: [1, 2", "~", "1Gi", "512Mi", "100m"),
     Gen.alphaNumStr.map(_.take(16): Any),
     Gen.choose(-1000, 1000).map(x => x: Any),
     Gen.choose(-1e6, 1e6).map(x => x: Any),
@@ -84,6 +85,15 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
         Prop.propBoolean(accepted(t)) :| s"non-contract escape: $t"
         accepted(t)
       }
+    }
+
+  property("fixupResources fixes or rejects with a contract exception") =
+    forAll(mapGen(2)) { res =>
+      // the r13 follow-up sweep: `requests:` (explicit null) and scalar
+      // blocks crashed with anonymous NPE/ClassCastException; now every
+      // draw either returns a completed map or rejects on contract
+      try { Config.fixupResources(res); true }
+      catch { case t: Throwable => accepted(t) }
     }
 
   property("parseYaml on raw text parses or rejects loudly, never crashes anonymously") =

@@ -236,6 +236,38 @@ class Round13FixesSpec extends AnyFunSuite {
       "sklearn.preprocessing.FunctionTransformer" -> Map("func" -> null))))
   }
 
+  test("null/scalar resource and project blocks reject on contract") {
+    // follow-up sweep of the same hole class on the remaining user-YAML
+    // surfaces: fixupResources and Project.parse crashed with anonymous
+    // NPE/ClassCastException on explicit-null or scalar blocks
+    import graft.config.Config
+    import graft.build.Project
+    // `requests:` (explicit null) = no block; limits complete as usual
+    assert(Config.fixupResources(Map("requests" -> null,
+      "limits" -> Map("cpu" -> "100m"))) ==
+      Map("requests" -> null, "limits" -> Map("cpu" -> "100m")))
+    // a scalar block is a loud config error, not a ClassCastException
+    intercept[Config.ConfigException](
+      Config.fixupResources(Map("requests" -> 5)))
+    // project YAML: null globals = none; scalar globals and non-mapping
+    // machine entries reject with the contract message
+    val machine = """
+      |  - name: m1
+      |    dataset:
+      |      tags: [a]
+      |    model:
+      |      sklearn.preprocessing.MinMaxScaler:
+      |""".stripMargin
+    assert(Project.parse(s"globals:\nmachines:\n$machine", "p")
+      .machines.map(_.name) == Seq("m1"))
+    intercept[Config.ConfigException](
+      Project.parse(s"globals: 5\nmachines:\n$machine", "p"))
+    intercept[Config.ConfigException](
+      Project.parse("machines:\n  - 5\n", "p"))
+    intercept[Config.ConfigException](
+      Project.parse("machines:\n  - ~\n", "p"))
+  }
+
   test("publishDir renews a pre-existing stale .lock's mtime on recovery") {
     // the r12 ADVICE window: a .lock left >=6h stale could be unlinked
     // by a sibling sweep between open and the old post-acquisition
