@@ -96,6 +96,95 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
       catch { case t: Throwable => accepted(t) }
     }
 
+  // ---- definition-tree fuzz (r13): compileClass's deep branches ----
+  // machineFromConfig's model slot only ever reaches the Pipeline/
+  // MinMaxScaler/KerasAutoEncoder heads of the allowlist; this generator
+  // targets the WHOLE class-path allowlist with each branch's own kwarg
+  // vocabulary (nulls, wrong types, nested definitions) so the LSTM /
+  // raw-spec / PCA / Detector parse paths fuzz too.
+
+  private val classPathGen: Gen[String] = Gen.frequency(
+    9 -> Gen.oneOf(
+      "sklearn.pipeline.Pipeline", "sklearn.pipeline.FeatureUnion",
+      "sklearn.preprocessing.MinMaxScaler",
+      "sklearn.preprocessing.RobustScaler",
+      "sklearn.preprocessing.FunctionTransformer",
+      "gordo.machine.model.transformers.imputer.InfImputer",
+      "gordo.machine.model.models.KerasAutoEncoder",
+      "gordo.machine.model.models.KerasLSTMAutoEncoder",
+      "gordo.machine.model.models.KerasLSTMForecast",
+      "sklearn.linear_model.LinearRegression",
+      "gordo.machine.model.models.KerasRawModelRegressor",
+      "sklearn.decomposition.PCA",
+      "sklearn.model_selection.TimeSeriesSplit",
+      "sklearn.model_selection.KFold",
+      "gordo.machine.model.anomaly.diff.DiffBasedAnomalyDetector"),
+    1 -> Gen.alphaNumStr.map(s => if (s.isEmpty) "x" else s.take(20)))
+
+  private val kwKeyGen: Gen[String] = Gen.frequency(
+    8 -> Gen.oneOf("steps", "transformer_list", "kind", "lookback_window",
+      "lookahead", "n_splits", "base_estimator", "scaler", "window",
+      "smoothing_method", "shuffle", "func", "kw_args", "factor",
+      "strategy", "delta", "n_components", "spec", "compile", "layers",
+      "units", "activation", "loss", "optimizer",
+      "tensorflow.keras.models.Sequential",
+      "tensorflow.keras.layers.Dense"),
+    2 -> Gen.alphaNumStr.map(s => if (s.isEmpty) "k" else s.take(12)))
+
+  // NaN deliberately absent: a Double.NaN kwarg compiles but breaks
+  // case-class == on the round-trip compare (primitive NaN != NaN) — a
+  // compare artifact, not an engine contract
+  private val kwScalarGen: Gen[Any] = Gen.oneOf[Any](
+    Gen.const(null),
+    Gen.oneOf[Any]("feedforward_hourglass", "lstm_hourglass",
+      "feedforward_model", "minmax", "robust", "tanh", "relu", "linear",
+      "mse", "adam", "timeseries",
+      "gordo.machine.model.transformer_funcs.general.multiply_by",
+      "multiply_by", "not_a_kind", "0.5", "5e-1", "abc", ""),
+    Gen.choose(-5, 12).map(x => x: Any),
+    Gen.oneOf[Any](0.5, 1.0, 2.0, -1.5, 1e300),
+    Gen.oneOf[Any](true, false))
+
+  private def kwValGen(depth: Int): Gen[Any] =
+    if (depth <= 0) kwScalarGen
+    else Gen.frequency(
+      5 -> kwScalarGen,
+      2 -> defGen(depth - 1),
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, kwValGen(depth - 1)).map(_.toList: Any)),
+      2 -> kwMapGen(depth - 1).map(m => m: Any))
+
+  private def kwMapGen(depth: Int): Gen[Map[String, Any]] =
+    Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(kwKeyGen, kwValGen(depth))).map(_.toMap))
+
+  private def defGen(depth: Int): Gen[Any] = Gen.frequency(
+    2 -> classPathGen.map(s => s: Any),
+    5 -> Gen.zip(classPathGen,
+      if (depth <= 0) kwScalarGen else Gen.frequency[Any](
+        6 -> kwMapGen(depth - 1),
+        1 -> kwScalarGen)).map { case (c, kw) => Map(c -> kw): Any },
+    1 -> kwScalarGen)
+
+  property("compile on arbitrary definition trees compiles+round-trips or rejects on contract") =
+    forAll(defGen(3)) { d =>
+      try {
+        val s = ModelRegistry.compile(d)
+        // M2 inverse contract: the canonical re-emission of a stage that
+        // COMPILED must itself compile, back to the SAME stage
+        val rt = ModelRegistry.compile(ModelRegistry.intoDefinition(s))
+        // traversals over any compiled tree must never crash anonymously
+        ModelRegistry.substituteClosedForm(s)
+        ModelRegistry.windowOf(s)
+        ModelRegistry.detectorOf(s)
+        try ModelRegistry.basePreprocess(s)
+        catch { case t: Throwable if accepted(t) => () }
+        Prop.propBoolean(rt == s) :| s"round-trip mismatch: $s vs $rt"
+      } catch { case t: Throwable =>
+        Prop.propBoolean(accepted(t)) :| s"non-contract escape: $t"
+      }
+    }
+
   property("parseYaml on raw text parses or rejects loudly, never crashes anonymously") =
     forAll(Gen.frequency(
       3 -> Gen.asciiPrintableStr.map(_.take(200)),
