@@ -104,6 +104,93 @@ class DegenerateInputSpec2 extends AnyFunSuite {
       Seq("bucket_ts"), col("value") > 0, buffer = 2).count() == 0)
   }
 
+  // ---- singleton/constant inputs: where range math and window
+  // arithmetic degenerate (one row, zero variance, short series) ----
+
+  test("constant and single-row columns scale with sklearn's zero-range fallback and invert exactly") {
+    import graft.ml.Scalers
+    val wide = Seq((0L, 5.0, 0.0), (600L, 5.0, 1.0), (1200L, 5.0, 2.0))
+      .toDF("bucket_ts", "t1", "t2")
+    val mm = Scalers.fitMinMax(wide, Seq("t1", "t2"))
+    val scaled = mm.transform(wide, Seq("t1", "t2"))
+    // constant column: range 0 -> scale 1 (never 0/0 NaN), values all 0
+    assert(scaled.agg(sum(abs(col("t1")))).head().getDouble(0) == 0.0)
+    assert(scaled.agg(max(col("t2"))).head().getDouble(0) == 1.0)
+    // inverse o transform is the identity (exact on these dyadic values)
+    val back = mm.inverse(scaled, Seq("t1", "t2"))
+      .orderBy("bucket_ts").collect()
+    assert(back.map(_.getDouble(1)).toSeq == Seq(5.0, 5.0, 5.0))
+    assert(back.map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 2.0))
+    // robust fit on ONE row: iqr 0 -> scale 1, centered to 0
+    val one = Seq((0L, 7.5)).toDF("bucket_ts", "t1")
+    val rb = Scalers.fitRobust(one, Seq("t1"))
+    assert(rb.transform(one, Seq("t1")).head().getDouble(1) == 0.0)
+  }
+
+  test("interpolate bridges only within the limit and never from a single anchor") {
+    val gap = Seq(("t1", 0L, Some(1.0)), ("t1", 600L, None),
+      ("t1", 1200L, Some(3.0))).toDF("tag", "bucket_ts", "value")
+    val filled = TimeSeries.interpolateLinear(gap, Seq("tag"),
+      limitSec = 1200L).filter(col("bucket_ts") === 600L).head()
+    assert(filled.getDouble(2) == 2.0, "midpoint of a bridgeable gap")
+    val tooFar = TimeSeries.interpolateLinear(gap, Seq("tag"),
+      limitSec = 600L).filter(col("bucket_ts") === 600L).head()
+    assert(tooFar.isNullAt(2), "anchor distance 1200 > limit 600 stays null")
+    val oneAnchor = Seq(("t1", 0L, Some(1.0)), ("t1", 600L, None))
+      .toDF("tag", "bucket_ts", "value")
+    assert(TimeSeries.interpolateLinear(oneAnchor, Seq("tag"),
+      limitSec = 600L).filter(col("bucket_ts") === 600L).head().isNullAt(2),
+      "no next anchor -> no extrapolation")
+  }
+
+  test("ffill fills up to the gap limit from the LAST observation, then stops") {
+    val s = Seq(("t1", 0L, Some(1.0)), ("t1", 600L, None),
+      ("t1", 1800L, None)).toDF("tag", "bucket_ts", "value")
+    val out = TimeSeries.ffill(s, Seq("tag"), limitSec = 600L)
+      .orderBy("bucket_ts").collect()
+    assert(out(1).getDouble(2) == 1.0, "gap 600 <= limit fills")
+    assert(out(2).isNullAt(2), "gap 1800 > limit stays null")
+  }
+
+  test("windowing a series shorter than the lookback yields zero full windows") {
+    import graft.ml.Windows
+    val series = Seq(("m1", 0L, 1.0), ("m1", 600L, 2.0), ("m1", 1200L, 3.0))
+      .toDF("tag", "bucket_ts", "value")
+    assert(Windows.slidingWindows(series, Seq("tag"),
+      Seq(col("bucket_ts")), "value", lookback = 5).count() == 0)
+    val wide = Seq((0L, 1.0), (600L, 2.0), (1200L, 3.0))
+      .toDF("bucket_ts", "t1")
+    val (lagged, lagTags) = Windows.withLookback(wide, Seq("t1"),
+      "bucket_ts", lookback = 5, lookahead = 0)
+    assert(lagTags.size == 5, "lag names derive from the spec, not rows")
+    assert(lagged.count() == 0, "no row has a full 5-deep lag window")
+  }
+
+  test("ewma of a single row is that row; constant-median filter keeps a short constant series") {
+    import graft.ml.Ewma
+    val one = Seq(("t1", 0L, 4.2)).toDF("tag", "bucket_ts", "value")
+    assert(Ewma.ewma(one, Seq("tag"), "bucket_ts", "value", span = 10.0)
+      .head().getAs[Double]("ewma") == 4.2)
+    val const = Seq(("t1", 0L, 5.0), ("t1", 600L, 5.0), ("t1", 1200L, 5.0))
+      .toDF("tag", "bucket_ts", "value")
+    // window wider than the series: residual 0, IQR 0, |0| <= 0 keeps all
+    assert(TimeSeries.filterPeriodsMedian(const, Seq("tag"),
+      Seq("bucket_ts"), "value", window = 10, nIqr = 1.5).count() == 3)
+  }
+
+  test("bruteTopK with k beyond the corpus and single-doc/self-edge closures stay exact") {
+    import graft.llm.Components
+    assert(Similarity.bruteTopK(emb2, emb2, "vec_id", "embedding", k = 5)
+      .count() == 2, "each query finds the one other row, never itself")
+    assert(TextDedup.simhashNearDups(
+      Seq((1L, "only one document here")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    val cc = Components.connectedComponents(
+      Seq((5L, 5L)).toDF("a", "b")).collect()
+    assert(cc.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 5L)), "a self-edge is one node in its own component")
+  }
+
   test("InfImputer minmax fit on an empty frame fails loudly; extremes strategy stays total") {
     val wide = Seq.empty[(Long, Double)].toDF("bucket_ts", "t1")
     val e = intercept[IllegalArgumentException] {
