@@ -170,8 +170,15 @@ object Persistence {
     * Same discipline as [[graft.llm.AnnIndex.load]]. */
   def loadFull(dir: String): (FittedDetector, Option[(Seq[String], Int, Int)]) = {
     val modelJson = Files.readString(Paths.get(dir, "model.json"))
+    // a tampered/truncated info.json with a MISSING or explicit-null
+    // checksum field was an anonymous NoSuchElementException/NPE — the
+    // artifact reject must be as loud as the mismatch case below (the
+    // r13 null-hole class, artifact-side)
     val expected = Config.parseYaml(
-      Files.readString(Paths.get(dir, "info.json")))("checksum").toString
+        Files.readString(Paths.get(dir, "info.json")))
+      .get("checksum").filter(_ != null).map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"info.json in $dir has no checksum — corrupt or tampered artifact"))
     require(sha256(modelJson) == expected,
       s"model.json checksum mismatch in $dir — corrupt or tampered artifact")
     val m = Config.parseYaml(modelJson)

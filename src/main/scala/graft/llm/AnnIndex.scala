@@ -44,8 +44,13 @@ object AnnIndex {
 
   def load(dir: String): Index = {
     val json = Files.readString(Paths.get(dir, "index.json"))
+    // missing/null checksum field rejects as loudly as a mismatch (the
+    // r13 null-hole class, artifact-side — same fix as Persistence.loadFull)
     val expected = Config.parseYaml(
-      Files.readString(Paths.get(dir, "info.json")))("checksum").toString
+        Files.readString(Paths.get(dir, "info.json")))
+      .get("checksum").filter(_ != null).map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"info.json in $dir has no checksum — corrupt or tampered artifact"))
     require(sha256(json) == expected,
       s"index.json checksum mismatch in $dir — corrupt or tampered artifact")
     val m = Config.parseYaml(json)

@@ -290,4 +290,28 @@ class Round13FixesSpec extends AnyFunSuite {
     Scratch.deleteTree(target)
     Files.deleteIfExists(lockPath)
   }
+
+  test("artifact loads reject a missing/null info.json checksum as loudly as a mismatch") {
+    // the r13 null-hole class, artifact-side: a tampered/truncated
+    // info.json WITHOUT a checksum field (or with `checksum: null`) was
+    // an anonymous NoSuchElementException/NPE on the serve path instead
+    // of the contract's corrupt-artifact IllegalArgumentException
+    for (info <- Seq("{}", "{\"checksum\": null}")) {
+      val md = Files.createTempDirectory("graft-r13-art")
+      Files.writeString(md.resolve("model.json"), "{\"impl\": \"ridge\"}")
+      Files.writeString(md.resolve("info.json"), info)
+      val e = intercept[IllegalArgumentException] {
+        graft.build.Persistence.load(md.toString)
+      }
+      assert(e.getMessage.contains("no checksum"), e.getMessage)
+      val ad = Files.createTempDirectory("graft-r13-ann")
+      Files.writeString(ad.resolve("index.json"), "{\"centroids\": []}")
+      Files.writeString(ad.resolve("info.json"), info)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.llm.AnnIndex.load(ad.toString)
+      }
+      assert(e2.getMessage.contains("no checksum"), e2.getMessage)
+      Scratch.deleteTree(md); Scratch.deleteTree(ad)
+    }
+  }
 }
