@@ -115,8 +115,15 @@ object Influx {
         element_at($"cells",
           nullif(array_position($"columns", valueField), lit(0L)).cast("int"))
           .as("v"))
-      .select($"tag", to_timestamp($"ts_str").as("ts"),
-        $"v".cast("double").as("value"))
+      // try_ forms, not plain to_timestamp/cast: under Spark's default
+      // ANSI mode a MALFORMED time or value cell in one series would
+      // throw an anonymous CAST_INVALID_INPUT job failure — the
+      // documented contract is the influx null-point shape (malformed
+      // cell → null field, neighbors intact), which is exactly what the
+      // try_ variants restore (identical to the plain forms on every
+      // well-formed cell). Found by the r13 wire-parser fuzz property.
+      .select($"tag", try_to_timestamp($"ts_str").as("ts"),
+        $"v".try_cast("double").as("value"))
       .orderBy($"ts", $"tag")
   }
 

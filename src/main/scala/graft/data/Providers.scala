@@ -116,10 +116,21 @@ object Providers {
     require(!parsed.select(isnull($"m")).head().getBoolean(0),
       s"JSON body is not a dict-of-dicts time-series document " +
         s"(first 80 chars: '${String.valueOf(json).take(80)}')")
-    parsed
+    val long = parsed
       .select(explode($"m").as(Seq("tag", "series")))
       .select($"tag", explode($"series").as(Seq("ts_str", "value")))
-      .select($"tag", to_timestamp($"ts_str").as("ts"), $"value")
-      .orderBy($"ts", $"tag")
+      .select($"tag", try_to_timestamp($"ts_str").as("ts"),
+        $"value", $"ts_str")
+    // a key that is NOT an ISO timestamp is a contract violation of the
+    // wire format — reject it loudly BY NAME. Under Spark's default ANSI
+    // mode the plain to_timestamp threw an anonymous CAST_INVALID_INPUT
+    // job failure instead (found by the r13 wire-parser fuzz property);
+    // a silent null-ts row would be worse (junk rows sorted first). One
+    // more request-sized driver job, like the null-map check above.
+    long.filter($"ts".isNull).select($"ts_str").limit(1).collect()
+      .headOption.foreach(r => throw new IllegalArgumentException(
+        s"JSON body has a non-ISO timestamp key: '${r.getString(0)}' — " +
+          "the contract is {tag: {iso_ts: value}}"))
+    long.select($"tag", $"ts", $"value").orderBy($"ts", $"tag")
   }
 }

@@ -139,4 +139,41 @@ object InfluxProps extends Properties("graft.influx") {
         Prop(got.toSeq == truth) :|
           s"layout=$cols got=${got.toSeq} truth=$truth"
     }
+
+  // ---- wire-parser totality: both external-input parsers (the /query
+  // response and the S4 dict-of-dicts body) either return a frame or
+  // reject with the contract IllegalArgumentException — never an
+  // anonymous crash on a proxy's HTML page, truncated JSON, or a
+  // structurally-wrong document (r13, the fuzz discipline extended to
+  // the wire surfaces) ----
+
+  private val bodyGen: Gen[String] = Gen.frequency(
+    3 -> Gen.asciiPrintableStr.map(_.take(120)),
+    1 -> Gen.oneOf("", "null", "[]", "{}", "{\"results\": null}",
+      "{\"results\": []}", "{\"results\": [{}]}",
+      "{\"results\": [{\"series\": [{}]}]}",
+      "{\"results\": [{\"series\": [{\"columns\": 7}]}]}",
+      "{\"error\": null}", "{\"tag\": 3}", "{\"tag\": {\"x\": \"y\"}}",
+      "{\"tag\": {\"2020-01-01T00:00:00Z\": 1.5}}",
+      "{\"results\": [{\"series\": [{\"name\": \"m\", \"columns\":" +
+        " [\"time\"], \"values\": [[\"not a ts\"]]}]}]}",
+      "<html><body>502 Bad Gateway</body></html>",
+      "{\"results\": [{\"series\": "),
+    1 -> Gen.oneOf("{\"a\": {\"b\": ", "{\"a\": {\"b\": 1.5}}",
+      "{\"a\": {\"b\": \"c\"}}", "{\"a\": [1, 2]}"))
+
+  property("wire parsers on arbitrary bodies parse or reject loudly, never crash anonymously") =
+    forAll(bodyGen) { s =>
+      def total(f: => Unit, label: String): Prop =
+        try { f; Prop.passed }
+        catch {
+          case _: IllegalArgumentException => Prop.passed
+          case t: Throwable =>
+            Prop.falsified :| s"$label anonymous escape on '$s': $t"
+        }
+      total(Influx.fromQueryResponse(spark, s).collect(),
+        "fromQueryResponse") &&
+        total(graft.data.Providers.fromJsonBody(spark, s).collect(),
+          "fromJsonBody")
+    }
 }
