@@ -108,29 +108,42 @@ object Providers {
     val parsed = Seq(json).toDF("body")
       .select(from_json($"body",
         MapType(StringType, MapType(StringType, DoubleType))).as("m"))
-    // an unparseable body (HTML error page, truncated JSON, a non-dict
-    // document) parses to a null map and would explode to the empty
-    // frame — silently indistinguishable from a valid `{}` no-data
-    // body; the contract is dict-of-dicts, so reject loudly instead
-    // (one trivial 1-row driver job; the body is request-sized)
-    require(!parsed.select(isnull($"m")).head().getBoolean(0),
+    // BOTH contract probes in one pass (r13 ran the parse pipeline
+    // twice — a null-map check, then a null-ts scan — which compounds
+    // per call on the serving path). The fold is a single Project over
+    // the 1-row LocalRelation, so ConvertToLocalRelation evaluates it
+    // at optimization time and head() submits NO Spark job at all
+    // (pinned by Round14FixesSpec):
+    //  * an unparseable body (HTML error page, truncated JSON, non-dict
+    //    document) parses to a null map and would otherwise explode to
+    //    the empty frame — silently indistinguishable from a valid `{}`
+    //    no-data body;
+    //  * a key that is NOT an ISO timestamp violates the wire format —
+    //    reject it loudly BY NAME. Under Spark's default ANSI mode the
+    //    plain to_timestamp threw an anonymous CAST_INVALID_INPUT job
+    //    failure (r13 wire-parser fuzz); a silent null-ts row would be
+    //    worse (junk rows sorted first).
+    // Flattening every inner-map key and keeping the first one
+    // try_to_timestamp rejects folds the second probe into the first;
+    // a null `m` propagates through the array functions to a null
+    // bad_key, so the null-map reject still fires first. `get` (not
+    // element_at) because ANSI element_at throws on the empty no-bad-
+    // keys array.
+    val diag = parsed.select(
+      isnull($"m").as("null_map"),
+      get(filter(
+        flatten(transform(map_values($"m"), v => map_keys(v))),
+        k => try_to_timestamp(k).isNull), lit(0)).as("bad_key")).head()
+    require(!diag.getBoolean(0),
       s"JSON body is not a dict-of-dicts time-series document " +
         s"(first 80 chars: '${String.valueOf(json).take(80)}')")
-    val long = parsed
+    if (!diag.isNullAt(1)) throw new IllegalArgumentException(
+      s"JSON body has a non-ISO timestamp key: '${diag.getString(1)}' — " +
+        "the contract is {tag: {iso_ts: value}}")
+    parsed
       .select(explode($"m").as(Seq("tag", "series")))
       .select($"tag", explode($"series").as(Seq("ts_str", "value")))
-      .select($"tag", try_to_timestamp($"ts_str").as("ts"),
-        $"value", $"ts_str")
-    // a key that is NOT an ISO timestamp is a contract violation of the
-    // wire format — reject it loudly BY NAME. Under Spark's default ANSI
-    // mode the plain to_timestamp threw an anonymous CAST_INVALID_INPUT
-    // job failure instead (found by the r13 wire-parser fuzz property);
-    // a silent null-ts row would be worse (junk rows sorted first). One
-    // more request-sized driver job, like the null-map check above.
-    long.filter($"ts".isNull).select($"ts_str").limit(1).collect()
-      .headOption.foreach(r => throw new IllegalArgumentException(
-        s"JSON body has a non-ISO timestamp key: '${r.getString(0)}' — " +
-          "the contract is {tag: {iso_ts: value}}"))
-    long.select($"tag", $"ts", $"value").orderBy($"ts", $"tag")
+      .select($"tag", try_to_timestamp($"ts_str").as("ts"), $"value")
+      .orderBy($"ts", $"tag")
   }
 }

@@ -224,6 +224,20 @@ object AnomalyQueries {
       closedForm = true)
   }
 
+  /** Integrity fact for the q80 dump inventory: a tampered artifact
+    * whose info.json has NO checksum (or `checksum: null`) is its own
+    * named diagnostic row, not an anonymous NoSuchElementException/NPE —
+    * the same hole Persistence.loadFull and AnnIndex.load close with a
+    * contract reject (r13); here the contract is a report, so the fact
+    * reports. A present checksum pins equality against the recomputed
+    * sha256 as before. */
+  private[graft] def checksumFact(info: Map[String, Any],
+                                  sha256: String): String =
+    info.get("checksum").filter(_ != null) match {
+      case Some(c) => "checksum_matches_" + (c.toString == sha256).toString
+      case None    => "checksum_missing"
+    }
+
   /** K1: the model-dump filesystem contract (`gordo/serializer/
     * serializer.py:150-196` dumps a directory the serve path reloads
     * from). One closed-form build dumps, then the gate inventories the
@@ -259,8 +273,7 @@ object AnomalyQueries {
         metaModel.keys.toSeq.sorted.map(("metadata_model_key", _)) ++
         info.keys.toSeq.sorted.map(("info_key", _)) ++
         Seq(
-          ("integrity", "checksum_matches_" +
-            (info("checksum").toString == sha256).toString),
+          ("integrity", checksumFact(info, sha256)),
           ("integrity", "cache_key_hex128_" +
             meta("cache_key").toString.matches("[0-9a-f]{128}").toString))
     rows.toDF("section", "name").orderBy($"section", $"name")

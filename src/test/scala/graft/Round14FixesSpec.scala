@@ -1,0 +1,130 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression coverage for the round-14 maintenance items (both r13
+  * ADVICE findings): the q80 dump-inventory diagnostic reports a
+  * missing/null info.json checksum as its own named integrity fact
+  * instead of an anonymous NoSuchElementException/NPE, and
+  * `fromJsonBody` rejects both wire-contract violations (non-dict body,
+  * non-ISO key) from ONE driver job instead of running the parse
+  * pipeline twice per serving-path call.
+  */
+class Round14FixesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("q80 integrity fact names a missing/null checksum instead of crashing") {
+    // the same tampered-artifact scenario Persistence.loadFull /
+    // AnnIndex.load reject with the contract exception (r13); the dump
+    // INVENTORY's job is to report, so the fact reports — previously
+    // info("checksum").toString was an anonymous NoSuchElementException
+    // (no key) or NPE (checksum: null)
+    val f = graft.operators.AnomalyQueries.checksumFact _
+    assert(f(Map("impl" -> "x"), "ab") == "checksum_missing")
+    assert(f(Map("checksum" -> null), "ab") == "checksum_missing")
+    assert(f(Map("checksum" -> "ab"), "ab") == "checksum_matches_true")
+    assert(f(Map("checksum" -> "cd"), "ab") == "checksum_matches_false")
+  }
+
+  test("fromJsonBody probes both wire contracts without a single Spark job") {
+    // r13 ADVICE: the null-map check and the null-ts scan each consumed
+    // the from_json + double-explode pipeline — two sequential driver
+    // jobs per request on the serve path. The folded probe is a single
+    // Project over the 1-row LocalRelation (no Generate), so Catalyst's
+    // ConvertToLocalRelation evaluates it at optimization time and
+    // head() never submits a job at all — the probe now costs ZERO jobs
+    // per request. Pin that with job-group-scoped onJobStart counts
+    // (parallel suites in the shared session can't pollute a group) and
+    // a sentinel action in a SECOND group: the listener bus is FIFO, so
+    // once the sentinel's event lands, any earlier probe event would
+    // already have been delivered.
+    val sc = spark.sparkContext
+    val probeGroup = "graft-r14-probe"
+    val sentinelGroup = "graft-r14-sentinel"
+    val probeJobs = new AtomicInteger(0)
+    val sentinelJobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        js.properties.getProperty("spark.jobGroup.id") match {
+          case `probeGroup`    => probeJobs.incrementAndGet()
+          case `sentinelGroup` => sentinelJobs.incrementAndGet()
+          case _               => ()
+        }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(probeGroup, "r14 fromJsonBody probe-count")
+      // construction runs the probes only; no action on the result yet
+      graft.data.Providers.fromJsonBody(spark,
+        """{"t1": {"2020-01-01T00:10:00Z": 2.5,
+          |        "2020-01-01T00:00:00Z": 1.5},
+          | "t2": {"2020-01-01T00:05:00Z": 9.0}}""".stripMargin)
+      sc.setJobGroup(sentinelGroup, "r14 sentinel")
+      assert(spark.range(2).count() == 2)
+      sc.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (sentinelJobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      assert(sentinelJobs.get() >= 1, "sentinel job event must arrive")
+      assert(probeJobs.get() == 0,
+        s"fromJsonBody's folded probe must submit no job, ran ${probeJobs.get()}")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("YAML merge keys, duplicate keys, aliases and 1.1 scalars reach the bridge resolved") {
+    // deterministic pins under the r14 YAML-text fuzz (ConfigFuzzProps):
+    // the bridge depends on snakeyaml resolving these BEFORE toScala —
+    // merge keys flatten with machine-side override precedence,
+    // duplicate mapping keys are last-wins, underscore/hex ints arrive
+    // as Integers, and an anchored list aliased into two slots is the
+    // same logical value in both
+    import graft.config.Config
+    val doc =
+      """base: &base
+        |  tags: &t [TAG-1, TAG-2]
+        |  resolution: 1H
+        |name: m1
+        |project_name: p
+        |dataset:
+        |  <<: *base
+        |  type: RandomDataset
+        |  row_filter_buffer_size: 9
+        |dataset:
+        |  <<: *base
+        |  resolution: 10T
+        |  target_tag_list: *t
+        |  row_filter_buffer_size: 1_000
+        |  n_samples_threshold: 0x10
+        |model: {sklearn.preprocessing.MinMaxScaler: {}}""".stripMargin
+    val spec = Config.machineFromConfig(Config.parseYaml(doc), None, Map.empty)
+    val ds = Config.datasetConfig(spec)
+    assert(ds.tags == Seq("TAG-1", "TAG-2"), "merge key must flatten the base")
+    assert(ds.targetTags == Seq("TAG-1", "TAG-2"), "alias reuse resolves")
+    assert(ds.resolution == "10T",
+      "the machine-side key overrides the merged base; duplicate dataset is last-wins")
+    assert(ds.rowFilterBufferSize == 1000, "YAML 1.1 underscore int")
+    assert(ds.nSamplesThreshold == 16L, "YAML 1.1 hex int")
+  }
+
+  test("the folded probe keeps both loud contract rejects and valid-body results") {
+    import graft.data.Providers.fromJsonBody
+    // non-dict / unparseable bodies: loud, named, NOT the empty frame
+    for (bad <- Seq("<html>oops</html>", "[1, 2]", "null", "{\"a\": {"))
+      assert(intercept[IllegalArgumentException](fromJsonBody(spark, bad))
+        .getMessage.contains("dict-of-dicts"), s"body: '$bad'")
+    // non-ISO key: loud, names the offending key (r13 ANSI fuzz pin)
+    val e = intercept[IllegalArgumentException](
+      fromJsonBody(spark, "{\"t\": {\"not a ts\": 1.0}}"))
+    assert(e.getMessage.contains("non-ISO timestamp key"), e.getMessage)
+    assert(e.getMessage.contains("not a ts"), e.getMessage)
+    // a valid body and the `{}` no-data body are unaffected
+    val got = fromJsonBody(spark,
+      "{\"t1\": {\"2020-01-01T00:00:00Z\": 1.5}}").collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 1.5)
+    assert(fromJsonBody(spark, "{}").collect().isEmpty)
+  }
+}
