@@ -128,11 +128,17 @@ object Providers {
     // a null `m` propagates through the array functions to a null
     // bad_key, so the null-map reject still fires first. `get` (not
     // element_at) because ANSI element_at throws on the empty no-bad-
-    // keys array.
+    // keys array. coalesce: a null inner SERIES (`{"a": null}`) must
+    // contribute an empty key array — flatten returns null when ANY
+    // element is null, which would silently skip a bad key elsewhere
+    // in the same body (`{"a": null, "b": {"junk": 1}}`); the null
+    // series itself stays the r13 behavior (dropped by the explode,
+    // like an empty series).
     val diag = parsed.select(
       isnull($"m").as("null_map"),
       get(filter(
-        flatten(transform(map_values($"m"), v => map_keys(v))),
+        flatten(transform(map_values($"m"),
+          v => coalesce(map_keys(v), array()))),
         k => try_to_timestamp(k).isNull), lit(0)).as("bad_key")).head()
     require(!diag.getBoolean(0),
       s"JSON body is not a dict-of-dicts time-series document " +

@@ -121,6 +121,19 @@ class Round14FixesSpec extends AnyFunSuite {
       fromJsonBody(spark, "{\"t\": {\"not a ts\": 1.0}}"))
     assert(e.getMessage.contains("non-ISO timestamp key"), e.getMessage)
     assert(e.getMessage.contains("not a ts"), e.getMessage)
+    // a null inner series must not MASK a bad key elsewhere in the
+    // same body: flatten() returns null when any element is null, so
+    // the naive fold silently skipped this reject (caught by this
+    // round's own review pass; the coalesce-to-empty-array restores
+    // the r13 behavior)
+    val masked = intercept[IllegalArgumentException](
+      fromJsonBody(spark, "{\"a\": null, \"b\": {\"junk\": 1}}"))
+    assert(masked.getMessage.contains("non-ISO timestamp key"),
+      masked.getMessage)
+    assert(masked.getMessage.contains("junk"), masked.getMessage)
+    // a LONE null series keeps the r13 behavior: dropped like an
+    // empty series, not a reject
+    assert(fromJsonBody(spark, "{\"a\": null}").collect().isEmpty)
     // a valid body and the `{}` no-data body are unaffected
     val got = fromJsonBody(spark,
       "{\"t1\": {\"2020-01-01T00:00:00Z\": 1.5}}").collect()
