@@ -77,13 +77,17 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
         val deep = Seq[() => Any](
           () => Config.datasetConfig(spec),
           () => ModelRegistry.compile(spec.model))
-        deep.forall { f =>
-          try { f(); true }
-          catch { case t: Throwable => accepted(t) }
-        }
+        // each deep call carries its OWN labeled verdict — a bare
+        // forall-of-boolean (and the previous discarded `:|` label)
+        // reported only the shrunk input, never which call escaped
+        // with what exception (r14 review finding, fixed class-wide)
+        Prop.all(deep.map { f =>
+          try { f(); Prop.passed }
+          catch { case t: Throwable =>
+            Prop.propBoolean(accepted(t)) :| s"non-contract deep escape: $t" }
+        }: _*)
       } catch { case t: Throwable =>
         Prop.propBoolean(accepted(t)) :| s"non-contract escape: $t"
-        accepted(t)
       }
     }
 
@@ -233,17 +237,22 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
          |    steps:
          |      - sklearn.preprocessing.MinMaxScaler""".stripMargin
     case 1 => // multi-merge precedence (<<: [*a, *b]) + DUPLICATE keys
+      // the multi-merge dataset comes LAST so the duplicate-key
+      // last-wins resolution hands the BRIDGE the multi-merge shape —
+      // the first draft had them the other way around, so the form the
+      // r13 verdict named as undrawable never actually reached the
+      // bridge (r14 review finding)
       s"""a: &a {resolution: $s1, tags: [x]}
          |b: &b {resolution: 10T, $k: $s2}
          |name: m1
          |name: m2
          |project_name: p
          |dataset:
-         |  <<: [*a, *b]
-         |  type: RandomDataset
-         |dataset:
          |  <<: *a
          |  tags: [TAG-1]
+         |dataset:
+         |  <<: [*a, *b]
+         |  type: RandomDataset
          |model: {sklearn.preprocessing.MinMaxScaler: {}}""".stripMargin
     case 2 => // one anchored LIST aliased into two slots (shared object)
       s"""name: m1
@@ -312,13 +321,14 @@ object ConfigFuzzProps extends Properties("graft.configfuzz") {
         val deep = Seq[() => Any](
           () => Config.datasetConfig(spec),
           () => ModelRegistry.compile(spec.model))
-        deep.forall { f =>
-          try { f(); true }
-          catch { case t: Throwable => accepted(t) }
-        }
+        Prop.all(deep.map { f =>
+          try { f(); Prop.passed }
+          catch { case t: Throwable =>
+            Prop.propBoolean(accepted(t)) :|
+              s"non-contract deep escape on:\n$doc\n$t" }
+        }: _*)
       } catch { case t: Throwable =>
         Prop.propBoolean(accepted(t)) :| s"non-contract escape on:\n$doc\n$t"
-        accepted(t)
       }
     }
 

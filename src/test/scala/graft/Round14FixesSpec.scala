@@ -49,10 +49,13 @@ class Round14FixesSpec extends AnyFunSuite {
     val sentinelJobs = new AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        js.properties.getProperty("spark.jobGroup.id") match {
-          case `probeGroup`    => probeJobs.incrementAndGet()
-          case `sentinelGroup` => sentinelJobs.incrementAndGet()
-          case _               => ()
+        // properties is nullable on low-level submission paths; a
+        // parallel suite's propertyless job must not NPE this listener
+        Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")) match {
+          case Some(`probeGroup`)    => probeJobs.incrementAndGet()
+          case Some(`sentinelGroup`) => sentinelJobs.incrementAndGet()
+          case _                     => ()
         }
     }
     sc.addSparkListener(listener)
