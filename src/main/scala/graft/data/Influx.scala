@@ -108,11 +108,18 @@ object Influx {
       .select($"tag",
         // array_position yields 0 for a missing column, and
         // element_at(_, 0) is an ERROR in Spark — nullif turns a
-        // malformed series into null cells instead of a failed job
-        element_at($"cells",
+        // malformed series into null cells instead of a failed job.
+        // try_element_at, not element_at: a TRUNCATED values row
+        // (fewer cells than columns) made the in-bounds column index
+        // out of bounds for THAT row, and under ANSI mode element_at
+        // threw an anonymous INVALID_ARRAY_INDEX_IN_ELEMENT_AT job
+        // failure instead of the documented null-point row (r14
+        // structured wire fuzz — same ANSI hole class as r13's
+        // to_timestamp/cast finds; identical on well-formed rows)
+        try_element_at($"cells",
           nullif(array_position($"columns", "time"), lit(0L)).cast("int"))
           .as("ts_str"),
-        element_at($"cells",
+        try_element_at($"cells",
           nullif(array_position($"columns", valueField), lit(0L)).cast("int"))
           .as("v"))
       // try_ forms, not plain to_timestamp/cast: under Spark's default

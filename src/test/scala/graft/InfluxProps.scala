@@ -176,4 +176,100 @@ object InfluxProps extends Properties("graft.influx") {
         total(graft.data.Providers.fromJsonBody(spark, s).collect(),
           "fromJsonBody")
     }
+
+  // ---- structured /query fuzz (r14): whole RESPONSE OBJECTS with the
+  // shapes the string pool above cannot draw — truncated/overlong
+  // values rows, missing time/Value columns, shuffled column orders,
+  // absent/foreign tags maps, raw JSON numbers/bools/nulls inside
+  // string-typed cells, multiple results × series — checked against a
+  // plain-Scala ground truth of the null-point contract: exactly one
+  // output row per input cells row, cells located by NAME, every
+  // malformed/missing cell a null field (never a dropped row, never a
+  // failed job). The truncated-row case found a real hole on first
+  // contact: under ANSI mode element_at threw
+  // INVALID_ARRAY_INDEX_IN_ELEMENT_AT for a row shorter than its
+  // column list (fixed with try_element_at, pinned in
+  // Round14FixesSpec).
+
+  /** A values cell with KNOWN dual semantics: its JSON form, what
+    * try_to_timestamp yields for it, what try_cast(double) yields. */
+  private case class Cell(json: String, iso: Option[String],
+                          dbl: Option[Double])
+
+  private val cellGen: Gen[Cell] = Gen.frequency(
+    3 -> Gen.choose(0, 59).map(i => Cell(f""""2020-01-01T00:$i%02d:00Z"""",
+      Some(f"2020-01-01T00:$i%02d:00Z"), None)),
+    2 -> Gen.choose(-50.0, 50.0).map(v => Cell(s""""$v"""", None, Some(v))),
+    1 -> Gen.choose(-50.0, 50.0).map(v => Cell(s"$v", None, Some(v))),
+    1 -> Gen.choose(-50, 50).map(v => Cell(s"$v", None, Some(v.toDouble))),
+    1 -> Gen.const(Cell("true", None, None)),
+    1 -> Gen.const(Cell("null", None, None)),
+    1 -> Gen.const(Cell("\"junk\"", None, None)))
+
+  private case class SeriesDraw(name: String, tags: Option[(String, String)],
+                                cols: List[String], rows: List[List[Cell]])
+
+  private val seriesGen: Gen[SeriesDraw] = for {
+    name <- Gen.oneOf("m1", "m2")
+    tags <- Gen.oneOf(None, Some("tag" -> "T1"), Some("tag" -> "T2"),
+      Some("host" -> "h1")) // foreign key → series-name fallback
+    hasTime <- Gen.frequency(4 -> true, 1 -> false)
+    hasVal <- Gen.frequency(4 -> true, 1 -> false)
+    nDecoy <- Gen.choose(0, 2)
+    colsRaw = (if (hasTime) List("time") else Nil) :::
+      (if (hasVal) List("Value") else Nil) :::
+      (1 to nDecoy).map(i => s"d$i").toList
+    // seeded permutation (no Random: draws must replay from the seed)
+    keys <- Gen.listOfN(colsRaw.length, Gen.choose(0, 1 << 20))
+    cols = colsRaw.zip(keys).sortBy(_._2).map(_._1)
+    nRows <- Gen.choose(0, 4)
+    rows <- Gen.listOfN(nRows, for {
+      cells <- Gen.listOfN(cols.length, cellGen)
+      delta <- Gen.frequency(6 -> 0, 1 -> -1, 1 -> 1)
+      extra <- cellGen
+    } yield delta match {
+      case -1 => cells.dropRight(1) // truncated row
+      case 1  => cells :+ extra     // overlong row
+      case _  => cells
+    })
+  } yield SeriesDraw(name, tags, cols, rows)
+
+  private def renderSeries(s: SeriesDraw): String = {
+    val tags = s.tags
+      .map { case (k, v) => s""","tags":{"$k":"$v"}""" }.getOrElse("")
+    val cols = s.cols.map(c => s""""$c"""").mkString("[", ",", "]")
+    val vals = s.rows.map(_.map(_.json).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"name":"${s.name}"$tags,"columns":$cols,"values":$vals}"""
+  }
+
+  private def truthOf(s: SeriesDraw)
+      : Seq[(String, Option[String], Option[Double])] = {
+    val tag = s.tags.collect { case ("tag", v) => v }.getOrElse(s.name)
+    val (ti, vi) = (s.cols.indexOf("time"), s.cols.indexOf("Value"))
+    s.rows.map { cells =>
+      def at(i: Int) = if (i >= 0 && i < cells.length) Some(cells(i)) else None
+      (tag, at(ti).flatMap(_.iso), at(vi).flatMap(_.dbl))
+    }
+  }
+
+  property("fromQueryResponse null-point contract: one row per cells row, by-name lookup, malformed cells null") =
+    forAll(Gen.choose(1, 2).flatMap(nr => Gen.listOfN(nr,
+        Gen.choose(0, 2).flatMap(ns => Gen.listOfN(ns, seriesGen))))) {
+      results =>
+        val json = results.map(ss =>
+          s"""{"series":${ss.map(renderSeries).mkString("[", ",", "]")}}""")
+          .mkString("""{"results":[""", ",", "]}")
+        val got = Influx.fromQueryResponse(spark, json).collect().toSeq
+          .map { r =>
+            (r.getString(0),
+              if (r.isNullAt(1)) None
+              else Some(r.getTimestamp(1).toInstant.toString),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+          }
+        val truth = results.flatten.flatMap(truthOf)
+        Prop(got.sortBy(_.toString) == truth.sortBy(_.toString)) :|
+          s"got=${got.sortBy(_.toString)}\n" +
+            s"truth=${truth.sortBy(_.toString)}\njson=$json"
+    }
 }

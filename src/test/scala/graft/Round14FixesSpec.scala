@@ -113,6 +113,30 @@ class Round14FixesSpec extends AnyFunSuite {
     assert(ds.nSamplesThreshold == 16L, "YAML 1.1 hex int")
   }
 
+  test("a truncated influx values row is a null-point row, not a failed job") {
+    // found by the r14 structured wire fuzz on first contact: a values
+    // row SHORTER than its column list put the (in-bounds) column
+    // index out of bounds for that row, and under Spark's default ANSI
+    // mode element_at threw an anonymous
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT job failure — the documented
+    // contract is the influx null-point shape (malformed cell → null
+    // field, neighbors intact), the same ANSI hole class as r13's
+    // to_timestamp/cast finds. try_element_at restores it; overlong
+    // rows stay ignored-extra-cells.
+    val json = """{"results":[{"series":[{"name":"m","tags":{"tag":"T1"},
+      |"columns":["time","Value"],
+      |"values":[["2020-01-01T00:00:00Z"],
+      |["2020-01-01T00:01:00Z","2.5","extra"],
+      |["2020-01-01T00:02:00Z","1.5"]]}]}]}""".stripMargin
+    val rows = graft.data.Influx.fromQueryResponse(spark, json)
+      .orderBy(org.apache.spark.sql.functions.col("ts")).collect()
+    assert(rows.length == 3, "short/long rows must not drop or kill rows")
+    assert(!rows(0).isNullAt(1) && rows(0).isNullAt(2),
+      "truncated row -> ts intact, null value")
+    assert(rows(1).getDouble(2) == 2.5, "overlong row -> extra cell ignored")
+    assert(rows(2).getDouble(2) == 1.5)
+  }
+
   test("the folded probe keeps both loud contract rejects and valid-body results") {
     import graft.data.Providers.fromJsonBody
     // non-dict / unparseable bodies: loud, named, NOT the empty frame
