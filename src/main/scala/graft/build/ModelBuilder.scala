@@ -81,11 +81,21 @@ object ModelBuilder {
     *   (`impl_requested` / `impl_substitution`) and keyed into the cache
     *   key — a closed-form build never aliases a full build.
     */
+  /** @param preAssembled optional (frame, ownedBorrow) to use INSTEAD of
+    *   assembling the dataset here — the frame must be exactly
+    *   `TimeSeries.getData(long, …, Config.datasetConfig(spec))`'s output
+    *   (callers that need the assembled frame AGAIN after the build —
+    *   serve-path scoring — assemble once, cache, and hand it in, instead
+    *   of paying getData's eager bounds job and a second lake scan per
+    *   consumer; guide §2.4). `ownedBorrow` has the
+    *   [[acquireAssembled]] meaning: whether the caller's getData chain
+    *   already took a registry reference this build should adopt. */
   def buildSpec(spec: Config.MachineSpec,
                 long: DataFrame, keyCol: String, tsCol: String, valueCol: String,
                 outputDir: String,
                 registryDir: Option[String] = None,
-                closedForm: Boolean = false): BuildResult = {
+                closedForm: Boolean = false,
+                preAssembled: Option[(DataFrame, Boolean)] = None): BuildResult = {
     val key = Persistence.cacheKey(spec, closedForm)
 
     // cache probe (`build_model.py:104-190`): hit short-circuits the build.
@@ -136,8 +146,8 @@ object ModelBuilder {
     // recomputing the whole assembly per remaining fold. The threshold
     // path's own reference (if getData took one) is adopted, so the
     // finally below returns exactly what this chain acquired.
-    val (assembled, ownedBorrow) =
-      TimeSeries.getDataOwned(long, keyCol, tsCol, valueCol, dsCfg)
+    val (assembled, ownedBorrow) = preAssembled.getOrElse(
+      TimeSeries.getDataOwned(long, keyCol, tsCol, valueCol, dsCfg))
     val releaseCache = acquireAssembled(assembled, ownedBorrow)
     val wide = assembled
     val querySec = (System.nanoTime() - t0) / 1e9

@@ -312,12 +312,20 @@ object TimeSeries {
     * out every row, or a SparkDateTimeException thrown mid-job from
     * whichever task first evaluates it (ANSI on, the Spark 4 default) —
     * late and without naming the config field. The check evaluates the
-    * exact Spark cast once on a local one-row plan (LocalTableScan — no
-    * data scan) and fails up front with the offending value. */
+    * exact Spark cast (same session timezone and ANSI mode) DRIVER-SIDE
+    * via Catalyst expression eval — zero Spark jobs; the earlier
+    * one-row-plan probe launched one job per bound, two+ per getData
+    * call, pure scheduler latency on every build/serve path (guide §1.2:
+    * per-task work includes work that shouldn't be a task at all). An
+    * uncastable value yields null (ANSI off) or throws (ANSI on) exactly
+    * like the in-plan cast; both become the loud contract reject. */
   private def tsBound(df: DataFrame, s: String, what: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.TimestampType
+    val conf = df.sparkSession.sessionState.conf
     val castable = scala.util.Try(
-      !df.sparkSession.range(1)
-        .select(lit(s).cast("timestamp")).head().isNullAt(0))
+      Cast(Literal(s), TimestampType,
+        Some(conf.sessionLocalTimeZone)).eval(null) != null)
       .getOrElse(false)
     require(castable, s"$what '$s' is not a Spark-castable timestamp — " +
       "an invalid bound would drop every row (or kill the job mid-scan)")

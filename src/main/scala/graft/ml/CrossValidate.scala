@@ -71,33 +71,47 @@ object CrossValidate {
     * the series grows. Non-numeric leading columns fall back to the
     * global window (no current caller). */
   def withRowIndex(df: DataFrame, orderCols: Seq[Column],
-                   boundedThreshold: Long = 4096L): DataFrame = {
+                   boundedThreshold: Long = 4096L): DataFrame =
+    withRowIndexCounted(df, orderCols, boundedThreshold)._1
+
+  /** [[withRowIndex]] plus the row count its bounds aggregation already
+    * computed (`Some(n)` on the numeric value-chunked paths, `None` on
+    * the fallbacks that never count) — the CV fit paths need exactly
+    * this count next and used to pay a SECOND full pass for it (guide
+    * §1.2: don't compute the same thing twice). */
+  private[graft] def withRowIndexCounted(
+      df: DataFrame, orderCols: Seq[Column],
+      boundedThreshold: Long = 4096L): (DataFrame, Option[Long]) = {
     import org.apache.spark.sql.types.NumericType
     val headIsNumeric = orderCols.headOption.exists(c =>
       df.select(c).schema.head.dataType.isInstanceOf[NumericType])
     if (!headIsNumeric)
-      return df.withColumn("__row",
-        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L))
+      return (df.withColumn("__row",
+        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L)),
+        None)
     val head = orderCols.head
     val b = df.agg(min(head).cast("double").as("mn"),
       max(head).cast("double").as("mx"), count(lit(1)).as("n"),
       count(head).as("nh")).head()
-    if (b.getLong(2) == 0L) return df.withColumn("__row", lit(0L))
+    if (b.getLong(2) == 0L)
+      return (df.withColumn("__row", lit(0L)), Some(0L))
     // null order values would corrupt both value-chunked paths (null
     // chunk keys / a second pmod partition restarting at 0) — fall back
     // to the global window, which orders nulls deterministically
     if (b.getLong(3) != b.getLong(2))
-      return df.withColumn("__row",
-        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L))
+      return (df.withColumn("__row",
+        row_number().over(Window.orderBy(orderCols: _*)).cast("long") - lit(1L)),
+        Some(b.getLong(2)))
     val (mn, mx, n) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
     // bounded frame: a single constant-key partition is already bounded —
     // skip the chunk-count job and offset join
     if (n <= boundedThreshold)
-      return df.withColumn("__row",
+      return (df.withColumn("__row",
         row_number().over(Window
           .partitionBy(pmod(head.cast("bigint"), lit(1L)))
           .orderBy(orderCols: _*))
-          .cast("long") - lit(1L))
+          .cast("long") - lit(1L)),
+        Some(n))
     val targetChunks = math.max(32,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val span = math.max((mx - mn + 1.0) / targetChunks, 1e-9)
@@ -111,11 +125,12 @@ object CrossValidate {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__ck", "__off")
     val w = Window.partitionBy(col("__ck")).orderBy(orderCols: _*)
-    df.withColumn("__ck", chunkOf)
+    (df.withColumn("__ck", chunkOf)
       .join(broadcast(offDf), "__ck")
       .withColumn("__row",
         col("__off") + row_number().over(w).cast("long") - lit(1L))
-      .drop("__ck", "__off")
+      .drop("__ck", "__off"),
+      Some(n))
   }
 
   def testFold(indexed: DataFrame, fold: Fold): DataFrame =

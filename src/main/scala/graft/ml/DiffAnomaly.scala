@@ -562,9 +562,14 @@ object DiffAnomaly {
     val callerCached =
       wide.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (callerCached) wide else wide.persist()
-    val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
+    // the row count rides the indexing's own bounds aggregation — the
+    // previous separate count() was a second full pass for a number the
+    // indexing had already computed (guide §1.2)
+    val (indexed0, nOpt) =
+      CrossValidate.withRowIndexCounted(src, Seq(col(orderCol)))
+    val indexed = indexed0.cache()
     try {
-      val n = indexed.count()
+      val n = nOpt.getOrElse(indexed.count())
       // sequence models (M6): the frame holds n raw rows MINUS the
       // `foldOffset` head rows dropped by the windowing, but the
       // reference computes fold boundaries on the RAW count and its
@@ -790,9 +795,11 @@ object DiffAnomaly {
     val callerCached =
       wide.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (callerCached) wide else wide.persist()
-    val indexed = CrossValidate.withRowIndex(src, Seq(col(orderCol))).cache()
+    val (indexed0, nOpt) =
+      CrossValidate.withRowIndexCounted(src, Seq(col(orderCol)))
+    val indexed = indexed0.cache()
     try {
-      val n = indexed.count()
+      val n = nOpt.getOrElse(indexed.count())
       val folds = CrossValidate.kFold(n, nSplits)
       val feat: String => Column = t => qc(t).cast("double")
       val fusedPlan = for {

@@ -25,7 +25,15 @@ object AnomalyQueries {
     val ev = Tables(spark, dir, "events")
       .filter($"event_type".isin("click", "view"))
     val r = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 3600L)
-    TimeSeries.pivotWide(r, "event_type", Seq("click", "view")).na.drop()
+    // persist: every consumer (q29/q43/q69/q74 fit + anomaly frame, the
+    // q51/q72 projections) runs several eager jobs plus the final frame
+    // over this plan, each of which re-executed the events scan +
+    // resample + pivot shuffles when uncached (guide §2.4/§5 — recompute
+    // vs reuse). ensureCached: canonical-plan idempotent, so repeated
+    // bench reps and sibling queries share ONE entry (the q34/q51
+    // discipline).
+    graft.Caching.ensureCached(
+      TimeSeries.pivotWide(r, "event_type", Seq("click", "view")).na.drop())
   }
 
   /** The full §1.2 column set: start/end, model-input/output, tag and
@@ -163,14 +171,28 @@ object AnomalyQueries {
     val long = Tables(spark, dir, "events")
       .select($"event_type".as("tag"), $"ts", $"value")
     val tmp = graft.Scratch.dir(tmpPrefix)
-    val res = graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"),
-      closedForm = true)
-    val wide = TimeSeries.getData(long, "tag", "ts", "value",
-      graft.config.Config.datasetConfig(res.spec))
+    // assemble the wide frame ONCE and cache it across build AND score:
+    // the build receives the frame directly (preAssembled — skipping its
+    // own getData's eager bounds job and second lake scan), so the CV
+    // passes, the serve path's eager probes (duplicate-ts check, row
+    // indexing), AND the returned frame's final computation all read one
+    // cache instead of re-running resample→grid→interpolate→pivot per
+    // eager job — previously the score path alone re-assembled the
+    // dataset 3× from the lake scan (guide §2.4: remove redundant
+    // passes). ensureCached, not a registry acquire/release bracket: the
+    // returned frame is consumed lazily AFTER this function returns, so
+    // the cache must outlive it — canonical-plan idempotent, shared
+    // across bench reps (the q34/q51 session-cache discipline). Values
+    // unchanged: the cached frame is byte-identical to the recomputation.
+    val spec = graft.config.Config.machineFromConfig(
+      graft.config.Config.parseYaml(yaml), Some("graft-project"),
+      graft.config.Config.defaultGlobals)
+    val wide = graft.Caching.ensureCached(
+      TimeSeries.getData(long, "tag", "ts", "value",
+        graft.config.Config.datasetConfig(spec)))
+    graft.build.ModelBuilder.buildSpec(spec,
+      long, "tag", "ts", "value", outputDir = s"$tmp/model",
+      closedForm = true, preAssembled = Some((wide, false)))
     val frame = graft.build.ModelBuilder.score(s"$tmp/model", wide, 3600L)
     val doubles = frame.columns.filterNot(c => c == "start" || c == "end")
     frame.select(
@@ -216,12 +238,19 @@ object AnomalyQueries {
     val long = Tables(spark, dir, "events")
       .select($"event_type".as("tag"), $"ts", $"value")
     val tmp = graft.Scratch.dir(prefix)
-    graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(q41Yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"),
-      closedForm = true)
+    // same cached-assembly discipline as buildAndScore — and the q41Yaml
+    // assembly is canonical-plan IDENTICAL across q41/q80/q81, so the
+    // three gates share one session cache instead of each re-assembling
+    // (and re-scanning the lake) per build
+    val spec = graft.config.Config.machineFromConfig(
+      graft.config.Config.parseYaml(q41Yaml), Some("graft-project"),
+      graft.config.Config.defaultGlobals)
+    val wide = graft.Caching.ensureCached(
+      TimeSeries.getData(long, "tag", "ts", "value",
+        graft.config.Config.datasetConfig(spec)))
+    graft.build.ModelBuilder.buildSpec(spec,
+      long, "tag", "ts", "value", outputDir = s"$tmp/model",
+      closedForm = true, preAssembled = Some((wide, false)))
   }
 
   /** Integrity fact for the q80 dump inventory: a tampered artifact
@@ -668,14 +697,21 @@ object AnomalyQueries {
         |    sklearn.model_selection.TimeSeriesSplit:
         |      n_splits: 3
         |""".stripMargin
-    val res = graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"),
-      closedForm = true)
-    val wide = TimeSeries.getData(long, "tag", "ts", "value",
-      graft.config.Config.datasetConfig(res.spec))
+    // one cached assembly across build + BOTH score calls (same
+    // discipline as buildAndScore, including preAssembled): each score
+    // call's eager probes (duplicate-ts check, row indexing for the smm
+    // smoothing) re-ran the full resample→grid→interpolate→pivot when
+    // uncached — this query paid them twice, once per response mode
+    // (guide §2.4)
+    val spec = graft.config.Config.machineFromConfig(
+      graft.config.Config.parseYaml(yaml), Some("graft-project"),
+      graft.config.Config.defaultGlobals)
+    val wide = graft.Caching.ensureCached(
+      TimeSeries.getData(long, "tag", "ts", "value",
+        graft.config.Config.datasetConfig(spec)))
+    graft.build.ModelBuilder.buildSpec(spec,
+      long, "tag", "ts", "value", outputDir = s"$tmp/model",
+      closedForm = true, preAssembled = Some((wide, false)))
     val allCols = graft.build.ModelBuilder
       .score(s"$tmp/model", wide, 3600L, allColumns = true).columns
     val dropped = graft.build.ModelBuilder
@@ -719,12 +755,17 @@ object AnomalyQueries {
         |    sklearn.model_selection.TimeSeriesSplit:
         |      n_splits: 3
         |""".stripMargin
-    val res = graft.build.ModelBuilder.build(
-      graft.config.Config.parseYaml(yaml),
-      globals = graft.config.Config.defaultGlobals,
-      long = long, keyCol = "tag", tsCol = "ts", valueCol = "value",
-      outputDir = s"$tmp/model", projectName = Some("graft-project"),
-      closedForm = true)
+    // cached-assembly build (see buildAndScore): the CV passes and the
+    // scoring-scaler fit read one session cache instead of re-assembling
+    val spec = graft.config.Config.machineFromConfig(
+      graft.config.Config.parseYaml(yaml), Some("graft-project"),
+      graft.config.Config.defaultGlobals)
+    val wide = graft.Caching.ensureCached(
+      TimeSeries.getData(long, "tag", "ts", "value",
+        graft.config.Config.datasetConfig(spec)))
+    val res = graft.build.ModelBuilder.buildSpec(spec,
+      long, "tag", "ts", "value", outputDir = s"$tmp/model",
+      closedForm = true, preAssembled = Some((wide, false)))
     val (metrics, params) =
       graft.build.Reporters.machineLogItems(res.metadata, timestamp = 0L)
     val rep = new graft.build.Reporters.JdbcReporter(

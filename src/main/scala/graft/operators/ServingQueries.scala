@@ -69,14 +69,26 @@ object ServingQueries {
     val ev = Tables(spark, dir, "events").filter($"event_type" === "click")
     val series = TimeSeries.resample(ev, Seq("event_type"), "ts", "value", 3600L)
       .select($"bucket_ts", $"value")
-    val indexed = graft.Caching.ensureCached(
-      CrossValidate.withRowIndex(series, Seq($"bucket_ts")))
-    val n = indexed.count()
+    // the indexing's bounds aggregation already counts the rows (was a
+    // second full pass), and ALL fold scores come from ONE grouped agg
+    // over the fold id instead of one driver job per fold — 4 jobs → 2
+    // (guide §1.2: fewer passes; §2.3: aggregate before you shuffle).
+    // Values unchanged: each fold's avg aggregates exactly its test span.
+    val (indexed0, nOpt) =
+      CrossValidate.withRowIndexCounted(series, Seq($"bucket_ts"))
+    val indexed = graft.Caching.ensureCached(indexed0)
+    val n = nOpt.getOrElse(indexed.count())
     val folds = CrossValidate.timeSeriesSplit(n, 3)
-    // per-machine orchestration: each fold score is one small agg job
-    val perFold = folds.map(f =>
-      CrossValidate.testFold(indexed, f)
-        .agg(avg($"value")).head().getDouble(0))
+    val foldOf = folds.tail.foldLeft(
+      when($"__row" < folds.head.testEnd, lit(folds.head.index))) {
+      (acc, f) => acc.when($"__row" < f.testEnd, lit(f.index))
+    }
+    val scores = indexed.filter($"__row" >= folds.head.testStart)
+      .groupBy(foldOf.as("__fold"))
+      .agg(avg($"value").as("__avg"))
+      .collect().map(r => r.getAs[Int]("__fold") -> r.getAs[Double]("__avg"))
+      .toMap
+    val perFold = folds.map(f => scores(f.index))
     CrossValidate.aggregateScores(perFold).toSeq
       .toDF("stat", "raw")
       .select($"stat", r4($"raw").as("value"))

@@ -63,7 +63,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q07_topk_per_group" -> 3, // window partition, agg, sort
       "q13_resample_mean" -> 2, // bucket agg + sort
       "q21_getdata_composed" -> 4, // resample, grid join, pivot agg, sort
-      "q29_anomaly_frame" -> 3, // resample, pivot agg, sort (fit is driver-side)
+      // r14: 3 → 5 — wideClickView is now session-cached (one assembly
+      // for q29/q43/q69/q74 instead of one per eager job); the cached
+      // subtree's resample+pivot exchanges PRINT under the
+      // InMemoryTableScan, so the fingerprint grows while the runtime
+      // shuffle count per execution strictly drops
+      "q29_anomaly_frame" -> 5,
       "q33_fingerprints" -> 1, // pure map + output sort
       "q34_minhash_dup_pairs" -> 3, // band explode agg, pair dedup, sort
       "q35_ann_topk" -> 2, // per-query top-k agg + sort (queries broadcast)
@@ -94,7 +99,10 @@ class PlanGuardSpec extends AnyFunSuite {
         "q23_metrics_linear" -> 3, "q25_minmax_scale" -> 3,
         "q26_robust_scale" -> 3, "q27_inf_imputer" -> 3,
         "q38_sliding_windows" -> 3, "q39_trailing_align" -> 4,
-        "q43_pca_anomaly" -> 3, "q74_ewm_anomaly_frame" -> 2,
+        // r14: +2 fingerprint each — the shared wideClickView cache's
+        // subtree prints under the scan (see q29 note); runtime shuffles
+        // per execution are fewer, not more
+        "q43_pca_anomaly" -> 5, "q74_ewm_anomaly_frame" -> 4,
         // driver-side fits returning small frames
         "q24_cv_folds" -> 1, "q40_kfcv_thresholds" -> 0,
         "q54_cv_score_agg" -> 1,
@@ -116,9 +124,17 @@ class PlanGuardSpec extends AnyFunSuite {
         // full build round-trips; the window (M6/M10) builds carry the
         // lag-window + interpolation-grid stages, with the cached
         // bounds-agg subtree printed under each consumer
-        "q41_config_build" -> 4, "q49_target_tags_build" -> 4,
-        "q51_lstm_forecast" -> 7, "q72_lookahead_forecast" -> 13,
-        "q77_raw_spec_build" -> 4,
+        // r14: build+score queries now assemble ONCE into a session
+        // cache shared by the build's CV passes, the serve probes, and
+        // the returned frame (previously 3-4 full re-assemblies per
+        // query); the cached assembly's exchanges print under the
+        // InMemoryTableScan so the FINGERPRINT grows — runtime shuffles
+        // per execution dropped. q51/q72 additionally print the
+        // now-cached wideClickView under their own projection cache
+        // (nested InMemoryTableScans each print their subtree).
+        "q41_config_build" -> 7, "q49_target_tags_build" -> 7,
+        "q51_lstm_forecast" -> 11, "q72_lookahead_forecast" -> 21,
+        "q77_raw_spec_build" -> 7,
         // serve/persist/report paths returning compact frames
         "q53_nested_json" -> 1, "q55_verify_columns" -> 1,
         "q59_multiply_transform" -> 1, "q64_response_columns" -> 1,
