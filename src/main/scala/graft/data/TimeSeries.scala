@@ -400,6 +400,10 @@ object TimeSeries {
     // median — the expensive part) on both sides, doubling the work and
     // adding a shuffle. The windows share one Exchange+Sort on the series
     // key; per-series buffering is bounded (calendar span × 144 rows/day).
+    // (r14 note: a sorted-array rolling median — collect_list +
+    // array_sort + interpolated element_at — was tried here and measured
+    // ~3× SLOWER than the percentile window at width 72; the aggregate's
+    // buffer reuse beats per-row array allocation. Kept as-is.)
     val wk = Window.partitionBy(keys.map(col): _*)
     val withResid = df
       .withColumn("__med", percentile(col(valueCol), lit(0.5)).over(w))

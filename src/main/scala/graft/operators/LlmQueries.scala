@@ -104,11 +104,19 @@ object LlmQueries {
     * per-row expressions, shuffle-free at any corpus size. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // expressions AFTER the range exchange (the q58 pattern): computed in
+    // the scan's project they run at the input-split parallelism (one
+    // task on a small file) while the sort's reducers idle; the explicit
+    // repartitionByRange is the same single range exchange the ORDER BY
+    // planned, equal doc_ids land in one contiguous partition, and the
+    // within-partition sort restores the identical global order.
     Tables(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id")
+      .sortWithinPartitions($"doc_id")
       .select($"doc_id",
         r4(TextAnalysis.dupWordFrac($"text")).as("dup_word_frac"),
         r4(TextAnalysis.topBigramFrac($"text")).as("top_bigram_frac"))
-      .orderBy($"doc_id")
   }
 
   /** Benchmark-contamination scan, oracle-gated: the `src0` source
@@ -345,10 +353,20 @@ object LlmQueries {
     * fingerprint. */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextDedup.winnowingFingerprints(Tables(spark, dir, "documents"),
+    // kernel AFTER the range exchange (the q58 pattern): the winnowing
+    // fingerprint walk is the expensive per-row work, and in the scan's
+    // project it ran at input-split parallelism. Range-partitioning the
+    // (doc_id, text) rows first runs it at session parallelism; equal
+    // doc_ids share a partition, so sorting (doc_id, fp) within
+    // partitions restores the identical global order with the same
+    // single exchange.
+    TextDedup.winnowingFingerprints(
+      Tables(spark, dir, "documents")
+        .select($"doc_id", $"text")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id"),
       "doc_id", "text", k = 5, w = 8)
       .select($"id".as("doc_id"), $"fp")
-      .orderBy($"doc_id", $"fp")
+      .sortWithinPartitions($"doc_id", $"fp")
   }
 
   /** The SQL face of the native kernels (SparkSessionExtensions path):
@@ -361,14 +379,30 @@ object LlmQueries {
   def sqlKernels(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("graft_documents_q58")
+    // kernel evaluation AFTER the range exchange, not in the scan stage:
+    // with a plain `SELECT kernels … ORDER BY doc_id` the three native
+    // kernels (the expensive per-row work) evaluate in the scan's
+    // project, whose task count is the INPUT split count — one task for
+    // a small file, and at any scale never more than the file
+    // parallelism — while the sort's 32 reducers sat idle (guide §2.5
+    // input skew / §1.2 per-task work). Ordering the (doc_id, text)
+    // rows first and applying the kernels above the exchange runs them
+    // at the session's parallelism; the explicit repartitionByRange is
+    // the same single range exchange the ORDER BY planned (budget
+    // unchanged), pinned to defaultParallelism so AQE's byte-oriented
+    // coalescing (which can't see downstream expression cost) doesn't
+    // fold the tiny shuffle back into one partition. Identical rows in
+    // the identical doc_id order — range partitions are contiguous and
+    // each is sorted within.
     spark.sql(
-      """SELECT doc_id,
-        |  simhash32(tk) AS sh32,
-        |  element_at(minhash_signature(tk, 4), 1) AS mh0,
-        |  CAST(size(winnow_fingerprints(text, 5, 8)) AS BIGINT) AS n_fp
-        |FROM (SELECT doc_id, text, split(trim(text), ' ') AS tk
-        |      FROM graft_documents_q58)
-        |ORDER BY doc_id""".stripMargin)
+      """SELECT doc_id, text, split(trim(text), ' ') AS tk
+        |FROM graft_documents_q58""".stripMargin)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .selectExpr("doc_id",
+        "simhash32(tk) AS sh32",
+        "element_at(minhash_signature(tk, 4), 1) AS mh0",
+        "CAST(size(winnow_fingerprints(text, 5, 8)) AS BIGINT) AS n_fp")
   }
 
   /** Streaming exact dedup, oracle-gated: the documents table replayed
