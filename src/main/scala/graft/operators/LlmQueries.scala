@@ -63,21 +63,38 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** The SHARED cached shingle frame for q34/q46/q52/q87.
+    *
+    * Shingling is shared by candidate generation AND verification —
+    * persist (not an Exchange barrier): the empty-shingle filter inside
+    * candidatePairs pushes below a repartition and de-duplicates the
+    * exchange subplans, so ReusedExchange misses and shingles recompute
+    * per branch (observed 4x slower). The cache lives for the batch
+    * process; long-lived sessions should unpersist after consuming.
+    * ensureCached: all four queries derive the SAME canonical plan — a
+    * bare persist on the second one warns and double-books the cache.
+    *
+    * The scan is SPREAD before shingling only when it has fewer splits
+    * than the session's parallelism: a small file scans as one task, so
+    * the shingle compute — and every map stage over the 1-partition
+    * cache it fills — ran single-threaded while 31 cores idled (guide
+    * §2.5, unsplittable-input case). At lake scale the scan already has
+    * ≥ cores splits and the condition is false, so no payload shuffle
+    * is added where parallelism exists. */
+  private def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    graft.Caching.ensureCached(
+      TextDedup.withShingles(spread, "doc_id", "text", ngram = 3))
+  }
+
   /** Banded MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.3
     * (k=12 signature, 6 bands × 2 rows; word 3-gram shingles). */
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    // shingling is shared by candidate generation AND verification.
-    // persist (not an Exchange barrier): the empty-shingle filter inside
-    // candidatePairs pushes below a repartition and de-duplicates the
-    // exchange subplans, so ReusedExchange misses and shingles recompute
-    // per branch (observed 4x slower). The cache lives for the batch
-    // process; long-lived sessions should unpersist after consuming.
-    // ensureCached: q34/q46/q52 derive the SAME canonical shingle plan —
-    // a bare persist on the second one warns and double-books the cache.
-    val shDf = graft.Caching.ensureCached(
-      TextDedup.withShingles(docs, "doc_id", "text", ngram = 3))
+    val shDf = shingleFrame(spark, dir)
     val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
     TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
@@ -91,9 +108,7 @@ object LlmQueries {
     * doc id per component, plus per-doc keep flag and cluster size. */
   def minhashDupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val shDf = graft.Caching.ensureCached(
-      TextDedup.withShingles(docs, "doc_id", "text", ngram = 3))
+    val shDf = shingleFrame(spark, dir)
     val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
     val pairs = TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
     Components.dupClusters(pairs).orderBy($"doc_id")
@@ -289,9 +304,7 @@ object LlmQueries {
     * both join sides — persist, the q52 lesson. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shDf = graft.Caching.ensureCached(
-      TextDedup.withShingles(Tables(spark, dir, "documents"),
-        "doc_id", "text", ngram = 3))
+    val shDf = shingleFrame(spark, dir)
     TextDedup.jaccardPairs(shDf, threshold = 0.3)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
@@ -315,7 +328,11 @@ object LlmQueries {
     // subtrees (df counts, prefix ranking, two join sides, two verify
     // sides) and per-branch filters/pruning push below an Exchange and
     // de-canonicalize it — ReusedExchange misses and shingling
-    // recomputes per branch (the q34 lesson above)
+    // recomputes per branch (the q34 lesson in shingleFrame's doc).
+    // Deliberately NOT shingleFrame's spread variant: A/B-measured, the
+    // 32-partition cache costs this six-branch pipeline more in per-task
+    // overhead than the parallel map side saves (2.5 s vs 1.8 s min) —
+    // the unspread cache is a second, tiny session entry.
     val shDf = graft.Caching.ensureCached(
       TextDedup.withShingles(Tables(spark, dir, "documents"),
         "doc_id", "text", ngram = 3))

@@ -70,7 +70,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // shuffle count per execution strictly drops
       "q29_anomaly_frame" -> 5,
       "q33_fingerprints" -> 1, // pure map + output sort
-      "q34_minhash_dup_pairs" -> 3, // band explode agg, pair dedup, sort
+      // r14: +1 — the shared shingle frame spreads an under-parallel
+      // scan (input splits < cores) with one round-robin exchange before
+      // the shingle compute; a no-op at lake scale where the scan
+      // already has >= cores splits, so nothing extra ships there
+      "q34_minhash_dup_pairs" -> 4, // spread, band explode agg, pair dedup, sort
       "q35_ann_topk" -> 2, // per-query top-k agg + sort (queries broadcast)
       "q45_simhash_neardup" -> 2, // band bucket join (bcast), dedup, sort
       "q50_winnowing" -> 1, // pure map + output sort
@@ -110,7 +114,8 @@ class PlanGuardSpec extends AnyFunSuite {
         "q30_text_stats" -> 2, "q31_quality_scores" -> 1,
         "q32_langid_confusion" -> 2, "q36_ann_lsh_buckets" -> 2,
         "q37_multimodal_features" -> 1, "q42_embedding_neardup" -> 2,
-        "q46_ngram_jaccard" -> 2, "q48_fingerprint_dup_groups" -> 2,
+        // q46 r14: +1 for the shingle spread (see q34 note)
+        "q46_ngram_jaccard" -> 3, "q48_fingerprint_dup_groups" -> 2,
         "q52_ngram_jaccard_ppjoin" -> 5, "q88_repetition_stats" -> 1,
         "q89_contamination" -> 4,
         // q89's plan + the corpus-id left join (broadcast: the hits agg
@@ -120,6 +125,8 @@ class PlanGuardSpec extends AnyFunSuite {
         "q47_ann_ivf_topk" -> 6, "q83_ann_sq8_topk" -> 2,
         "q85_ann_pq_topk" -> 2, "q86_ann_ivfpq_topk" -> 6,
         // iterative closure: checkpoint-backed scan + keep logic + sort
+        // (the shingle spread runs during construction, not in the
+        // returned frame's plan — the checkpoint truncated it)
         "q87_dup_clusters" -> 2,
         // full build round-trips; the window (M6/M10) builds carry the
         // lag-window + interpolation-grid stages, with the cached
