@@ -34,12 +34,17 @@ object LlmQueries {
   /** Per-document token counts and the composite quality score. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // kernels after the range exchange (the q58 pattern — same single
+    // exchange the ORDER BY planned, identical order, session-parallel
+    // expression evaluation instead of input-split-parallel)
     Tables(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id")
+      .sortWithinPartitions($"doc_id")
       .select($"doc_id",
         TextAnalysis.tokenCount($"text").as("n_tokens"),
         TextAnalysis.subwordCount($"text").as("n_subwords"),
         r4(TextAnalysis.qualityScore($"text")).as("quality"))
-      .orderBy($"doc_id")
   }
 
   /** Language-ID heuristic: marker-token voting, confusion counts vs the
@@ -142,9 +147,19 @@ object LlmQueries {
     * inner-join semantics of [[TextDedup.contamination]] are part of
     * the contract (callers left-join against the corpus ids), and the
     * oracle replays exactly that. */
+  /** Conditional post-scan spread for the contamination scans (the
+    * shingleFrame rationale): the 8-gram explode — the expensive per-row
+    * work — otherwise runs at input-split parallelism; a no-op at lake
+    * scale where the scan has ≥ cores splits. */
+  private def spreadDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   def contaminationScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextDedup.contamination(Tables(spark, dir, "documents"),
+    TextDedup.contamination(spreadDocs(spark, dir),
       "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
       .select($"id".as("doc_id"), $"n_shared")
       .orderBy($"doc_id")
@@ -159,7 +174,7 @@ object LlmQueries {
     * corpus-id list. */
   def contaminationFullScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextDedup.contaminationFull(Tables(spark, dir, "documents"),
+    TextDedup.contaminationFull(spreadDocs(spark, dir),
       "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
       .select($"id".as("doc_id"), $"n_shared")
       .orderBy($"doc_id")

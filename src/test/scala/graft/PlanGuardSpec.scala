@@ -117,10 +117,12 @@ class PlanGuardSpec extends AnyFunSuite {
         // q46 r14: +1 for the shingle spread (see q34 note)
         "q46_ngram_jaccard" -> 3, "q48_fingerprint_dup_groups" -> 2,
         "q52_ngram_jaccard_ppjoin" -> 5, "q88_repetition_stats" -> 1,
-        "q89_contamination" -> 4,
+        // q89/q90 r14: +1 for the conditional documents spread before
+        // the 8-gram explode (see the q34 note — a no-op at lake scale)
+        "q89_contamination" -> 5,
         // q89's plan + the corpus-id left join (broadcast: the hits agg
         // is benchmark-bounded) — same count, no new exchange
-        "q90_contamination_full" -> 4,
+        "q90_contamination_full" -> 5,
         // ANN rank paths (probed-list equi-joins; queries broadcast)
         "q47_ann_ivf_topk" -> 6, "q83_ann_sq8_topk" -> 2,
         "q85_ann_pq_topk" -> 2, "q86_ann_ivfpq_topk" -> 6,
