@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev measurement tool (optimization guide §1: measure first): run
@@ -27,17 +27,28 @@ object JobAudit {
     @volatile var stages = 0
     @volatile var tasks = 0
     val traceJobs = sys.env.get("GRAFT_AUDIT_TRACE").contains("1")
+    // per-job wall time: start timestamps by job id, duration printed at
+    // job end — attributes a query's seconds, not just its job count
+    val jobStartNs = scala.collection.mutable.Map.empty[Int, (Long, String)]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         synchronized {
           jobs += 1
+          val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobStartNs(js.jobId) = (System.nanoTime(), site)
           if (traceJobs) {
-            val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
             val caller = js.stageInfos.lastOption
               .map(_.details.linesIterator.filter(_.contains("graft"))
                 .take(3).mkString(" <- ")).getOrElse("")
             println(s"  [job ${js.jobId}] $site | $caller")
           }
+        }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        synchronized {
+          if (traceJobs) jobStartNs.get(je.jobId).foreach { case (t0, site) =>
+            println(f"  [job ${je.jobId} end] ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
+          }
+          jobStartNs.remove(je.jobId): Unit
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         synchronized { stages += 1; tasks += sc.stageInfo.numTasks }

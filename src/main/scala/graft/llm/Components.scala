@@ -151,10 +151,31 @@ object Components {
       }
       if (!already) sc.setCheckpointDir(dir)
     }
+    // Partition-once loop keying (r14, guide §2.4 "two operations keyed
+    // the same way share one exchange"): the EDGE list — the big frame —
+    // is hash-partitioned by dst ONCE up front and the dedup aggregates
+    // in place (hash(dst) already clusters equal (src,dst) rows, so
+    // dropDuplicates plans no exchange of its own), then every round's
+    // neighbor-min join reads the cached partitioning instead of
+    // re-shuffling the edges per round; the within-partition sort lets
+    // the per-round sort-merge join skip the edge-side sort too. The
+    // partition count is pinned (REPARTITION_BY_NUM) so AQE's
+    // byte-oriented coalescing cannot shrink the cached side out of
+    // co-partitioning with the label-side scans it must zip with.
+    // Per-round shuffled bytes drop from O(edges) to O(nodes).
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+      .repartition(nPart, col("dst"))
+      .dropDuplicates()
+      .sortWithinPartitions("dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // label frames stay hash(node)-partitioned round to round: the init
+    // distinct establishes it, and each round's checkpoint re-establishes
+    // it (the repartition below), so the stepped join, the pointer-jump
+    // p-side (node aliased to label), and the convergence-count join all
+    // plan ZERO exchanges — only the neighbor-min aggregation and the
+    // jump's l-side re-key per round.
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,16 +193,21 @@ object Components {
     var converged = false
     try {
       while (!converged && it < maxIter) {
-        // 1. neighbor-min: every node pulls the smallest label among its
-        //    neighbors (partial-aggregated map-side before the shuffle)
-        val nbrMin = sym
+        // 1. neighbor-min FUSED with the keep-own-label step (r14): the
+        //    old shape aggregated neighbor labels and then LEFT-joined
+        //    labels back to apply least(own, nbr_min) — a second join
+        //    (and its broadcast/exchange) per round for what is just
+        //    "min over (own label ∪ neighbors' labels)". Union the
+        //    node's own label row into the aggregation instead: same
+        //    values exactly (min is order-insensitive over the same
+        //    set), one aggregation, one exchange. Every node appears in
+        //    `labels`, so no node is lost by dropping the left join.
+        val stepped = sym
           .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src"), col("label"))
+          .union(labels.select(col("node").as("src"), col("label")))
           .groupBy(col("src").as("node"))
-          .agg(min(col("label")).as("nbr_min"))
-        val stepped = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
-              .as("label"))
+          .agg(min(col("label")).as("label"))
         // 2. pointer jump: label := label(label) — halves chain depth, the
         //    O(log d) ingredient (plain propagation walks one hop per round)
         jumped = stepped.as("l")
@@ -190,6 +216,13 @@ object Components {
           .select(col("node"),
             least(col("label"), coalesce(col("parent"), col("label")))
               .as("label"))
+          // re-key the round's output by node BEFORE the checkpoint:
+          // Dataset.checkpoint records the executed plan's output
+          // partitioning on its LogicalRDD, so next round's labels scan
+          // arrives hash(node)-partitioned and the stepped /
+          // convergence-count joins skip their exchanges (the jump join
+          // left the frame keyed by label — useless downstream)
+          .repartition(nPart, col("node"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // checkpoint TRUNCATES lineage: after it materializes (at the
         // `changed` count below, while `jumped` is still persisted), the
@@ -198,18 +231,31 @@ object Components {
         // reliableCheckpoint knob writes files a lost executor recovers
         // from. The recompute-to-write pass a reliable checkpoint runs
         // reads `jumped`'s persisted blocks, not the full lineage.
-        next =
-          if (reliableCheckpoint.isDefined) jumped.checkpoint(false)
-          else jumped.localCheckpoint(false)
+        // partitioning-preserving checkpoint (CheckpointBridge): plain
+        // Dataset.localCheckpoint records UnknownPartitioning under AQE,
+        // which would throw away the repartition above and put the
+        // exchanges back into every downstream join
+        next = org.apache.spark.sql.graftx.CheckpointBridge
+          .checkpointKeyed(jumped, Seq("node"),
+            reliable = reliableCheckpoint.isDefined)
         registerCkpt(next)
         nextRdd = ckptRdds(next).headOption // next IS the bare LogicalRDD
         // the count below is what materializes the lazy checkpoint — if
         // that job dies partway, `next`'s already-stored blocks are
         // released by the finally (it never became `labels`)
-        val changed = next.as("n")
+        val changedDf = next.as("n")
           .join(labels.as("o"), Seq("node"))
           .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
+          .limit(1)
+        // dev knob: dump the round's physical plans (the loop's real
+        // shape — the RETURNED frame's plan is checkpoint-truncated)
+        if (sys.env.get("GRAFT_CC_EXPLAIN").contains("1") && it == 1) {
+          println(s"=== CC round ${it + 1}: jumped (pre-checkpoint) ===")
+          println(jumped.queryExecution.executedPlan.toString)
+          println(s"=== CC round ${it + 1}: convergence count ===")
+          println(changedDf.queryExecution.executedPlan.toString)
+        }
+        val changed = changedDf.count()
         // `next` is now self-contained: release the SUPERSEDED round —
         // round 0's CacheManager cache via unpersist, later rounds'
         // RDD-level checkpoint blocks/files via the TRACKED rdd handle
@@ -260,9 +306,12 @@ object Components {
     val cc = connectedComponents(
       pairs.select(col(idA).as("a"), col(idB).as("b")),
       maxIter, reliableCheckpoint)
-    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
-    cc.join(sizes, "component")
-      .select(col("node").as("doc_id"), col("component"),
-        (col("node") === col("component")).as("keep"), col("n_docs"))
+    // cluster size as a window count instead of a groupBy + self-join
+    // (r14): same values, one exchange on `component` instead of two
+    // plus a second scan of the labels frame (guide §2.4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    cc.select(col("node").as("doc_id"), col("component"),
+      (col("node") === col("component")).as("keep"),
+      count(lit(1)).over(w).as("n_docs"))
   }
 }

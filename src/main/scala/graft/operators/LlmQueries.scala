@@ -300,7 +300,13 @@ object LlmQueries {
     * family next to MinHash (q34) and embedding-cosine (q42). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextDedup.simhashNearDups(Tables(spark, dir, "documents"),
+    // conditional post-scan spread (r14, the shingleFrame/spreadDocs
+    // rationale): the simhash32 kernel — one digest per token — is the
+    // expensive per-row work and otherwise evaluates at input-split
+    // parallelism on BOTH sides of the band self-join (one task each on
+    // a small file); a no-op at lake scale where the scan already has
+    // >= cores splits
+    TextDedup.simhashNearDups(spreadDocs(spark, dir),
       "doc_id", "text", maxHamming = 3)
       .orderBy($"id_a", $"id_b")
   }
