@@ -49,8 +49,38 @@ object Tables {
     * only to `events` — any future table with an epoch-seconds Long `ts`
     * column must opt in explicitly.
     */
+  /** Resolved-plan memo (r14, guide §6 metadata caching): every
+    * [[apply]] call previously re-ran `spark.read.parquet` — a parquet
+    * footer/schema-inference JOB (~25-50 ms) plus a directory probe —
+    * and the bench pays that per table per rep across 91 queries. The
+    * memo holds the resolved lazy DataFrame (a PLAN: logical scan +
+    * schema + file index), NOT data — every execution still reads the
+    * parquet inputs, exactly like Spark's own catalog-table resolution
+    * and file-status caches. Keys carry the witness file's
+    * (mtime, length) so a rewritten table resolves fresh (0,0 on
+    * non-local schemes — the memo then keys on path only, matching the
+    * local-FS-only design of [[witness]]); the WeakHashMap keying lets
+    * stopped sessions (test suites build many) be collected instead of
+    * pinning their plans for the JVM lifetime. */
+  private val planMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String, Long, Long), DataFrame]]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = new java.io.File(witness(dir, name))
+    val key = (dir, name, w.lastModified, w.length)
+    val memo = planMemo.synchronized {
+      var m = planMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        planMemo.put(spark, m)
+      }
+      m
+    }
+    memo.getOrElseUpdate(key, resolve(spark, dir, name))
+  }
+
+  private def resolve(spark: SparkSession, dir: String, name: String): DataFrame = {
     // scheme-aware directory probe (java.io.File would be always-false
     // for s3://, hdfs://…, defeating the lake layout off local disk)
     val asDir = new org.apache.hadoop.fs.Path(s"$dir/$name")
