@@ -52,6 +52,18 @@ object JobAudit {
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         synchronized { stages += 1; tasks += sc.stageInfo.numTasks }
+      // SQL execution starts attribute the anonymous AQE stage jobs:
+      // each eager action in a query path opens one execution whose
+      // description carries the driver-side call site
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            if (traceJobs) synchronized {
+              val d = s.description.linesIterator.take(1).mkString
+              println(s"  [sql ${s.executionId}] ${d.take(160)}")
+            }
+          case _ => ()
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     // warm-up so session/codegen init doesn't land on the first query
