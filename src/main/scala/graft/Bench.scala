@@ -167,13 +167,26 @@ object Bench {
     // a complete object. The errors map rides along unless it alone
     // would blow the tail budget, in which case its count does.
     val errsShort = if (errs.length <= 600) errs else s"""{"count":${errors.size}}"""
+    // r15 (r14 verdict item 2): the driver's last-line parser only ever
+    // sees THIS line, so PERF_r{N}.per_query and the scaling block were
+    // empty two rounds running — the per-query map must ride the LAST
+    // line too. Values round to 4 decimals (0.1 ms) to keep the line
+    // ~2.8 KB: the observed driver stdout tail is ~4 KB, and a clipped
+    // last line parses as nothing at all, so medians/spreads stay on
+    // the first line + the $outPath artifact rather than risking the
+    // whole record for them.
+    def jnum4(v: Double): String =
+      if (v.isNaN) "\"NaN\"" else (math.floor(v * 10000 + 0.5) / 10000).toString
+    val qsShort = results.map { case (k, t) => jq(k) + ":" + jnum4(t._1) }
+      .mkString("{", ",", "}")
     // the detail string goes through jq too: an exotic
     // SPARK_GRAFT_BENCH_OUT (quote, backslash) must not invalidate the
     // one line whose whole point is surviving as parseable JSON
     val shortLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""reps":$reps,"n_queries":${results.size},"errors":$errsShort,""" +
+      s""""reps":$reps,"n_queries":${results.size},"queries":$qsShort,""" +
+      s""""errors":$errsShort,""" +
       s""""sf":${jq(sfDir)},"detail":${jq(
-        s"full per-query map on the first stdout JSON line and in $outPath")}}"""
+        s"medians/spreads/loads on the first stdout JSON line and in $outPath")}}"""
     println(shortLine)
     // file-artifact fallback for the driver's last-line parser (r12
     // verdict item 4: BENCH_r12.json still recorded "parsed": null even

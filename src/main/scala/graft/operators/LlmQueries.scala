@@ -34,17 +34,23 @@ object LlmQueries {
   /** Per-document token counts and the composite quality score. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // kernels after the range exchange (the q58 pattern — same single
-    // exchange the ORDER BY planned, identical order, session-parallel
-    // expression evaluation instead of input-split-parallel)
-    Tables(spark, dir, "documents")
-      .select($"doc_id", $"text")
-      .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id")
-      .sortWithinPartitions($"doc_id")
+    // kernels BELOW the ORDER BY exchange, behind a CONDITIONAL spread
+    // (r15, fixing the r14 kernels-above-exchange shape): evaluating the
+    // kernels above a range exchange of (doc_id, text) made the sort
+    // shuffle carry the raw corpus — at lake scale the scan already has
+    // ≥ cores splits and the kernels run parallel in the scan stage, so
+    // that shape range-shuffled every text byte for zero parallelism
+    // gain (guide §2.3: shuffle fewer bytes beats §2.5 above the
+    // exchange). The round-robin spread fires ONLY when the scan has
+    // fewer splits than the session's parallelism (a small file = one
+    // task) and is a no-op at scale; the ORDER BY's range exchange then
+    // carries doc_id + three scalars, never the text.
+    spread(Tables(spark, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id",
         TextAnalysis.tokenCount($"text").as("n_tokens"),
         TextAnalysis.subwordCount($"text").as("n_subwords"),
         r4(TextAnalysis.qualityScore($"text")).as("quality"))
+      .orderBy($"doc_id")
   }
 
   /** Language-ID heuristic: marker-token voting, confusion counts vs the
@@ -86,14 +92,22 @@ object LlmQueries {
     * §2.5, unsplittable-input case). At lake scale the scan already has
     * ≥ cores splits and the condition is false, so no payload shuffle
     * is added where parallelism exists. */
-  private def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val par = spark.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    graft.Caching.ensureCached(
-      TextDedup.withShingles(spread, "doc_id", "text", ngram = 3))
+  /** Conditional round-robin spread (guide §2.5, unsplittable-input
+    * case): fires ONLY when the frame has fewer partitions than the
+    * session's parallelism — a small file scans as one task, so
+    * expensive per-row kernels computed over it ran single-threaded
+    * while the other cores idled. A no-op at lake scale where the scan
+    * already has ≥ cores splits, so no payload shuffle is added where
+    * parallelism exists. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  private def shingleFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Caching.ensureCached(
+      TextDedup.withShingles(spread(Tables(spark, dir, "documents")),
+        "doc_id", "text", ngram = 3))
 
   /** Banded MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.3
     * (k=12 signature, 6 bands × 2 rows; word 3-gram shingles). */
@@ -124,19 +138,14 @@ object LlmQueries {
     * per-row expressions, shuffle-free at any corpus size. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // expressions AFTER the range exchange (the q58 pattern): computed in
-    // the scan's project they run at the input-split parallelism (one
-    // task on a small file) while the sort's reducers idle; the explicit
-    // repartitionByRange is the same single range exchange the ORDER BY
-    // planned, equal doc_ids land in one contiguous partition, and the
-    // within-partition sort restores the identical global order.
-    Tables(spark, dir, "documents")
-      .select($"doc_id", $"text")
-      .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id")
-      .sortWithinPartitions($"doc_id")
+    // kernels below the ORDER BY exchange behind the conditional spread
+    // (r15 — the qualityScores rationale): the sort shuffle carries
+    // doc_id + two scalar fractions, never the text.
+    spread(Tables(spark, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id",
         r4(TextAnalysis.dupWordFrac($"text")).as("dup_word_frac"),
         r4(TextAnalysis.topBigramFrac($"text")).as("top_bigram_frac"))
+      .orderBy($"doc_id")
   }
 
   /** Benchmark-contamination scan, oracle-gated: the `src0` source
@@ -151,11 +160,8 @@ object LlmQueries {
     * shingleFrame rationale): the 8-gram explode — the expensive per-row
     * work — otherwise runs at input-split parallelism; a no-op at lake
     * scale where the scan has ≥ cores splits. */
-  private def spreadDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val par = spark.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-  }
+  private def spreadDocs(spark: SparkSession, dir: String): DataFrame =
+    spread(Tables(spark, dir, "documents"))
 
   def contaminationScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -391,20 +397,18 @@ object LlmQueries {
     * fingerprint. */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // kernel AFTER the range exchange (the q58 pattern): the winnowing
-    // fingerprint walk is the expensive per-row work, and in the scan's
-    // project it ran at input-split parallelism. Range-partitioning the
-    // (doc_id, text) rows first runs it at session parallelism; equal
-    // doc_ids share a partition, so sorting (doc_id, fp) within
-    // partitions restores the identical global order with the same
-    // single exchange.
+    // kernel below the ORDER BY exchange behind the conditional spread
+    // (r15 — the qualityScores rationale): the r14 shape range-shuffled
+    // (doc_id, text) so the winnowing walk could run above the
+    // exchange, which at lake scale ships the whole corpus through the
+    // sort shuffle for zero parallelism gain. Spread conditionally,
+    // compute the walk in the (already parallel at scale) map side, and
+    // let the final sort exchange carry only (doc_id, fp) scalars.
     TextDedup.winnowingFingerprints(
-      Tables(spark, dir, "documents")
-        .select($"doc_id", $"text")
-        .repartitionByRange(spark.sparkContext.defaultParallelism, $"doc_id"),
+      spread(Tables(spark, dir, "documents").select($"doc_id", $"text")),
       "doc_id", "text", k = 5, w = 8)
       .select($"id".as("doc_id"), $"fp")
-      .sortWithinPartitions($"doc_id", $"fp")
+      .orderBy($"doc_id", $"fp")
   }
 
   /** The SQL face of the native kernels (SparkSessionExtensions path):
@@ -417,30 +421,23 @@ object LlmQueries {
   def sqlKernels(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("graft_documents_q58")
-    // kernel evaluation AFTER the range exchange, not in the scan stage:
-    // with a plain `SELECT kernels … ORDER BY doc_id` the three native
-    // kernels (the expensive per-row work) evaluate in the scan's
-    // project, whose task count is the INPUT split count — one task for
-    // a small file, and at any scale never more than the file
-    // parallelism — while the sort's 32 reducers sat idle (guide §2.5
-    // input skew / §1.2 per-task work). Ordering the (doc_id, text)
-    // rows first and applying the kernels above the exchange runs them
-    // at the session's parallelism; the explicit repartitionByRange is
-    // the same single range exchange the ORDER BY planned (budget
-    // unchanged), pinned to defaultParallelism so AQE's byte-oriented
-    // coalescing (which can't see downstream expression cost) doesn't
-    // fold the tiny shuffle back into one partition. Identical rows in
-    // the identical doc_id order — range partitions are contiguous and
-    // each is sorted within.
-    spark.sql(
-      """SELECT doc_id, text, split(trim(text), ' ') AS tk
-        |FROM graft_documents_q58""".stripMargin)
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
+    // kernels below the ORDER BY exchange behind the conditional spread
+    // (r15, fixing the r14 kernels-above-exchange shape): the r14 plan
+    // range-shuffled (doc_id, text, tk) — the corpus TWICE over, text
+    // plus its tokenized copy — so the kernels could run above the
+    // exchange; at lake scale the scan already has ≥ cores splits and
+    // the kernels run parallel below it anyway. The conditional
+    // round-robin spread (no-op at scale) restores bench-scale
+    // parallelism, and the final sort exchange carries doc_id + three
+    // scalar kernel outputs only (guide §2.3: shuffle fewer bytes).
+    spread(spark.sql(
+      "SELECT doc_id, text FROM graft_documents_q58"))
+      .selectExpr("doc_id", "text", "split(trim(text), ' ') AS tk")
       .selectExpr("doc_id",
         "simhash32(tk) AS sh32",
         "element_at(minhash_signature(tk, 4), 1) AS mh0",
         "CAST(size(winnow_fingerprints(text, 5, 8)) AS BIGINT) AS n_fp")
+      .orderBy(col("doc_id"))
   }
 
   /** Streaming exact dedup, oracle-gated: the documents table replayed
