@@ -469,7 +469,10 @@ object LlmQueries {
         .repartition(8).write.mode("overwrite").parquet(stage)
     }
     val tmp = graft.Scratch.dir("graft-q76")
-    val stream = spark.readStream
+    // state-partition sizing knob (StreamSizing): default-off = today's
+    // state-store count; when configured the stream runs at the
+    // requested count, pinned into the fresh checkpoint
+    val stream = graft.streaming.StreamSizing.sessionFor(spark).readStream
       .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", "3")
       .parquet(in)
