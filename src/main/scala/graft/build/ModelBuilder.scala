@@ -245,18 +245,28 @@ object ModelBuilder {
       case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }))
     // dispatch on the CONFIGURED scaler class (a RobustScaler must not be
-    // silently substituted with MinMax — it skews the fold-metric scores)
-    val scoringScaler = spec.evaluation.get("scoring_scaler")
-      .filter(_ != null).map { v =>
-        ModelRegistry.compile(v) match {
-          case ModelRegistry.Scaler("minmax") =>
-            Scalers.fitMinMax(wide, dsCfg.effectiveTargets)
-          case ModelRegistry.Scaler("robust") =>
-            Scalers.fitRobust(wide, dsCfg.effectiveTargets)
-          case other => throw new ModelRegistry.CompileException(
-            s"unsupported scoring_scaler: $other")
-        }
-      }
+    // silently substituted with MinMax — it skews the fold-metric scores).
+    // The default minmax scorer of an UNWINDOWED spec is DEFERRED into
+    // the CV's own segmented stats pass (r15, guide §1.2: this eager
+    // full-frame aggregation was a whole extra execution per build for
+    // stats the CV pass already computes; min/max merge exactly, so the
+    // values are unchanged). Windowed specs keep the eager fit: the
+    // reference fits the scorer on the PRE-window frame, whose head rows
+    // the CV frame has dropped. Robust has no mergeable statistic.
+    val (scoringScaler, deferredScoringKind) =
+      spec.evaluation.get("scoring_scaler")
+        .filter(_ != null).map { v =>
+          ModelRegistry.compile(v) match {
+            case ModelRegistry.Scaler("minmax") if windowSpec.isEmpty =>
+              (None, Some("minmax"))
+            case ModelRegistry.Scaler("minmax") =>
+              (Some(Scalers.fitMinMax(wide, dsCfg.effectiveTargets)), None)
+            case ModelRegistry.Scaler("robust") =>
+              (Some(Scalers.fitRobust(wide, dsCfg.effectiveTargets)), None)
+            case other => throw new ModelRegistry.CompileException(
+              s"unsupported scoring_scaler: $other")
+          }
+        }.getOrElse((None, None))
 
     // J3 model offset: head rows the windowing dropped; also shifts the
     // CV fold boundaries back onto the RAW row count like the reference
@@ -268,7 +278,8 @@ object ModelBuilder {
       window = detector.window,
       smoothingMethod = detector.smoothingMethod.getOrElse("smm"),
       foldMetrics = foldMetrics, scoringScaler = scoringScaler,
-      targetTags = yTagsForFit, foldOffset = offset)
+      targetTags = yTagsForFit, foldOffset = offset,
+      scoringScalerKind = deferredScoringKind)
     val trainSec = (System.nanoTime() - t1) / 1e9
 
     val scores = fitted.foldScores.map { case (name, vals) =>

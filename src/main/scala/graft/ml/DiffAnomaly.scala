@@ -544,6 +544,17 @@ object DiffAnomaly {
     * (every fold's rolling thresholds and metrics, grouped by fold).
     * Otherwise (preprocessing pipelines, robust error scaler) it falls
     * back to the per-fold loop — 2 passes per fold. */
+  /** @param scoringScalerKind DEFERRED scoring scaler (r15, guide §1.2):
+    *   fit the fold-metric scaler of this kind over the full frame
+    *   INSIDE the CV passes instead of the caller paying a separate
+    *   full-frame aggregation job first. On the fused path with a
+    *   matching error-scaler kind it decodes from the segmented pass's
+    *   full merge — min/max merge exactly, so the stats equal a flat
+    *   fit (the same equivalence the final error scaler already relies
+    *   on); otherwise it falls back to one eager aggregation, today's
+    *   behavior. Mutually exclusive with `scoringScaler` (an
+    *   already-fitted scaler, e.g. fit on a pre-windowing frame the CV
+    *   never sees). */
   def fit(wide: DataFrame, tags: Seq[String], orderCol: String,
           base: Reconstructor, scalerKind: String = "minmax",
           nSplits: Int = 3, window: Option[Int] = None,
@@ -551,7 +562,10 @@ object DiffAnomaly {
           foldMetrics: Seq[(String, (Column, Column) => Column)] = Nil,
           scoringScaler: Option[FittedScaler] = None,
           targetTags: Seq[String] = Nil,
-          foldOffset: Int = 0): FittedDetector = {
+          foldOffset: Int = 0,
+          scoringScalerKind: Option[String] = None): FittedDetector = {
+    require(scoringScaler.isEmpty || scoringScalerKind.isEmpty,
+      "pass either a fitted scoringScaler or a deferred scoringScalerKind, not both")
     // y columns (`target_tag_list`, diff.py fit(X, y)); empty -> y = X
     val y = if (targetTags.isEmpty) tags else targetTags
     // persist the assembled frame FIRST: withRowIndex runs two small jobs
@@ -588,11 +602,20 @@ object DiffAnomaly {
         }
       val feat: String => Column = t => qc(t).cast("double")
       val widths = (6 +: window.toSeq).distinct
-      def scl(c: Column, t: String): Column = scoringScaler match {
-        case Some(s) =>
-          val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
-          (c - lit(ctr)) / lit(sv)
-        case None => c
+      def sclWith(ss: Option[FittedScaler])(c: Column, t: String): Column =
+        ss match {
+          case Some(s) =>
+            val (ctr, s0) = s.stats(t); val sv = if (s0 == 0.0) 1.0 else s0
+            (c - lit(ctr)) / lit(sv)
+          case None => c
+        }
+      // eager deferred-scoring fit — the fallback when the segmented
+      // pass can't supply the stats (loop path, or a kind mismatch):
+      // one aggregation over the cached indexed frame, exactly the job
+      // the caller used to run itself
+      def eagerScoring(kind: String): FittedScaler = {
+        val (aggs, dec) = Scalers.aggPlan(kind, y)
+        dec(indexed.agg(aggs.head, aggs.tail: _*).head())
       }
       // the AGGREGATE rolling column's alias lives in a namespace no
       // tag-derived alias can reach (`__rminagg__<w>` — tag aliases are
@@ -603,14 +626,19 @@ object DiffAnomaly {
           y.map(t => (s"__mae_$t", s"__rmin${w}__$t", "min", w)))
       // A8/M13/M14 fold metric scores ride the same test pass — metric
       // over scoring-scaler-transformed y/ŷ, averaged over tags
-      // (`build_model.py:274-289,377-446`)
-      val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
-        yield fn(scl(qc(s"__y_$t"), t), scl(qc(s"__p_$t"), t))
-          .as(s"${name}__$t")
-      val testAggs = widths.flatMap(w =>
-        max(col(s"__rminagg__$w")).as(s"__agg__$w") +:
-          y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
-        metricAggs
+      // (`build_model.py:274-289,377-446`). Built per path because a
+      // DEFERRED scoring scaler's stats only exist once that path has
+      // resolved them (segmented-merge decode or the eager fallback).
+      def testAggsFor(ss: Option[FittedScaler]): Seq[Column] = {
+        val scl = sclWith(ss) _
+        val metricAggs = for { (name, fn) <- foldMetrics; t <- y }
+          yield fn(scl(qc(s"__y_$t"), t), scl(qc(s"__p_$t"), t))
+            .as(s"${name}__$t")
+        widths.flatMap(w =>
+          max(col(s"__rminagg__$w")).as(s"__agg__$w") +:
+            y.map(t => max(qc(s"__rmin${w}__$t")).as(s"__f${w}__$t"))) ++
+          metricAggs
+      }
       // a fold shorter than a rolling width has no full frame: pandas
       // rolling().min() is all-NaN and .max() of that is NaN — mirror it
       def getterOf(row: org.apache.spark.sql.Row): String => Double =
@@ -628,6 +656,8 @@ object DiffAnomaly {
       // pipelines, robust scaler) or the frame fails the null check ----
       def loopPath(): (Seq[(CrossValidate.Fold, String => Double)],
           Fitted, FittedScaler) = {
+        val testAggs = testAggsFor(
+          scoringScaler.orElse(scoringScalerKind.map(eagerScoring)))
         val res = folds.map { f =>
           val train = CrossValidate.trainFold(indexed, f)
           val test = CrossValidate.testFold(indexed, f)
@@ -692,6 +722,18 @@ object DiffAnomaly {
           }
           mAcc = mp.merge(mAcc, mBufs(folds.size))
           sAcc = sp.merge(sAcc, sBufs(folds.size))
+          // deferred scoring scaler: the full merge above IS the
+          // full-frame fit of `scalerKind` over y — when the scoring
+          // kind matches (minmax is the only SegPlan kind, and the
+          // fused path requires the error scaler to have one), decode
+          // it instead of running a separate full-frame aggregation;
+          // min/max merge exactly, so the stats equal a flat fit. A
+          // kind mismatch falls back to the one eager aggregation the
+          // caller used to run.
+          val testAggs = testAggsFor(scoringScaler.orElse(
+            scoringScalerKind.map { k =>
+              if (k == scalerKind) sp.decode(sAcc) else eagerScoring(k)
+            }))
 
           // ---- ONE grouped test pass: per-row expressions dispatch on
           // the fold id; rolling frames reset per fold; final aggregates
