@@ -72,20 +72,80 @@ object Project {
 
   /** Build every machine of the project in parallel driver threads over
     * a shared long frame. Spark schedules the concurrent jobs across the
-    * cluster; per-machine state (fit aggregations) is tiny. */
+    * cluster; per-machine state (fit aggregations) is tiny.
+    *
+    * One lake scan per machine GROUP (r15, guide §2.4/§5 — the r14
+    * candidate re-landed with a size-adaptive cache layout): machines
+    * whose dataset configs differ only by tag list share ONE
+    * filter→resample pass over the union of their tags, cached; each
+    * machine's grid/interpolate/pivot then reads its tags from the
+    * cache. Per-(tag, bucket) resampling commutes exactly with tag
+    * filtering, so values are unchanged. The shared cache is
+    * repartitioned to a partition count derived from the INPUT's size
+    * (≈64 MB of source bytes per partition, clamped to the session's
+    * shuffle partitions) — the r14 attempt pinned the session shuffle
+    * count into the cache and every downstream per-machine stage ran
+    * that many micro-tasks at small scale, which is exactly the
+    * documented cause of its local regression. The group frame is built
+    * only when ≥2 machines actually MISS the model registry: a
+    * fully-cached second buildAll (the q75 gate's contract) must stay
+    * zero-Spark-work. */
   def buildAll(spec: ProjectSpec, long: DataFrame, keyCol: String,
                tsCol: String, valueCol: String, outputRoot: String,
                registryDir: Option[String] = None,
                parallelism: Int = 4,
                closedForm: Boolean = false): Seq[ModelBuilder.BuildResult] = {
+    import org.apache.spark.sql.functions.col
+    import graft.data.TimeSeries
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // machines that will really assemble (registry misses) grouped by
+    // their pre-resample config (everything but the tag lists)
+    def misses(m: Config.MachineSpec): Boolean =
+      registryDir.flatMap(Persistence.checkCache(_,
+        Persistence.cacheKey(m, closedForm))).isEmpty
+    val sharedByName: Map[String, DataFrame] = {
+      val groups = spec.machines.filter(misses)
+        .groupBy(m => Config.datasetConfig(m).copy(tags = Nil, targetTags = Nil))
+        .filter(_._2.size >= 2)
+      groups.flatMap { case (cfg0, ms) =>
+        val unionTags = ms.flatMap(m => {
+          val c = Config.datasetConfig(m); (c.tags ++ c.targetTags)
+        }).distinct
+        // size-adaptive cache layout: ≈64 MB of SOURCE bytes per cached
+        // partition (resampled rows are never more than source rows),
+        // at least 1, never above the session's shuffle partitions —
+        // local runs get a compact cache instead of shuffle-partition-
+        // many micro-partitions, cluster runs keep their sizing
+        val bytes = long.queryExecution.optimizedPlan.stats.sizeInBytes
+        val cap = long.sparkSession.sessionState.conf.numShufflePartitions
+        val nPart = (bytes / (64L << 20) + 1).min(BigInt(cap)).max(BigInt(1)).toInt
+        val shared = TimeSeries.resampleStage(long, keyCol, tsCol, valueCol,
+          cfg0.copy(tags = unionTags))
+          .repartition(nPart, col(keyCol))
+        ms.map(_.name -> shared)
+      }
+    }
+    // take ONE registry reference per distinct shared frame (first ref
+    // persists); the first builder thread's bounds aggregation fills the
+    // compact cache (siblings block on the partition fill briefly — an
+    // up-front count() here measured strictly worse: one more full
+    // execution, overlapped with nothing)
+    val sharedRels = sharedByName.values.toSeq.distinct
+      .map(TimeSeries.acquireAssembly)
     try {
       val futures = spec.machines.map { m =>
         Future {
+          val pre = sharedByName.get(m.name).map { shared =>
+            val c = Config.datasetConfig(m)
+            val mTags = (c.tags ++ c.targetTags).distinct
+            TimeSeries.assembleOwned(
+              shared.filter(col(keyCol).isin(mTags: _*)), keyCol, valueCol, c)
+          }
           ModelBuilder.buildSpec(m, long, keyCol, tsCol, valueCol,
             outputDir = s"$outputRoot/${m.name}",
-            registryDir = registryDir, closedForm = closedForm)
+            registryDir = registryDir, closedForm = closedForm,
+            preAssembled = pre)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)
@@ -106,6 +166,11 @@ object Project {
       pool.shutdown()
       pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
       throw e
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // drop the shared resample caches — every machine's build has
+      // persisted (or abandoned) its own wide frame by now
+      sharedRels.foreach(_.foreach(_.apply()))
+    }
   }
 }

@@ -470,9 +470,23 @@ object TimeSeries {
     * acquire/release bracket). */
   private[graft] def getDataOwned(
       long: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, cfg: DatasetConfig): (DataFrame, Boolean) = {
+      valueCol: String, cfg: DatasetConfig): (DataFrame, Boolean) =
+    assembleOwned(resampleStage(long, keyCol, tsCol, valueCol, cfg),
+      keyCol, valueCol, cfg)
+
+  /** The PRE-grid stage of [[getData]] — tag/time filters,
+    * known_filter_periods, per-(tag, bucket) resample — split out (r15)
+    * so a machine GROUP whose dataset configs differ only by tag list
+    * (Project.buildAll's shape) can run it ONCE over the union of tags
+    * and share the result: per-(tag, bucket) resampling commutes exactly
+    * with tag filtering (the groups are keyed by tag, so a tag filter
+    * removes whole groups and never changes any surviving group's rows).
+    * At 100 TB this is the dominant lake scan, paid once per group
+    * instead of once per machine. */
+  private[graft] def resampleStage(
+      long: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, cfg: DatasetConfig): DataFrame = {
     val widthSec = parseResolutionSeconds(cfg.resolution)
-    val limitSec = parseResolutionSeconds(cfg.interpolationLimit)
     // X tags plus any extra target tags align on the same grid
     val allTags = (cfg.tags ++ cfg.targetTags).distinct
     var df = long.filter(col(keyCol).isin(allTags: _*))
@@ -481,8 +495,21 @@ object TimeSeries {
     cfg.trainEnd.foreach(e =>
       df = df.filter(col(tsCol) < tsBound(df, e, "train_end_date")))
     df = dropKnownPeriods(df, tsCol, cfg.knownFilterPeriods)
-    val resampled0 = resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
+    resample(df, Seq(keyCol), tsCol, valueCol, widthSec,
       cfg.aggregationMethod, resolutionAnchorSec(cfg.resolution))
+  }
+
+  /** The POST-resample stage of [[getData]]: shared-grid densify →
+    * interpolate → pivot → inner-join semantics → row_filter →
+    * n_samples_threshold. `resampled0` must be [[resampleStage]] output
+    * (or a tag-filtered view of a group's shared one) covering exactly
+    * `cfg`'s tags. */
+  private[graft] def assembleOwned(
+      resampled0: DataFrame, keyCol: String,
+      valueCol: String, cfg: DatasetConfig): (DataFrame, Boolean) = {
+    val widthSec = parseResolutionSeconds(cfg.resolution)
+    val limitSec = parseResolutionSeconds(cfg.interpolationLimit)
+    val allTags = (cfg.tags ++ cfg.targetTags).distinct
     // Scope a cache over the EAGER plan-construction jobs: the bounds
     // agg below, the buffer path's two row-indexing jobs, and the
     // threshold path's materializing count each re-execute the
