@@ -109,13 +109,24 @@ object LlmQueries {
       TextDedup.withShingles(spread(Tables(spark, dir, "documents")),
         "doc_id", "text", ngram = 3))
 
+  /** The SHARED verified MinHash near-dup pair frame for q34/q87 (r15,
+    * guide §2.4 reuse): the banded candidate join + exact-Jaccard verify
+    * is the expensive pipeline both queries derive, and q87 additionally
+    * reads it TWICE (the connected-components edge list symmetrizes via
+    * a union of (a,b) and (b,a) projections). One session cache — the
+    * shingleFrame discipline one level up; the frame is near-dup EDGES,
+    * tiny relative to the corpus at any scale. */
+  private def verifiedPairFrame(spark: SparkSession, dir: String): DataFrame = {
+    val shDf = shingleFrame(spark, dir)
+    graft.Caching.ensureCached(TextDedup.verifiedPairs(shDf,
+      TextDedup.candidatePairs(shDf, k = 12, bands = 6), threshold = 0.3))
+  }
+
   /** Banded MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.3
     * (k=12 signature, 6 bands × 2 rows; word 3-gram shingles). */
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shDf = shingleFrame(spark, dir)
-    val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
-    TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
+    verifiedPairFrame(spark, dir)
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -127,10 +138,7 @@ object LlmQueries {
     * doc id per component, plus per-doc keep flag and cluster size. */
   def minhashDupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shDf = shingleFrame(spark, dir)
-    val cands = TextDedup.candidatePairs(shDf, k = 12, bands = 6)
-    val pairs = TextDedup.verifiedPairs(shDf, cands, threshold = 0.3)
-    Components.dupClusters(pairs).orderBy($"doc_id")
+    Components.dupClusters(verifiedPairFrame(spark, dir)).orderBy($"doc_id")
   }
 
   /** Per-document repetition signals (the Gopher-style corpus-hygiene
