@@ -171,10 +171,20 @@ object LlmQueries {
   private def spreadDocs(spark: SparkSession, dir: String): DataFrame =
     spread(Tables(spark, dir, "documents"))
 
+  /** The SHARED contamination hits frame for q89/q90 (r15, guide §2.4
+    * reuse): the 8-gram explode + benchmark join + per-doc distinct
+    * count is the expensive pipeline BOTH queries derive — q90's
+    * contaminationFull composes the exact same contamination() subplan,
+    * so one session cache (canonical-plan matched by the CacheManager)
+    * serves q89's frame AND q90's inner join. The frame is one row per
+    * CONTAMINATED doc — tiny at any corpus scale. */
+  private def contaminationHits(spark: SparkSession, dir: String): DataFrame =
+    graft.Caching.ensureCached(TextDedup.contamination(spreadDocs(spark, dir),
+      "doc_id", "text", isBenchmark = col("source") === "src0", n = 8))
+
   def contaminationScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextDedup.contamination(spreadDocs(spark, dir),
-      "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
+    contaminationHits(spark, dir)
       .select($"id".as("doc_id"), $"n_shared")
       .orderBy($"doc_id")
   }
@@ -188,6 +198,10 @@ object LlmQueries {
     * corpus-id list. */
   def contaminationFullScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // register the shared hits cache first: contaminationFull's inner
+    // contamination() subplan is canonical-identical, so the planner
+    // substitutes the cache wherever it appears (q89 and here)
+    contaminationHits(spark, dir)
     TextDedup.contaminationFull(spreadDocs(spark, dir),
       "doc_id", "text", isBenchmark = col("source") === "src0", n = 8)
       .select($"id".as("doc_id"), $"n_shared")
